@@ -1,0 +1,136 @@
+"""Go ``encoding/json``-compatible marshalling + record identity kernels.
+
+Byte-parity-critical pieces of the reference:
+
+* ``applyHashKey`` (main.go:1009-1036): MD5 over a Go ``json.Marshal`` of a
+  list of strings, with the HTML escapes ``\\u003c``/``\\u003e``/``\\u0026``
+  replaced back to ``<``/``>``/``&``.  Net effect: Go string escaping with
+  EscapeHTML off.
+* ``encodeFielsToB64`` (main.go:1064-1077): base64 of text/author/reply fields
+  (only when non-empty).
+* ``WriteDataToFileAsJSON`` (utils/utils.go:25-40): JSONL with
+  ``SetEscapeHTML(false)`` and struct-order keys with ``omitempty``
+  (main.go:110-124 ``ReviewFomate``; main.go:103-107 ``OwnerReply``).
+
+Go's string escaper differs from ``json.dumps``: it short-escapes only
+``\\n \\r \\t \" \\\\``; every other control char (including ``\\b``/``\\f``,
+which Python short-escapes) becomes ``\\u00xx``; U+2028/U+2029 are always
+escaped; non-ASCII is emitted raw (we always write UTF-8).
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+
+_SHORT = {"\n": "\\n", "\r": "\\r", "\t": "\\t", '"': '\\"', "\\": "\\\\"}
+
+
+def go_json_string(s: str) -> str:
+    """Marshal one string exactly like Go json.Marshal with EscapeHTML(false)."""
+    out = ['"']
+    for ch in s:
+        esc = _SHORT.get(ch)
+        if esc is not None:
+            out.append(esc)
+        elif ch < " ":
+            out.append(f"\\u{ord(ch):04x}")
+        elif ch in ("\u2028", "\u2029"):
+            out.append(f"\\u{ord(ch):04x}")
+        else:
+            out.append(ch)
+    out.append('"')
+    return "".join(out)
+
+
+def go_marshal_string_list(lst: list[str]) -> bytes:
+    """``json.Marshal([]string)`` with the reference's post-replacement of
+    HTML escapes (main.go:1027-1031) — i.e. EscapeHTML(false) semantics."""
+    return ("[" + ",".join(go_json_string(s) for s in lst) + "]").encode("utf-8")
+
+
+def review_hash(text: str, author_name: str, review_id: str,
+                reply_texts: list[str]) -> str:
+    """Record identity (main.go:1009-1036).
+
+    Branches (main.go:1014-1026):
+      1. no text, no author, no non-empty-first-reply, but id → [review_id]
+      2. first reply has text → [text, author, reply0]
+      3. else → [text, author]
+    """
+    has_responses = bool(reply_texts) and reply_texts[0] != ""
+    if text == "" and author_name == "" and not has_responses and review_id != "":
+        lst = [review_id]
+    elif has_responses:
+        lst = [text, author_name, reply_texts[0]]
+    else:
+        lst = [text, author_name]
+    return hashlib.md5(go_marshal_string_list(lst)).hexdigest()
+
+
+def b64(s: str) -> str:
+    return base64.b64encode(s.encode("utf-8")).decode("ascii")
+
+
+def encode_record_b64(rec: dict) -> dict:
+    """``encodeFielsToB64`` parity (main.go:1064-1077): b64 text/author when
+    non-empty; replies encoded (both fields, even empty ones) only when the
+    first reply has non-empty text."""
+    rec = dict(rec)
+    if rec.get("text"):
+        rec["text"] = b64(rec["text"])
+    if rec.get("author_name"):
+        rec["author_name"] = b64(rec["author_name"])
+    replies = rec.get("responses") or []
+    if replies and replies[0].get("text"):
+        rec["responses"] = [
+            {**r, "text": b64(r.get("text", "")), "author_name": b64(r.get("author_name", ""))}
+            for r in replies
+        ]
+    return rec
+
+
+# JSONL record serialization: ReviewFomate struct order (main.go:110-124), all
+# fields omitempty except review_hash.
+_FIELDS = [
+    ("parent_id", "str"), ("author_name", "str"), ("text", "str"),
+    ("source_date", "str"), ("review_id", "str"), ("author_id", "str"),
+    ("photos", "list_str"), ("not_recommended", "bool"), ("rating", "int"),
+    ("scraped_at", "int"), ("posted_at", "int"), ("responses", "replies"),
+]
+_REPLY_FIELDS = ["author_name", "text", "posted_at"]  # OwnerReply main.go:103-107
+
+
+def record_to_jsonl(rec: dict) -> str:
+    """One ReviewFomate as a Go-encoder JSONL line (without trailing newline).
+
+    ``omitempty`` drops Go zero values: "" / 0 / false / nil slice.  Inside an
+    OwnerReply, each field is itself omitempty (main.go:104-106).
+    """
+    parts = []
+    for name, kind in _FIELDS:
+        v = rec.get(name)
+        if kind == "str":
+            if v:
+                parts.append(f"{go_json_string(name)}:{go_json_string(v)}")
+        elif kind == "list_str":
+            if v:
+                parts.append(go_json_string(name) + ":[" + ",".join(go_json_string(x) for x in v) + "]")
+        elif kind == "bool":
+            if v:
+                parts.append(f"{go_json_string(name)}:true")
+        elif kind == "int":
+            if v:
+                parts.append(f"{go_json_string(name)}:{int(v)}")
+        elif kind == "replies":
+            if v:
+                objs = []
+                for r in v:
+                    fields = [
+                        f"{go_json_string(f)}:{go_json_string(r[f])}"
+                        for f in _REPLY_FIELDS if r.get(f)
+                    ]
+                    objs.append("{" + ",".join(fields) + "}")
+                parts.append(go_json_string(name) + ":[" + ",".join(objs) + "]")
+    parts.append(f"\"review_hash\":{go_json_string(rec.get('review_hash', ''))}")
+    return "{" + ",".join(parts) + "}"

@@ -1,0 +1,278 @@
+"""Minimal DOM + goquery/cascadia-equivalent CSS selector subset.
+
+The reference extracts with colly/goquery over net/html
+(``/root/reference/main.go:355-412,491-558,771-932``).  The sandbox has no
+lxml/selectolax, so this module implements — from scratch, on stdlib
+``html.parser`` — exactly the semantics those extractions rely on:
+
+* net/html-style tree: entities decoded in text and attribute values, but NOT
+  inside ``<script>``/``<style>`` (raw text elements) — matching
+  ``html.parser.HTMLParser(convert_charrefs=True)``.
+* goquery ``Selection.Text()``: concatenation of all descendant text nodes in
+  document order, no normalization.
+* colly ``ChildText``/``ChildTexts``/``ChildAttr`` trimming rules
+  (TrimSpace on text; attr of FIRST match, trimmed).
+* cascadia selector subset actually used by the reference: tag, ``.class``,
+  ``[attr="value"]``, ``:contains(str)`` (case-insensitive substring of text
+  content), descendant (space) and child (``>``) combinators.
+
+This is the byte-parity-critical module (BASELINE.md correctness gate):
+"byte-identical extracted text per url".
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+VOID = {"area", "base", "br", "col", "embed", "hr", "img", "input", "link",
+        "meta", "param", "source", "track", "wbr"}
+
+
+class Node:
+    __slots__ = ("tag", "attrs", "children", "parent", "order")
+
+    def __init__(self, tag: str, attrs=None, parent=None, order: int = -1):
+        self.tag = tag
+        self.attrs = attrs or {}
+        self.children: list = []  # Node | str (text)
+        self.parent = parent
+        self.order = order
+
+    # ---------------------------------------------------------------- texts
+    def text(self) -> str:
+        """goquery Selection.Text() of a single node: all text nodes, in order."""
+        out: list[str] = []
+        stack = [self]
+        # iterative DFS preserving document order
+        def walk(n: "Node"):
+            for c in n.children:
+                if isinstance(c, str):
+                    out.append(c)
+                else:
+                    walk(c)
+        walk(self)
+        return "".join(out)
+
+    def attr(self, name: str):
+        return self.attrs.get(name.lower())
+
+    def iter_elements(self):
+        """Descendant elements (excluding self), document order."""
+        for c in self.children:
+            if isinstance(c, Node):
+                yield c
+                yield from c.iter_elements()
+
+    # ------------------------------------------------------------- selection
+    def select(self, selector: str) -> list["Node"]:
+        """goquery Find(): matching DESCENDANTS of this node, document order."""
+        chain = _parse_selector(selector)
+        return [el for el in self.iter_elements() if _match_chain(el, chain, scope=self)]
+
+    def select_first(self, selector: str):
+        chain = _parse_selector(selector)
+        for el in self.iter_elements():
+            if _match_chain(el, chain, scope=self):
+                return el
+        return None
+
+    # --------------------------------------------------------- colly helpers
+    def child_text(self, selector: str) -> str:
+        """colly HTMLElement.ChildText: TrimSpace(Find(sel).Text()) where the
+        selection Text() concatenates every matched element's text."""
+        return "".join(el.text() for el in self.select(selector)).strip()
+
+    def child_texts(self, selector: str) -> list[str]:
+        """colly ChildTexts: per-element TrimSpace'd texts."""
+        return [el.text().strip() for el in self.select(selector)]
+
+    def child_attr(self, selector: str, name: str) -> str:
+        """colly ChildAttr: attr of FIRST match, TrimSpace'd; '' if absent."""
+        for el in self.select(selector):
+            v = el.attr(name)
+            if v is not None:
+                return v.strip()
+            return ""
+        return ""
+
+    def __repr__(self):  # pragma: no cover - debug aid
+        return f"<{self.tag} {self.attrs}>"
+
+
+class _Parser(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.root = Node("#document")
+        self.stack = [self.root]
+        self._order = 0
+
+    def handle_starttag(self, tag, attrs):
+        d = {}
+        for k, v in attrs:
+            if k not in d:
+                d[k] = v if v is not None else ""
+        node = Node(tag, d, parent=self.stack[-1], order=self._order)
+        self._order += 1
+        self.stack[-1].children.append(node)
+        if tag not in VOID:
+            self.stack.append(node)
+
+    def handle_startendtag(self, tag, attrs):
+        d = {}
+        for k, v in attrs:
+            if k not in d:
+                d[k] = v if v is not None else ""
+        node = Node(tag, d, parent=self.stack[-1], order=self._order)
+        self._order += 1
+        self.stack[-1].children.append(node)
+
+    def handle_endtag(self, tag):
+        # pop to the matching open tag (tolerate stray end tags)
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                return
+
+    def handle_data(self, data):
+        if data:
+            self.stack[-1].children.append(data)
+
+
+def parse_html(src: str | bytes) -> Node:
+    if isinstance(src, bytes):
+        src = src.decode("utf-8", errors="replace")
+    p = _Parser()
+    p.feed(src)
+    p.close()
+    return p.root
+
+
+# ------------------------------------------------------------------ selectors
+
+class _Simple:
+    __slots__ = ("tag", "classes", "attrs", "contains")
+
+    def __init__(self):
+        self.tag = None
+        self.classes: list[str] = []
+        self.attrs: list[tuple[str, str | None]] = []
+        self.contains: list[str] = []
+
+    def matches(self, n: Node) -> bool:
+        if self.tag is not None and n.tag != self.tag:
+            return False
+        if self.classes:
+            cls = (n.attrs.get("class") or "").split()
+            for c in self.classes:
+                if c not in cls:
+                    return False
+        for name, val in self.attrs:
+            got = n.attrs.get(name)
+            if got is None or (val is not None and got != val):
+                return False
+        for sub in self.contains:
+            if sub.lower() not in n.text().lower():
+                return False
+        return True
+
+
+def _parse_simple(tok: str) -> _Simple:
+    s = _Simple()
+    i, n = 0, len(tok)
+    # leading tag name
+    j = i
+    while j < n and (tok[j].isalnum() or tok[j] in "-_"):
+        j += 1
+    if j > i:
+        s.tag = tok[i:j].lower()
+        i = j
+    while i < n:
+        ch = tok[i]
+        if ch == ".":
+            j = i + 1
+            while j < n and tok[j] not in ".[:#":
+                j += 1
+            s.classes.append(tok[i + 1:j])
+            i = j
+        elif ch == "[":
+            j = tok.index("]", i)
+            body = tok[i + 1:j]
+            if "=" in body:
+                name, val = body.split("=", 1)
+                val = val.strip("\"'")
+                s.attrs.append((name.lower(), val))
+            else:
+                s.attrs.append((body.lower(), None))
+            i = j + 1
+        elif ch == ":":
+            # :contains(...)
+            assert tok[i:i + 10] == ":contains(", f"unsupported pseudo in {tok!r}"
+            j = tok.index(")", i)
+            s.contains.append(tok[i + 10:j].strip("\"'"))
+            i = j + 1
+        else:
+            raise ValueError(f"unsupported selector token {tok!r}")
+    return s
+
+
+def _parse_selector(selector: str) -> list[tuple[str, _Simple]]:
+    """Returns [(combinator, simple), ...]; combinator of first is ''.
+
+    Supported: descendant (space), child ('>').
+    """
+    # tokenize, keeping '>' separate — but not inside [...] or (...)
+    toks: list[str] = []
+    buf = []
+    depth = 0
+    for ch in selector:
+        if ch in "[(":
+            depth += 1
+            buf.append(ch)
+        elif ch in "])":
+            depth -= 1
+            buf.append(ch)
+        elif depth == 0 and (ch.isspace() or ch == ">"):
+            if buf:
+                toks.append("".join(buf))
+                buf = []
+            if ch == ">":
+                toks.append(">")
+        else:
+            buf.append(ch)
+    if buf:
+        toks.append("".join(buf))
+
+    chain: list[tuple[str, _Simple]] = []
+    comb = ""
+    for t in toks:
+        if t == ">":
+            comb = ">"
+        else:
+            chain.append((comb, _parse_simple(t)))
+            comb = " "
+    return chain
+
+
+def _match_chain(el: Node, chain: list[tuple[str, _Simple]], scope: Node) -> bool:
+    """goquery Find semantics: the candidate element is already restricted to
+    descendants of `scope`, but the selector itself is matched against the
+    WHOLE document tree — ancestor combinators may climb above the scope node
+    (matching goquery's findWithMatcher, which filters document-wide cascadia
+    matches to descendants of the selection)."""
+
+    def rec(node: Node, idx: int) -> bool:
+        comb, simple = chain[idx]
+        if not simple.matches(node):
+            return False
+        if idx == 0:
+            return True
+        parent = node.parent
+        if comb == ">":
+            return parent is not None and rec(parent, idx - 1)
+        while parent is not None:
+            if rec(parent, idx - 1):
+                return True
+            parent = parent.parent
+        return False
+
+    return rec(el, len(chain) - 1)
