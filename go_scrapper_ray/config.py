@@ -1,0 +1,70 @@
+"""Crawl configuration — replaces the reference's base64(JSON) Spider blob
+(``main.go:31-52,204-220``) and the colly collector constants
+(``collyfunc/collyfunc.go:115-119,177-182``)."""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field, asdict
+
+
+@dataclass
+class CrawlConfig:
+    """Engine-wide crawl policy.
+
+    delay_ms/jitter_ms mirror colly's LimitRule{Delay: 3s, RandomDelay: 3s}
+    (collyfunc.go:115-119); politeness uses a VIRTUAL clock seeded by
+    ``jitter_seed`` so scheduling is deterministic and independent of wall
+    time.  ``max_attempts=5`` reproduces the retry ledger's init-at-0 quirk
+    (main.go:1079-1099: intended 3 retries, actual 4 → 5 attempts total).
+    """
+
+    site_base: str = "https://www.yelp.com"
+    allowed_hosts: tuple[str, ...] | None = ("yelp.com", "www.yelp.com")
+    force_hosts: tuple[str, ...] = ("yelp.com", "www.yelp.com")
+    force_to: str = "www.yelp.com"
+    delay_ms: int = 3000
+    jitter_ms: int = 3000
+    jitter_seed: int = 42
+    parallelism_per_host: int = 10
+    max_attempts: int = 5
+    ignore_robots: bool = True   # reference parity: colly.IgnoreRobotsTxt()
+    num_seen_shards: int = 4
+    num_frontier_shards: int = 4
+    num_fetch_buckets: int = 16
+    scraped_at: int = 1700000000  # deterministic stand-in for time.Now()
+
+    def host_allowed(self, host: str) -> bool:
+        """colly AllowedDomains filter (collyfunc.go:67,126)."""
+        return self.allowed_hosts is None or host in self.allowed_hosts
+
+    def to_json(self) -> str:
+        d = asdict(self)
+        d["allowed_hosts"] = list(self.allowed_hosts) if self.allowed_hosts is not None else None
+        d["force_hosts"] = list(self.force_hosts)
+        return json.dumps(d, indent=1)
+
+    @classmethod
+    def from_json(cls, s: str) -> "CrawlConfig":
+        d = json.loads(s)
+        if d.get("allowed_hosts") is not None:
+            d["allowed_hosts"] = tuple(d["allowed_hosts"])
+        d["force_hosts"] = tuple(d.get("force_hosts", ()))
+        return cls(**d)
+
+
+@dataclass
+class Seed:
+    """One crawl seed — the Spider config fields that matter
+    (main.go:31-52): url may be empty → seed-resolution mode (Flow 2);
+    last_review_hashes non-empty → incremental mode (Flow 3)."""
+
+    seed_id: int
+    url: str = ""
+    business_name: str = ""
+    addr_street: str = ""
+    addr_city: str = ""
+    addr_state: str = ""
+    addr_zip: str = ""
+    first_page_only: int = 0
+    last_review_hashes: tuple[str, ...] = field(default_factory=tuple)

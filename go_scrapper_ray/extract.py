@@ -115,10 +115,11 @@ def match_winner(target_name: str, target_text: str, candidates: list[dict]) -> 
     return winner
 
 
-def search_url(business_name: str, street: str, city: str, state: str, zip_: str) -> str:
+def search_url(business_name: str, street: str, city: str, state: str, zip_: str,
+               site_base: str = "https://www.yelp.com") -> str:
     """main.go:427-430 — note the street,state,city,zip order quirk."""
     address = street + " " + state + " " + city + " " + zip_
-    return ("https://www.yelp.com/search?find_desc=" + quote_plus(business_name)
+    return (site_base + "/search?find_desc=" + quote_plus(business_name)
             + "&find_loc=" + quote_plus(address))
 
 
@@ -173,12 +174,15 @@ def extract_profile(root) -> dict:
             "histogram_found": histogram_found}
 
 
-def review_feed_url(business_id: str) -> str:
-    return "https://www.yelp.com/biz/" + business_id + "/review_feed?rl=en&sort_by=date_desc"
+def review_feed_url(business_id: str, site_base: str = "https://www.yelp.com") -> str:
+    """main.go:546 — the reference hardcodes the site; the rebuild makes the
+    base configurable so the same machinery runs multi-host corpora."""
+    return site_base + "/biz/" + business_id + "/review_feed?rl=en&sort_by=date_desc"
 
 
 def profile_fanout(business_id: str, review_count, page_url: str,
-                   first_page_only: bool, incremental: bool) -> tuple[list[str], str]:
+                   first_page_only: bool, incremental: bool,
+                   site_base: str = "https://www.yelp.com") -> tuple[list[str], str]:
     """Link expansion from a profile page (main.go:546,563-594).
 
     Returns (review_feed_urls, nonrec_landing_url). ``review_count`` None
@@ -188,7 +192,7 @@ def profile_fanout(business_id: str, review_count, page_url: str,
     """
     feed_urls: list[str] = []
     if review_count is not None:
-        base = review_feed_url(business_id)
+        base = review_feed_url(business_id, site_base)
         if incremental:
             starts = range(0, 50, 10)
         elif first_page_only:

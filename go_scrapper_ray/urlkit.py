@@ -74,20 +74,22 @@ def canonicalize_seed(url: str, force_hosts: tuple[str, ...] = ("yelp.com", "www
     rebuild generalizes via ``force_hosts``/``force_to`` config.
     """
     u = url.rstrip("\n")
-    marker = force_to.split(".", 1)[-1].split(".", 1)[0] + "."  # "yelp."
-    if marker in u:
-        if "://" not in u and not u.startswith("//"):
-            u = "//" + u
+    # "yelp." marker derived from force_to ("www.yelp.com" → "yelp."); empty
+    # force_to disables forcing (generic multi-host corpora)
+    marker = force_to.split(".", 1)[-1].split(".", 1)[0] + "." if force_to else None
+    if marker and marker in u:
+        # NOTE: no scheme-less rescue here — Go url.Parse puts "yelp.com/x"
+        # entirely in the PATH (host empty → forced), yielding
+        # "https://www.yelp.com/yelp.com/x".  Faithful quirk.
         parts = urlsplit(u)
         scheme = parts.scheme
         if scheme not in ("http", "https"):
             scheme = "https"
-        host = parts.hostname or ""
-        if host not in force_hosts:
-            host = force_to
-        netloc = host
-        if parts.port is not None:
-            netloc = f"{host}:{parts.port}"
+        # Go compares u.Host — the RAW netloc incl. port, case-sensitively
+        # (main.go:282); forcing replaces the whole netloc (port dropped).
+        netloc = parts.netloc
+        if netloc not in force_hosts:
+            netloc = force_to
         u = urlunsplit((scheme, netloc, parts.path, parts.query, parts.fragment))
     rejected = ("search?" in u) or ("adredir?" in u)
     return u, rejected

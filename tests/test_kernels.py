@@ -46,7 +46,9 @@ def test_canonicalize_seed_reference_parity():
     # main.go:273-291: host forcing only for yelp URLs; search?/adredir? reject
     assert urlkit.canonicalize_seed("https://m.yelp.com/biz/x\n") == \
         ("https://www.yelp.com/biz/x", False)
-    assert urlkit.canonicalize_seed("yelp.com/biz/x") == ("https://yelp.com/biz/x", False)
+    # Go url.Parse treats scheme-less input as PATH (host empty → forced)
+    assert urlkit.canonicalize_seed("yelp.com/biz/x") == \
+        ("https://www.yelp.com/yelp.com/biz/x", False)
     assert urlkit.canonicalize_seed("ftp://www.yelp.com/biz/x") == \
         ("https://www.yelp.com/biz/x", False)
     assert urlkit.canonicalize_seed("https://www.yelp.com/search?find_desc=a")[1] is True
