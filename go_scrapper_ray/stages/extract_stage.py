@@ -1,0 +1,214 @@
+"""ExtractStage — per-page extraction as an actor-pool ``map_batches`` stage.
+
+Input: fetched page rows (scheduled columns + ``status`` + ``html``).
+Output: a uniform tall table, one row per extracted artifact:
+
+    out_kind ∈ {record, link, event}
+    seed_id / page_seq / emit_idx / sort_ts / review_hash / payload(JSON)
+
+* ``record`` rows are the review records (raw text; identity hash applied) —
+  they stream to per-round Parquet and NEVER pass through the driver.
+* ``link`` rows are fan-out URLs (pagination, non-rec landing, resolved
+  profile) — small; the driver routes them through seen-shards → frontier.
+* ``event`` rows are control-flow signals (fetch_fail, profile_nobizid,
+  profile_ok, landing_ok, no_reviews, serp_empty, hash_hit) — tiny; they
+  drive the driver's per-seed status machine.
+
+Stateful setup (seed configs, watermark hash sets) is fetched from the object
+store ONCE per actor in ``__init__`` (broadcast via ray.put — no per-batch
+re-shipping)."""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+
+import ray
+
+from .. import extract, urlkit
+from ..dates import parse_mdy_or_zero
+from ..flow import FEED, NONREC_LANDING, NONREC_PAGE, PROFILE, SEARCH
+
+OUT_SCHEMA = pa.schema([
+    ("out_kind", pa.string()),
+    ("seed_id", pa.int64()),
+    ("page_seq", pa.int64()),
+    ("emit_idx", pa.int32()),
+    ("sort_ts", pa.int64()),
+    ("review_hash", pa.string()),
+    ("payload", pa.string()),
+])
+
+
+# Worker-process-global stage cache so the stage can run as Ray TASKS (no
+# actor-pool startup per crawl round) while still paying broadcast-fetch and
+# setup costs once per worker process (see sources/pagestore.py note).
+_STAGE_CACHE: dict[str, "ExtractStage"] = {}
+
+
+def extract_batch(batch: pa.Table, seeds_ref, cfg_dict: dict,
+                  watermarks_ref) -> pa.Table:
+    key = seeds_ref.hex()
+    stage = _STAGE_CACHE.get(key)
+    if stage is None:
+        stage = ExtractStage(seeds_ref, cfg_dict, watermarks_ref)
+        _STAGE_CACHE[key] = stage
+    return stage(batch)
+
+
+class ExtractStage:
+    def __init__(self, seeds_ref, cfg_dict: dict, watermarks_ref):
+        # once-per-actor state (broadcast refs)
+        self.seeds = ray.get(seeds_ref)          # seed_id -> seed config dict
+        self.cfg = cfg_dict
+        self.watermarks = ray.get(watermarks_ref)  # seed_id -> set(hashes)
+        from ..minidom import parse_html  # bind once
+        self._parse = parse_html
+
+    # ------------------------------------------------------------------ rows
+    def _rows(self, out, kind, seed_id, page_seq, emit_idx, payload,
+              sort_ts=0, review_hash=""):
+        out["out_kind"].append(kind)
+        out["seed_id"].append(seed_id)
+        out["page_seq"].append(page_seq)
+        out["emit_idx"].append(emit_idx)
+        out["sort_ts"].append(sort_ts)
+        out["review_hash"].append(review_hash)
+        out["payload"].append(json.dumps(payload, ensure_ascii=False))
+
+    def _emit_records(self, out, sid, page_seq, recs):
+        wm = self.watermarks.get(sid)
+        for j, r in enumerate(recs):
+            r = extract.finalize_record_identity(r)
+            r["scraped_at"] = self.cfg["scraped_at"]
+            self._rows(out, "record", sid, page_seq, j, r,
+                       sort_ts=parse_mdy_or_zero(r["source_date"]),
+                       review_hash=r["review_hash"])
+            if wm and r["review_hash"] in wm:
+                self._rows(out, "event", sid, page_seq, j,
+                           {"type": "hash_hit"})
+        # per-page record count event → the driver tracks per-seed counts
+        # from the (small) control stream without a groupby execution
+        if recs:
+            self._rows(out, "event", sid, page_seq, len(recs),
+                       {"type": "rec_count", "n": len(recs)})
+
+    def _emit_links(self, out, sid, page_seq, links):
+        for j, (url, kind, depth, rel) in enumerate(links):
+            self._rows(out, "link", sid, page_seq, j,
+                       {"url": url, "kind": kind, "depth": depth,
+                        "parent_seq": page_seq, "emit_idx": j, "rel": rel})
+
+    # ------------------------------------------------------------------ main
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {f.name: [] for f in OUT_SCHEMA}
+        for row in batch.to_pylist():
+            sid = row["seed_id"]
+            page_seq = row["seq"]
+            kind = row["kind"]
+            if row["status"] != 200:
+                self._rows(out, "event", sid, page_seq, 0,
+                           {"type": "fetch_fail", "status": row["status"],
+                            "kind": kind, "url": row["url"],
+                            "canon": row["canon"], "depth": row["depth"],
+                            "parent_seq": row["parent_seq"],
+                            "link_emit_idx": row["emit_idx"],
+                            "attempt": row["attempt"]})
+                continue
+            html = row["html"]
+            seed = self.seeds[sid]
+
+            if kind == SEARCH:
+                root = self._parse(html).select_first("html")
+                cands = extract.extract_serp_candidates(root) if root is not None else []
+                if not cands:
+                    self._rows(out, "event", sid, page_seq, 0,
+                               {"type": "serp_empty"})
+                    continue
+                ttext = extract.target_text(seed["addr_street"], seed["addr_city"],
+                                            seed["addr_state"], seed["addr_zip"])
+                w = extract.match_winner(seed["business_name"], ttext, cands)
+                key = self.cfg["site_base"] + cands[w]["url"]  # main.go:442
+                canon_key, rejected = urlkit.canonicalize_seed(
+                    key, tuple(self.cfg["force_hosts"]), self.cfg["force_to"])
+                self._rows(out, "event", sid, page_seq, 0,
+                           {"type": "serp_resolved", "profile_key": key,
+                            "rejected": rejected})
+                if not rejected:
+                    self._emit_links(out, sid, page_seq,
+                                     [(canon_key, PROFILE, 1, "search_result")])
+                continue
+
+            if kind == PROFILE:
+                root = self._parse(html).select_first("html")
+                prof = extract.extract_profile(root)
+                if prof["business_id"] == "":
+                    self._rows(out, "event", sid, page_seq, 0,
+                               {"type": "profile_nobizid", "url": row["url"],
+                                "canon": row["canon"], "depth": row["depth"],
+                                "parent_seq": row["parent_seq"],
+                                "link_emit_idx": row["emit_idx"],
+                                "attempt": row["attempt"]})
+                    continue
+                incremental = bool(self.watermarks.get(sid))
+                links = []
+                if prof["review_count"] is not None:
+                    feeds, _ = extract.profile_fanout(
+                        prof["business_id"], prof["review_count"], row["canon"],
+                        bool(seed["first_page_only"]), incremental,
+                        self.cfg["site_base"])
+                    links += [(u, FEED, row["depth"] + 1, "pagination") for u in feeds]
+                _, nonrec = extract.profile_fanout(
+                    prof["business_id"], None, row["canon"],
+                    bool(seed["first_page_only"]), incremental,
+                    self.cfg["site_base"])
+                self._rows(out, "event", sid, page_seq, 0,
+                           {"type": "profile_ok",
+                            "business_id": prof["business_id"],
+                            "score": prof["score"],
+                            "total_reviews": prof["total_reviews"],
+                            "histogram_found": prof["histogram_found"],
+                            "review_count": prof["review_count"]})
+                # non-rec landing is emitted LAST with a high emit_idx so the
+                # canonical order puts it after the feed pages (oracle parity)
+                self._emit_links(out, sid, page_seq, links)
+                self._rows(out, "link", sid, page_seq, 10_000,
+                           {"url": nonrec, "kind": NONREC_LANDING,
+                            "depth": row["depth"] + 1, "parent_seq": page_seq,
+                            "emit_idx": 10_000, "rel": "non_rec"})
+                continue
+
+            if kind == FEED:
+                recs = extract.extract_review_feed(html)
+                self._emit_records(out, sid, page_seq, recs)
+                continue
+
+            if kind == NONREC_LANDING:
+                root = self._parse(html).select_first("html")
+                res = extract.extract_nonrec_landing(root)
+                if res["no_reviews"]:
+                    self._rows(out, "event", sid, page_seq, 0,
+                               {"type": "no_reviews"})
+                    continue
+                if res["count"] is None:
+                    continue
+                incremental = bool(self.watermarks.get(sid))
+                urls = extract.nonrec_fanout(row["canon"], res["count"],
+                                             bool(seed["first_page_only"]),
+                                             incremental)
+                self._rows(out, "event", sid, page_seq, 0,
+                           {"type": "landing_ok", "count": res["count"],
+                            "nonrec_url": row["canon"]})
+                self._emit_links(out, sid, page_seq,
+                                 [(u, NONREC_PAGE, row["depth"] + 1, "pagination")
+                                  for u in urls])
+                continue
+
+            if kind == NONREC_PAGE:
+                root = self._parse(html).select_first("html")
+                recs = extract.extract_nonrec_page(root)
+                self._emit_records(out, sid, page_seq, recs)
+                continue
+
+        return pa.table(out, schema=OUT_SCHEMA)

@@ -1,0 +1,71 @@
+"""SeenShard — one shard of the engine-level URL-seen set.
+
+Sharding key: ``url_hash % num_seen_shards`` (membership is per-URL so it
+shards by URL hash; politeness shards by host — two different keys, see
+SURVEY.md §4.2).  Each shard fronts an exact dict (source of truth, feeds the
+``seen_set`` golden output) with a cuckoo filter fast path: a "definitely not
+seen" filter answer skips the dict probe — the path that matters at 10^10
+URLs where the exact set is disk-resident.
+
+The reference has no global seen set (colly keeps one per collector,
+SURVEY.md T4); the north rule adds it.  Retries bypass the check
+(colly Request.Retry() bypasses the visited set, main.go:337 etc.)."""
+
+from __future__ import annotations
+
+import ray
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .cuckoo import CuckooFilter
+
+
+@ray.remote(num_cpus=0)
+class SeenShard:
+    """num_cpus=0: bookkeeping actors must never reserve task CPUs — they are
+    latency-bound (dict probes), not compute-bound, and a pool of them would
+    otherwise starve the map_batches stages on small clusters."""
+    def __init__(self, shard_id: int, capacity: int = 1 << 16):
+        self.shard_id = shard_id
+        self.exact: dict[int, str] = {}
+        self.filter = CuckooFilter(capacity)
+
+    def add_if_new(self, hashes: list[int], canons: list[str]) -> list[bool]:
+        """Batched check-and-insert; True = new (caller may schedule)."""
+        out = []
+        for h, c in zip(hashes, canons):
+            if h in self.filter and h in self.exact:
+                out.append(False)
+                continue
+            self.exact[h] = c
+            self.filter.add(h)
+            out.append(True)
+        return out
+
+    def contains(self, hashes: list[int]) -> list[bool]:
+        return [(h in self.filter and h in self.exact) for h in hashes]
+
+    def dump(self) -> list[tuple[int, str]]:
+        return sorted(self.exact.items())
+
+    def size(self) -> int:
+        return len(self.exact)
+
+    # ------------------------------------------------------------ checkpoint
+    def checkpoint(self, path: str) -> int:
+        t = pa.table({
+            "url_hash": pa.array(list(self.exact.keys()), pa.uint64()),
+            "canon_url": pa.array(list(self.exact.values()), pa.string()),
+        })
+        pq.write_table(t, path)
+        return len(self.exact)
+
+    def restore(self, path: str) -> int:
+        t = pq.read_table(path)
+        self.exact = dict(zip(t["url_hash"].to_pylist(),
+                              t["canon_url"].to_pylist()))
+        self.filter = CuckooFilter(max(1 << 16, len(self.exact) * 2))
+        for h in self.exact:
+            self.filter.add(h)
+        return len(self.exact)

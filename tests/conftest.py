@@ -27,4 +27,5 @@ def fixture_corpus(tmp_path_factory):
     from fixtures.gen import generate_corpus
 
     out = tmp_path_factory.mktemp("corpus")
-    return generate_corpus(str(out), scale="small", seed=42)
+    manifest = generate_corpus(str(out), scale="small", seed=42)
+    return str(out), manifest
