@@ -1,0 +1,71 @@
+"""Kill-and-resume (north rule): a crawl resumed from any complete round
+checkpoint must produce byte-identical final outputs — records, statuses,
+seen set, and the visit-log tail."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def full_run(ray_session, fixture_corpus, tmp_path_factory):
+    from go_scrapper_ray.pipelines.crawl import CrawlEngine
+
+    corpus_dir, _ = fixture_corpus
+    wd = tmp_path_factory.mktemp("resume_full")
+    eng = CrawlEngine(corpus_dir, str(wd), checkpoints=True)
+    res = eng.run()
+    return corpus_dir, wd, res
+
+
+def test_resume_from_mid_checkpoint(full_run, tmp_path_factory):
+    from go_scrapper_ray.pipelines.crawl import CrawlEngine
+
+    corpus_dir, wd, full = full_run
+    ck_rounds = sorted(int(p.name.split("=")[1])
+                       for p in (wd / "checkpoint").iterdir()
+                       if (p / "_complete").exists())
+    assert len(ck_rounds) >= 3
+    mid = ck_rounds[len(ck_rounds) // 2]
+
+    wd2 = tmp_path_factory.mktemp("resume_mid")
+    shutil.rmtree(wd2)
+    shutil.copytree(wd, wd2)
+
+    eng2 = CrawlEngine(corpus_dir, str(wd2), checkpoints=True)
+    eng2.resume_from(mid)
+    res2 = eng2.resume_run()
+
+    # identical final state
+    assert {s: o.status for s, o in res2.outcomes.items()} == \
+        {s: o.status for s, o in full.outcomes.items()}
+    assert res2.seen == full.seen
+    for sid in full.outcomes:
+        assert res2.jsonl_lines(sid) == full.jsonl_lines(sid), sid
+    # visit log identical (the resumed tail re-executes deterministically)
+    want = [(v["seq"], v["canon"], v["status"], v["attempt"], v["virtual_ts_ms"])
+            for v in full.visit_log()]
+    got = [(v["seq"], v["canon"], v["status"], v["attempt"], v["virtual_ts_ms"])
+           for v in res2.visit_log()]
+    assert got == want
+
+
+def test_resume_from_round_zero(full_run, tmp_path_factory):
+    from go_scrapper_ray.pipelines.crawl import CrawlEngine
+
+    corpus_dir, wd, full = full_run
+    first = sorted(int(p.name.split("=")[1])
+                   for p in (wd / "checkpoint").iterdir()
+                   if (p / "_complete").exists())[0]
+    wd3 = tmp_path_factory.mktemp("resume_zero")
+    shutil.rmtree(wd3)
+    shutil.copytree(wd, wd3)
+    eng = CrawlEngine(corpus_dir, str(wd3), checkpoints=True)
+    eng.resume_from(first)
+    res = eng.resume_run()
+    assert {s: o.status for s, o in res.outcomes.items()} == \
+        {s: o.status for s, o in full.outcomes.items()}
+    for sid in full.outcomes:
+        assert res.jsonl_lines(sid) == full.jsonl_lines(sid), sid
