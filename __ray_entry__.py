@@ -1,44 +1,236 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the DRIVER before this module is imported — nothing
+here calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()``   — flagship pipeline: the distributed crawl engine over the
+                deterministic synthetic Common-Crawl-style pages corpus
+                (BASELINE.json input_hint shape), small scale.
+``queries()`` — one entry per implemented operator (SURVEY.md §2 + the
+                training-data ops); each takes sf_dir.
+``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query
+                (same column names!).  Crawl-engine + sketch/LSH/multimodal
+                queries are non-SQL-expressible → rows-only checks.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 from typing import Any
+
+_REPO = Path(__file__).resolve().parent
+if str(_REPO) not in sys.path:
+    sys.path.insert(0, str(_REPO))
+
+_CORPUS_CACHE: dict[str, str] = {}
+_CRAWL_CACHE: dict[str, Any] = {}
+
+
+def _scale_for(sf_dir: str) -> str:
+    return "small" if "sf0.001" in sf_dir else "med"
+
+
+def _corpus(sf_dir: str) -> str:
+    """Deterministic synthetic web corpus for the crawl queries (seed=42),
+    cached per scale under /tmp."""
+    scale = _scale_for(sf_dir)
+    if scale not in _CORPUS_CACHE:
+        from fixtures.gen import generate_corpus
+
+        out = f"/tmp/gsr_corpus_{scale}"
+        if not (Path(out) / "manifest.json").exists():
+            generate_corpus(out, scale=scale, seed=42)
+        _CORPUS_CACHE[scale] = out
+    return _CORPUS_CACHE[scale]
+
+
+def _crawl(sf_dir: str):
+    """Run (once per scale) the crawl engine; cache the CrawlResult."""
+    scale = _scale_for(sf_dir)
+    if scale not in _CRAWL_CACHE:
+        from go_scrapper_ray.pipelines.crawl import CrawlEngine
+
+        corpus = _corpus(sf_dir)
+        eng = CrawlEngine(corpus, f"/tmp/gsr_crawl_{scale}",
+                          checkpoints=False)
+        _CRAWL_CACHE[scale] = eng.run()
+    return _CRAWL_CACHE[scale]
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: full distributed crawl at small scale → finalized, ordered
+    record table (driver checks rows ≥ 0 and a stable schema)."""
+    res = _crawl("/root/testdata/sf0.001")
+    if res.records is None:
+        import pandas as pd
+        return pd.DataFrame({"seed_id": [], "rank": [], "jsonl": []})
+    return res.records
+
+
+# ----------------------------------------------------------------- queries
+
+def _q_crawl_records(sf_dir: str):
+    res = _crawl(sf_dir)
+    return res.records
+
+
+def _q_crawl_visit_log(sf_dir: str):
+    import pandas as pd
+    rows = _crawl(sf_dir).visit_log()
+    return pd.DataFrame([{k: r[k] for k in
+                          ("seq", "seed_id", "url", "canon", "host", "kind",
+                           "depth", "status", "attempt", "virtual_ts_ms")}
+                         for r in rows])
+
+
+def _q_crawl_seen(sf_dir: str):
+    import pandas as pd
+    rows = _crawl(sf_dir).seen
+    return pd.DataFrame({"url_hash": [float(h) for h, _ in rows],
+                         "canon_url": [c for _, c in rows]})
+
+
+def _q_crawl_edges(sf_dir: str):
+    import pandas as pd
+    rows = _crawl(sf_dir).edges
+    return pd.DataFrame({"src": [a for a, _, _ in rows],
+                         "dst": [b for _, b, _ in rows],
+                         "rel": [r for _, _, r in rows]})
+
+
+def _q_crawl_meta(sf_dir: str):
+    import pandas as pd
+    res = _crawl(sf_dir)
+    rows = []
+    for sid, o in sorted(res.outcomes.items()):
+        rows.append({"seed_id": sid, "status": o.status,
+                     "item_scraped_count": o.item_scraped_count,
+                     "score": o.score, "total_reviews": o.total_reviews})
+    return pd.DataFrame(rows)
+
+
+def _q_canonicalize(sf_dir: str):
+    """URL canonicalization kernel over the corpus pages table."""
+    import pyarrow as pa
+    import ray.data as rd
+    from go_scrapper_ray import urlkit
+
+    corpus = _corpus(sf_dir)
+
+    def kernel(t: pa.Table) -> pa.Table:
+        urls = t["url"].to_pylist()
+        canons = urlkit.canonicalize_batch(urls)
+        return pa.table({
+            "url": t["url"],
+            "canon_url": pa.array(canons, pa.string()),
+            "url_hash": pa.array([float(h) for h in urlkit.url_hash_batch(canons)]),
+            "host": pa.array(urlkit.host_batch(canons), pa.string()),
+        })
+
+    return rd.read_parquet(f"{corpus}/pages.parquet", columns=["url"]) \
+        .map_batches(kernel, batch_format="pyarrow")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from go_scrapper_ray.pipelines import dedup, events, multimodal, similarity, textstats
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- crawl engine (non-SQL; rows-only checks) ---
+        "crawl_records": _q_crawl_records,
+        "crawl_visit_log": _q_crawl_visit_log,
+        "crawl_seen_set": _q_crawl_seen,
+        "crawl_edges": _q_crawl_edges,
+        "crawl_meta": _q_crawl_meta,
+        "url_canonicalize": _q_canonicalize,
+        # --- text analysis (SQL-checked) ---
+        "docs_lang_dist": textstats.lang_dist,
+        "docs_token_count": textstats.token_count,
+        "docs_quality": textstats.quality,
+        "docs_fingerprint": textstats.fingerprint_md5,
+        # --- text analysis (rows-only) ---
+        "docs_winnow_fp": textstats.fingerprint_winnow,
+        "docs_langid": textstats.langid,
+        # --- dedup ---
+        "docs_exact_dedup": dedup.exact_dedup,
+        "docs_minhash_dups": dedup.minhash_dups,          # rows-only (LSH)
+        "docs_simhash_dups": dedup.simhash_dups,          # rows-only (LSH)
+        "emb_cosine_dups": lambda sf: dedup.embedding_dups(sf, threshold=0.45),
+        # --- similarity search ---
+        "knn_bruteforce": similarity.knn_bruteforce,
+        "knn_lsh": similarity.knn_lsh,                    # rows-only (ANN)
+        # --- events / streaming-shaped ---
+        "events_windowed": events.windowed_counts,
+        "events_sessionize": events.sessionize,
+        "events_top_users": events.top_users_by_value,
+        # --- multimodal plumbing (rows-only; codecs stubbed) ---
+        "media_features": multimodal.media_features,
+        "media_frame_sample": multimodal.frame_sample,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "docs_lang_dist":
+            "SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang",
+        "docs_token_count": r"""
+            SELECT doc_id,
+                   length(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens,
+                   length(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))::BIGINT AS n_bpeish
+            FROM documents""",
+        "docs_quality": r"""
+            SELECT doc_id,
+                   length(text)::BIGINT AS n_chars,
+                   length(regexp_extract_all(text, '\S+'))::BIGINT AS n_words,
+                   length(regexp_extract_all(text, '[!-/:-@\[-`{-~]'))::BIGINT AS n_punct,
+                   length(regexp_extract_all(text, '[0-9]'))::BIGINT AS n_digits
+            FROM documents""",
+        "docs_fingerprint":
+            "SELECT doc_id, md5(text) AS fp FROM documents",
+        "docs_exact_dedup":
+            "SELECT md5(text) AS text_hash, min(doc_id) AS doc_id "
+            "FROM documents GROUP BY md5(text)",
+        "emb_cosine_dups": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45""",
+        "knn_bruteforce": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qe
+                       FROM embeddings WHERE vec_id % 50 = 0),
+            scored AS (
+              SELECT q.qid, e.vec_id,
+                     row_number() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC,
+                                e.vec_id) AS rnk
+              FROM q, embeddings e WHERE e.vec_id <> q.qid)
+            SELECT qid AS query_id, rnk, vec_id AS neighbor_id
+            FROM scored WHERE rnk <= 5""",
+        "events_windowed": """
+            SELECT event_type,
+                   epoch_us(ts)//3600000000 AS window_id,
+                   count(*)::BIGINT AS n,
+                   sum(CAST(round(value*100) AS BIGINT)) AS cents
+            FROM events GROUP BY event_type, epoch_us(ts)//3600000000""",
+        "events_sessionize": """
+            WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+            s AS (SELECT user_id, event_id, ts_us,
+                   CASE WHEN lag(ts_us) OVER w IS NULL
+                          OR ts_us - lag(ts_us) OVER w > 1800000000
+                        THEN 1 ELSE 0 END AS is_new
+                  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+            g AS (SELECT user_id, ts_us,
+                   SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                     ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+                  FROM s)
+            SELECT user_id, session_idx, count(*)::BIGINT AS n_events,
+                   min(ts_us) AS start_us, max(ts_us) AS end_us
+            FROM g GROUP BY user_id, session_idx""",
+        "events_top_users": """
+            SELECT user_id, sum(CAST(round(value*100) AS BIGINT)) AS cents
+            FROM events GROUP BY user_id
+            ORDER BY cents DESC, user_id LIMIT 10""",
+    }

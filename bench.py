@@ -1,0 +1,164 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Default mode: ``ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS)`` (32
+when unset), run the headline pipelines over ``$GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) and print ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+     "sf": ..., "num_cpus": N, "frontier_urls_per_sec": X}
+
+``--scaling``: run the headline crawl twice in FRESH processes
+(num_cpus=8 then num_cpus=32) on the same input and report both
+throughputs + scaling efficiency (sandbox stand-in for N vs 4N nodes,
+per BASELINE.json north_rule).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+_REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(_REPO))
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _sf_value(sf_dir: str) -> float:
+    import re
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else -1.0
+
+
+def _bench_corpus(n_businesses: int) -> str:
+    """Deterministic synthetic web corpus for the crawl headline (seed=42)."""
+    from fixtures.gen import generate_corpus
+    out = f"/tmp/gsr_corpus_bench_{n_businesses}"
+    if not (Path(out) / "manifest.json").exists():
+        os.environ["GSR_BENCH_BUSINESSES"] = str(n_businesses)
+        generate_corpus(out, scale="bench", seed=42)
+    return out
+
+
+def run_crawl(n_businesses: int, workdir: str) -> dict:
+    """Headline: full crawl; throughput = URLs scheduled+fetched / sec."""
+    from go_scrapper_ray.pipelines.crawl import CrawlEngine
+
+    corpus = _bench_corpus(n_businesses)
+    t0 = time.perf_counter()
+    eng = CrawlEngine(corpus, workdir, checkpoints=False)
+    res = eng.run()
+    wall = time.perf_counter() - t0
+    n_urls = len(res.visit_log())
+    return {"sec": wall, "urls": n_urls,
+            "urls_per_sec": n_urls / wall if wall else 0.0}
+
+
+def run_queries(sf_dir: str) -> dict[str, float]:
+    """Time each data-pipeline query; consume with count() (forces full
+    execution of the lazy pipeline without driver materialization)."""
+    import __ray_entry__ as e
+
+    qs = e.queries()
+    skip = {"crawl_records", "crawl_visit_log", "crawl_seen_set",
+            "crawl_edges", "crawl_meta"}  # covered by headline crawl
+    out: dict[str, float] = {}
+    for name, fn in qs.items():
+        if name in skip:
+            continue
+        t0 = time.perf_counter()
+        res = fn(sf_dir)
+        try:
+            import ray.data
+            if isinstance(res, ray.data.Dataset):
+                res.count()
+            else:
+                len(res)
+        except Exception as ex:  # a failing query still reports (negative)
+            print(f"# query {name} failed: {ex}", file=sys.stderr)
+            out[name] = -1.0
+            continue
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def _scaling_worker(num_cpus: int, n_businesses: int) -> None:
+    import ray
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR")
+    r = run_crawl(n_businesses, f"/tmp/gsr_bench_scale_{num_cpus}")
+    ray.shutdown()
+    print("RESULT " + json.dumps(r))
+
+
+def scaling(n_businesses: int) -> dict:
+    lo, hi = 8, 32
+    thr = {}
+    for n in (lo, hi):
+        p = subprocess.run(
+            [sys.executable, __file__, "--scaling-worker", str(n),
+             "--businesses", str(n_businesses)],
+            capture_output=True, text=True, cwd=str(_REPO))
+        line = [l for l in p.stdout.splitlines() if l.startswith("RESULT ")]
+        if not line:
+            print(p.stdout, p.stderr, file=sys.stderr)
+            raise RuntimeError(f"scaling worker num_cpus={n} failed")
+        thr[n] = json.loads(line[-1][len("RESULT "):])
+    eff = (thr[hi]["urls_per_sec"] / thr[lo]["urls_per_sec"]) / (hi / lo)
+    return {"metric": "crawl_scaling_efficiency",
+            "value": round(eff, 3), "unit": "ratio",
+            "num_cpus_lo": lo, "num_cpus_hi": hi,
+            "urls_per_sec_lo": round(thr[lo]["urls_per_sec"], 1),
+            "urls_per_sec_hi": round(thr[hi]["urls_per_sec"], 1),
+            "sec_lo": round(thr[lo]["sec"], 2),
+            "sec_hi": round(thr[hi]["sec"], 2),
+            "urls": thr[hi]["urls"]}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scaling-worker", type=int, default=0)
+    ap.add_argument("--businesses", type=int,
+                    default=int(os.environ.get("GSR_BENCH_BUSINESSES", "400")))
+    ap.add_argument("--skip-queries", action="store_true")
+    args = ap.parse_args()
+
+    if args.scaling_worker:
+        _scaling_worker(args.scaling_worker, args.businesses)
+        return
+    if args.scaling:
+        print(json.dumps(scaling(args.businesses)))
+        return
+
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS,
+                 include_dashboard=False, logging_level="ERROR")
+    t0 = time.perf_counter()
+    crawl = run_crawl(args.businesses, "/tmp/gsr_bench_crawl")
+    queries = {} if args.skip_queries else run_queries(SF_DIR)
+    total = time.perf_counter() - t0
+    out = {
+        "metric": "bench_total_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {"crawl": round(crawl["sec"], 3), **queries},
+        "sf": _sf_value(SF_DIR),
+        "num_cpus": NUM_CPUS,
+        "frontier_urls": crawl["urls"],
+        "frontier_urls_per_sec": round(crawl["urls_per_sec"], 1),
+    }
+    print(json.dumps(out))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,174 @@
+"""Text-analysis operators over the ``documents`` table — the training-data
+additions a 100 TB webtext pipeline needs on top of the reference's crawl
+(language-ID, quality scoring, token counting, fingerprinting).
+
+All stages are ``map_batches`` with vectorized bodies (pyarrow.compute where
+the kernel exists, numpy/pandas otherwise); columns are pruned at the read;
+aggregations pre-combine per batch before any groupby shuffle."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+TOKEN_RE = re.compile(r"\S+")
+PUNCT_RE = re.compile(r"[!-/:-@\[-`{-~]")
+DIGIT_RE = re.compile(r"[0-9]")
+# a BPE-ish pre-tokenizer split (GPT-2 style word/number/punct classes)
+BPEISH_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+")
+
+
+def docs(sf_dir: str, columns=("doc_id", "text")) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+
+
+# ---------------------------------------------------------------- token count
+
+def token_count(sf_dir: str) -> rd.Dataset:
+    """(doc_id, n_tokens, n_bpeish): whitespace tokens + a BPE-ish regex
+    pre-token count (word/number/punct classes)."""
+
+    def kernel(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        n_ws = [len(TOKEN_RE.findall(s)) for s in texts]
+        n_bpe = [len(BPEISH_RE.findall(s)) for s in texts]
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": pa.array(n_ws, pa.int64()),
+            "n_bpeish": pa.array(n_bpe, pa.int64()),
+        })
+
+    return docs(sf_dir).map_batches(kernel, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------- quality scores
+
+def quality(sf_dir: str) -> rd.Dataset:
+    """(doc_id, n_chars, n_words, n_punct, n_digits) — integer-valued quality
+    features (ints keep the DuckDB oracle comparison exact)."""
+
+    def kernel(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_chars": pc.utf8_length(t["text"]).cast(pa.int64()),
+            "n_words": pa.array([len(TOKEN_RE.findall(s)) for s in texts], pa.int64()),
+            "n_punct": pa.array([len(PUNCT_RE.findall(s)) for s in texts], pa.int64()),
+            "n_digits": pa.array([len(DIGIT_RE.findall(s)) for s in texts], pa.int64()),
+        })
+
+    return docs(sf_dir).map_batches(kernel, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------ lang dist
+
+def lang_dist(sf_dir: str) -> rd.Dataset:
+    """(lang, n): pre-aggregated per batch, then a tiny groupby — the
+    combiner-before-shuffle pattern (ray_guide 'Aggregation at scale')."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        counts = t.group_by("lang").aggregate([("lang", "count")])
+        return counts.rename_columns(["lang", "partial_n"])
+
+    from ray.data.aggregate import Sum
+    return (docs(sf_dir, columns=("lang",))
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("lang").aggregate(Sum("partial_n", alias_name="n")))
+
+
+# ---------------------------------------------------------------- fingerprint
+
+def fingerprint_md5(sf_dir: str) -> rd.Dataset:
+    """(doc_id, fp): md5 content fingerprint (SQL-checkable vs DuckDB md5)."""
+
+    def kernel(t: pa.Table) -> pa.Table:
+        fps = [hashlib.md5(s.encode("utf-8")).hexdigest()
+               for s in t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"],
+                         "fp": pa.array(fps, pa.string())})
+
+    return docs(sf_dir).map_batches(kernel, batch_format="pyarrow")
+
+
+def fingerprint_winnow(sf_dir: str, k: int = 5, w: int = 8) -> rd.Dataset:
+    """(doc_id, winnow_fp): winnowing document fingerprint (Schleimer et al.,
+    SIGMOD 2003): rolling hash over char k-grams, min hash per window of w,
+    fingerprint = 64-bit mix of selected hashes.  Non-SQL (rows-only check)."""
+
+    def kernel(t: pa.Table) -> pa.Table:
+        out = []
+        for s in t["text"].to_pylist():
+            b = s.encode("utf-8")
+            if len(b) < k:
+                out.append(0)
+                continue
+            B, M = 257, (1 << 61) - 1
+            h = 0
+            power = pow(B, k - 1, M)
+            hashes = []
+            for i, ch in enumerate(b):
+                h = (h * B + ch) % M
+                if i >= k:
+                    h = (h - b[i - k] * power * B) % M
+                if i >= k - 1:
+                    hashes.append(h)
+            sel = set()
+            for i in range(max(1, len(hashes) - w + 1)):
+                sel.add(min(hashes[i:i + w]))
+            fp = 0
+            for v in sorted(sel):
+                fp = (fp * 1099511628211 + v) % (1 << 64)
+            out.append(fp)
+        return pa.table({"doc_id": t["doc_id"],
+                         "winnow_fp": pa.array(out, pa.uint64())})
+
+    return docs(sf_dir).map_batches(kernel, batch_format="pyarrow")
+
+
+# -------------------------------------------------------------------- lang id
+
+# tiny seeded char-trigram profiles for a 5-language heuristic; deterministic,
+# self-contained (no external models in the sandbox)
+_LANG_MARKERS = {
+    "en": ["the ", " and ", "ing ", " of "],
+    "de": ["der ", " und ", "sch", "ein"],
+    "fr": [" le ", " de ", "eau", " les "],
+    "es": [" el ", " de ", "ción", " los "],
+    "zh": ["的", "是", "了", "在"],
+}
+
+
+class LangIdStage:
+    """Callable-class stage (actor pool when concurrency is set): marker
+    tables built once per actor in __init__, scored per batch."""
+
+    def __init__(self):
+        self.markers = {lang: [m.lower() for m in ms]
+                        for lang, ms in _LANG_MARKERS.items()}
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        preds = []
+        for s in t["text"].to_pylist():
+            low = s.lower()
+            best, best_score = "en", -1
+            for lang, ms in self.markers.items():
+                score = sum(low.count(m) for m in ms)
+                if score > best_score:
+                    best, best_score = lang, score
+            preds.append(best)
+        return pa.table({"doc_id": t["doc_id"],
+                         "pred_lang": pa.array(preds, pa.string())})
+
+
+def langid(sf_dir: str, concurrency: int = 4) -> rd.Dataset:
+    # autoscaling pool (min 1): a FIXED pool of `concurrency` 1-CPU actors
+    # can reserve every cluster CPU and starve the upstream read task
+    # (deadlock on small clusters); (1, N) keeps headroom
+    return docs(sf_dir).map_batches(LangIdStage, batch_format="pyarrow",
+                                    concurrency=(1, concurrency), num_cpus=1)

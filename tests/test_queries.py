@@ -1,0 +1,191 @@
+"""Mirror of the driver's correctness gate: run every SQL-checkable
+``queries()`` entry via Ray Data AND its ``oracle_sql()`` twin via DuckDB on
+the same parquet tables; compare row counts + order-insensitive values.
+Also sanity tests for the rows-only (non-SQL) operators."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+SF = "/root/testdata/sf0.001"
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+def _duck(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF}/{t}.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con.execute(sql).fetchdf()
+
+
+def _to_df(res) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        res = res.to_pandas()
+    elif isinstance(res, pa.Table):
+        res = res.to_pandas()
+    return res
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    for c in df.columns:
+        if df[c].dtype.kind in "iu":
+            df[c] = df[c].astype("int64")
+        elif df[c].dtype.kind == "f":
+            df[c] = df[c].round(9)
+    return df
+
+
+@pytest.fixture(scope="module")
+def qmap(ray_session):
+    import __ray_entry__ as e
+    return e.queries(), e.oracle_sql()
+
+
+SQL_CHECKED = ["docs_lang_dist", "docs_token_count", "docs_quality",
+               "docs_fingerprint", "docs_exact_dedup", "emb_cosine_dups",
+               "knn_bruteforce", "events_windowed", "events_sessionize",
+               "events_top_users"]
+
+
+@pytest.mark.parametrize("name", SQL_CHECKED)
+def test_sql_parity(qmap, name):
+    queries, oracles = qmap
+    got = _normalize(_to_df(queries[name](SF)))
+    want = _normalize(_duck(oracles[name]))
+    assert list(got.columns) == list(want.columns), (got.columns, want.columns)
+    assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)} rows"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_every_oracle_key_has_query(qmap):
+    queries, oracles = qmap
+    assert set(oracles) <= set(queries)
+
+
+def test_rows_only_queries_run(qmap):
+    queries, oracles = qmap
+    rows_only = set(queries) - set(oracles) - {
+        "crawl_records", "crawl_visit_log", "crawl_seen_set", "crawl_edges",
+        "crawl_meta"}  # crawl queries covered by the parity suite
+    for name in sorted(rows_only):
+        df = _to_df(queries[name](SF))
+        assert df is not None and len(df) >= 0, name
+
+
+# ---------------------------------------------------------- rows-only depth
+
+def test_minhash_finds_planted_near_dups(ray_session, tmp_path):
+    """Plant near-duplicate docs; MinHash-LSH must find exactly the planted
+    pairs that brute-force Jaccard confirms."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from go_scrapper_ray.pipelines import dedup
+
+    base = ("the quick brown fox jumps over the lazy dog and runs far away "
+            "into the deep green forest near the old stone bridge")
+    texts = [base,
+             base + " tonight",                       # near-dup of 0
+             base.replace("quick", "slow"),           # near-dup of 0
+             "completely different words entirely unrelated content here "
+             "nothing shared with anything else at all in this one",
+             base]                                    # exact dup of 0
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    d = tmp_path / "mh"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+
+    got = {(r["doc_a"], r["doc_b"])
+           for r in dedup.minhash_dups(str(d), threshold=0.7).take_all()}
+    # brute force
+    want = set()
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            if dedup.jaccard(texts[i], texts[j]) >= 0.7:
+                want.add((i, j))
+    assert want, "fixture must contain near-dups"
+    # LSH may miss borderline pairs but must find exact/near dups; require
+    # full recall here (these pairs are far above threshold)
+    assert got == want
+
+
+def test_simhash_matches_bruteforce(ray_session, tmp_path):
+    """Chunk-LSH (4x16-bit bands) has guaranteed 100% recall at hamming<=3
+    (pigeonhole: <=3 flipped bits leave >=1 of 4 chunks intact), so the
+    operator's pairs must EQUAL brute-force hamming<=3 pairs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from go_scrapper_ray.pipelines import dedup
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    texts = [base, base + " phi", "unrelated totally different words here",
+             base]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    d = tmp_path / "sh"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in dedup.simhash_dups(str(d)).take_all()}
+    sigs = [dedup.simhash64(s) for s in texts]
+    want = {}
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            ham = bin(sigs[i] ^ sigs[j]).count("1")
+            if ham <= 3:
+                want[(i, j)] = ham
+    assert (0, 3) in want and want[(0, 3)] == 0  # fixture sanity: exact dup
+    assert pairs == want
+
+
+def test_knn_lsh_recall(ray_session, qmap):
+    """ANN recall@5 vs brute force must be reasonable on the embeddings."""
+    queries, _ = qmap
+    bf = _to_df(queries["knn_bruteforce"](SF))
+    ann = _to_df(queries["knn_lsh"](SF))
+    bf_sets = bf.groupby("query_id")["neighbor_id"].apply(set)
+    ann_sets = ann.groupby("query_id")["neighbor_id"].apply(set)
+    recalls = []
+    for q, want in bf_sets.items():
+        got = ann_sets.get(q, set())
+        recalls.append(len(got & want) / len(want))
+    assert sum(recalls) / len(recalls) >= 0.5
+
+
+def test_media_strict_decode_raises(ray_session):
+    from go_scrapper_ray.pipelines import multimodal
+
+    with pytest.raises(Exception):  # NotImplementedError surfaces via Ray
+        multimodal.media_features(SF, decode="strict").take(1)
+
+
+def test_langid_predicts_marker_langs(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from go_scrapper_ray.pipelines import textstats
+
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "text": pa.array(["the cat and the dog sitting of the mat",
+                                    "der hund und die katze schlafen ein",
+                                    "的是了在的是了在"], pa.string())})
+    d = tmp_path / "li"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+    preds = {r["doc_id"]: r["pred_lang"]
+             for r in textstats.langid(str(d), concurrency=1).take_all()}
+    assert preds[0] == "en" and preds[1] == "de" and preds[2] == "zh"
