@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_exact_dedup": dedup.exact_dedup,
         "docs_minhash_dups": dedup.minhash_dups,          # rows-only (LSH)
         "docs_simhash_dups": dedup.simhash_dups,          # rows-only (LSH)
+        "docs_jaccard_dups": dedup.ngram_jaccard_dups,    # exact, SQL-checked
         "emb_cosine_dups": lambda sf: dedup.embedding_dups(sf, threshold=0.45),
         # --- similarity search ---
         "knn_bruteforce": similarity.knn_bruteforce,
@@ -192,6 +193,22 @@ def oracle_sql() -> dict[str, str]:
         "docs_exact_dedup":
             "SELECT md5(text) AS text_hash, min(doc_id) AS doc_id "
             "FROM documents GROUP BY md5(text)",
+        "docs_jaccard_dups": r"""
+            WITH ts AS (
+              SELECT DISTINCT doc_id,
+                     unnest(regexp_extract_all(lower(text), '\S+')) AS w
+              FROM documents),
+            cnt AS (SELECT doc_id, count(*) AS n FROM ts GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+              FROM ts a JOIN ts b USING (w)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+            SELECT da AS doc_a, db AS doc_b
+            FROM inter
+            JOIN cnt ca ON ca.doc_id = da
+            JOIN cnt cb ON cb.doc_id = db
+            WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.5""",
         "emb_cosine_dups": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
             FROM embeddings a, embeddings b

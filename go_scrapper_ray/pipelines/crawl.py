@@ -30,7 +30,10 @@ Scale notes (10^10-URL design points, tested single-node):
 from __future__ import annotations
 
 import json
+import os
 import shutil
+import time
+from collections import defaultdict
 from pathlib import Path
 
 import pyarrow as pa
@@ -50,11 +53,39 @@ from ..flow import (
     RetryLedger, SeedOutcome, WindowCursors, status_for_fetch_error,
 )
 from ..gojson import encode_record_b64, record_to_jsonl
-from ..sources.pagestore import build_page_store, fetch_batch
+from ..sources.pagestore import (build_page_store, fetch_batch_refs,
+                                 load_bucket_refs)
 from ..stages.extract_stage import extract_batch
 from ..state.frontier import FrontierShard
 from ..state.robots import RobotsRules
 from ..state.seen import SeenShard
+
+@ray.remote
+def _round_task(block: pa.Table, bundle: dict, nb: int,
+                visit_dir: str, rec_dir: str) -> pa.Table:
+    """One fetch+extract+write task over one scheduled block.
+
+    The round loop deliberately uses RAW Ray tasks, not a per-round Dataset
+    execution: a crawl is an iterative loop of many sub-second rounds, and
+    the streaming executor's per-execution setup (~0.5s) dominated round
+    wall time (measured; see BASELINE.md).  Ray Data still runs everything
+    non-iterative: page-store build, finalize sort/render, analytics
+    pipelines.  ``bundle`` nests ObjectRefs (nested refs are NOT auto
+    resolved) so bucket tables stay zero-copy in plasma and broadcast state
+    is fetched once per worker (module caches in the kernels)."""
+    f = fetch_batch_refs(block, bundle["buckets"], nb)
+    part = f"part-{f['seq'][0].as_py()}.parquet"
+    pq.write_table(f.drop_columns(["html"]), f"{visit_dir}/{part}")
+    ex = extract_batch(f, bundle["seeds"], bundle["cfg"], bundle["wm"])
+    rec_mask = pc.equal(ex["out_kind"], "record")
+    recs = ex.filter(rec_mask).select(
+        ["out_kind", "seed_id", "page_seq", "emit_idx", "sort_ts",
+         "review_hash", "payload"])
+    if recs.num_rows:
+        os.makedirs(rec_dir, exist_ok=True)
+        pq.write_table(recs, f"{rec_dir}/{part}")
+    return ex.filter(pc.invert(rec_mask))
+
 
 SCHED_SCHEMA = pa.schema([
     ("seq", pa.int64()), ("round", pa.int32()), ("seed_id", pa.int64()),
@@ -71,7 +102,8 @@ class CrawlEngine:
                  cfg: CrawlConfig | None = None,
                  enforce_robots: bool | None = None,
                  fetch_concurrency: int = 4, extract_concurrency: int = 4,
-                 batch_size: int = 256, checkpoints: bool = True):
+                 batch_size: int = 256, checkpoints: bool = True,
+                 store_dir: str | None = None):
         self.corpus = Path(corpus_dir)
         self.workdir = Path(workdir)
         self.workdir.mkdir(parents=True, exist_ok=True)
@@ -84,10 +116,18 @@ class CrawlEngine:
         self.batch_size = batch_size
         self.checkpoints = checkpoints
 
-        self.store_dir = self.workdir / "pagestore"
+        # store_dir may be shared across runs over the same corpus (the
+        # build is idempotent via _built.json) — the bucketed store is a
+        # property of the corpus, not of one crawl
+        self.store_dir = Path(store_dir) if store_dir else self.workdir / "pagestore"
         build_page_store(str(self.corpus / "pages.parquet"),
                          str(self.corpus / "page_status.parquet"),
                          str(self.store_dir), self.cfg.num_fetch_buckets)
+        # each bucket lives ONCE in the object store; fetch tasks read it
+        # zero-copy (no per-worker dict caches — see pagestore.py)
+        self.bucket_refs = load_bucket_refs(str(self.store_dir),
+                                            self.cfg.num_fetch_buckets)
+        self._bundle: dict | None = None  # built after seeds_ref/wm_ref
 
         self.seeds = pq.read_table(self.corpus / "seeds.parquet").to_pylist()
         rb = pq.read_table(self.corpus / "robots.parquet")
@@ -113,7 +153,17 @@ class CrawlEngine:
         self.cfg_dict = {"site_base": self.cfg.site_base,
                          "force_hosts": list(self.cfg.force_hosts),
                          "force_to": self.cfg.force_to,
-                         "scraped_at": self.cfg.scraped_at}
+                         "scraped_at": self.cfg.scraped_at,
+                         "allowed_hosts": (list(self.cfg.allowed_hosts)
+                                           if self.cfg.allowed_hosts is not None
+                                           else None),
+                         "ignore_robots": self.cfg.ignore_robots,
+                         "robots_parquet": str(self.corpus / "robots.parquet")}
+        # nested-refs bundle for _round_task (nested refs are not resolved
+        # by Ray, so the tasks fetch broadcast state themselves, once per
+        # worker via the kernels' module caches)
+        self._bundle = {"buckets": self.bucket_refs, "seeds": self.seeds_ref,
+                        "cfg": self.cfg_dict, "wm": self.wm_ref}
 
         # driver-held per-seed state (small, checkpointable)
         self.outcomes: dict[int, SeedOutcome] = {}
@@ -123,26 +173,39 @@ class CrawlEngine:
         self.ledger = RetryLedger()
         self.seq = 0
         self.round = 0
-        self.edges: list[tuple[str, str, str]] = []
+        # edge lists stay COLUMNAR (one Arrow table per round) — the driver
+        # never loops per edge; tuples materialize lazily in CrawlResult
+        self.edge_tables: list[pa.Table] = []
+        self.timings: dict[str, float] = defaultdict(float)
+        self._trace = bool(os.environ.get("GSR_TIMING"))
+
+    def _t(self, key: str, t0: float) -> float:
+        now = time.perf_counter()
+        self.timings[key] += now - t0
+        return now
 
     # ------------------------------------------------------------------ push
     def _push_entries(self, entries: list[dict]):
-        """Host filter → seen-shards (batched) → frontier shards (batched).
-        ``entries`` must already be in deterministic order."""
+        """Seen-shards (batched) → frontier shards (batched).  ``entries``
+        must already be in deterministic order.  Entries carrying ``canon``
+        were canonicalized + host/robots-filtered in the distributed extract
+        kernel; raw entries (intake seeds, retries, window growth — all
+        small) run the same kernels driver-side."""
         kept = []
         for e in entries:
-            canon = urlkit.canonicalize(e["url"])
-            host = urlkit.host_of(canon)
-            if not self.cfg.host_allowed(host):
-                continue
-            if not self.cfg.ignore_robots:
-                rules = self.robots.get(host)
-                if rules is not None and not rules.allowed(canon):
+            if "canon" not in e:
+                canon = urlkit.canonicalize(e["url"])
+                host = urlkit.host_of(canon)
+                if not self.cfg.host_allowed(host):
                     continue
-            e = dict(e)
-            e["canon"] = canon
-            e["host"] = host
-            e["url_hash"] = urlkit.url_hash64(canon)
+                if not self.cfg.ignore_robots:
+                    rules = self.robots.get(host)
+                    if rules is not None and not rules.allowed(canon):
+                        continue
+                e = dict(e)
+                e["canon"] = canon
+                e["host"] = host
+                e["url_hash"] = urlkit.url_hash64(canon)
             kept.append(e)
 
         # seen-filter (attempt 1 only; retries bypass — main.go:337 Retry())
@@ -162,8 +225,6 @@ class CrawlEngine:
         for e in kept:
             if e["attempt"] == 1 and not new_mask.get(id(e), True):
                 continue
-            if e["attempt"] == 1 and e.get("src"):
-                self.edges.append((e["src"], e["canon"], e.get("rel", "")))
             final.append(e)
 
         by_fshard: dict[int, list[dict]] = {}
@@ -171,7 +232,7 @@ class CrawlEngine:
             h = urlkit.host_hash64(e["host"]) % len(self.frontier)
             entry = {k: e[k] for k in ("seed_id", "url", "canon", "kind",
                                        "depth", "parent_seq", "emit_idx",
-                                       "attempt")}
+                                       "attempt", "url_hash")}
             entry["priority"] = e.get("priority", 0)
             by_fshard.setdefault(h, []).append(entry)
         ray.get([self.frontier[h].push.remote(es)
@@ -190,11 +251,10 @@ class CrawlEngine:
         self._intake()
         while True:
             released = self._release()
-            grew = False
-            if released:
+            if released.num_rows:
                 self._run_round(released)
             grew = self._grow_windows()
-            if not released and not grew:
+            if not released.num_rows and not grew:
                 pending = sum(ray.get([f.pending.remote() for f in self.frontier]))
                 if pending == 0:
                     break
@@ -230,100 +290,121 @@ class CrawlEngine:
                                 "attempt": 1})
         self._push_entries(entries)
 
-    def _release(self) -> list[dict]:
+    def _release(self) -> pa.Table:
+        """Merge shard release tables, impose the canonical deterministic
+        order, assign contiguous ``seq`` — all columnar (pc.sort_indices);
+        the driver runs no per-entry Python."""
         parts = ray.get([f.release.remote() for f in self.frontier])
-        released = [e for part in parts for e in part]
-        released.sort(key=lambda e: (e["seed_id"], e["depth"], e["parent_seq"],
-                                     e["emit_idx"], e["attempt"]))
-        for e in released:
-            e["seq"] = self.seq
-            self.seq += 1
-        return released
+        parts = [t for t in parts if t.num_rows]
+        if not parts:
+            from ..state.frontier import RELEASE_SCHEMA
+            return pa.table(
+                {f.name: [] for f in RELEASE_SCHEMA},
+                schema=RELEASE_SCHEMA).append_column(
+                "seq", pa.array([], pa.int64()))
+        tbl = pa.concat_tables(parts).combine_chunks()
+        order = pc.sort_indices(tbl, sort_keys=[
+            ("seed_id", "ascending"), ("depth", "ascending"),
+            ("parent_seq", "ascending"), ("emit_idx", "ascending"),
+            ("attempt", "ascending")])
+        tbl = tbl.take(order)
+        tbl = tbl.append_column("seq", pa.array(
+            range(self.seq, self.seq + tbl.num_rows), pa.int64()))
+        self.seq += tbl.num_rows
+        return tbl
 
-    def _run_round(self, released: list[dict]):
+    def _run_round(self, released: pa.Table):
         rnd = self.round
         self.round += 1
-        cols = {
-            "seq": [e["seq"] for e in released],
-            "round": [rnd] * len(released),
-            "seed_id": [e["seed_id"] for e in released],
-            "url": [e["url"] for e in released],
-            "canon": [e["canon"] for e in released],
-            "url_hash": [urlkit.url_hash64(e["canon"]) for e in released],
-            "bucket": [urlkit.url_hash64(e["canon"]) % self.cfg.num_fetch_buckets
-                       for e in released],
-            "host": [e["host"] for e in released],
-            "kind": [e["kind"] for e in released],
-            "depth": [e["depth"] for e in released],
-            "parent_seq": [e["parent_seq"] for e in released],
-            "emit_idx": [e["emit_idx"] for e in released],
-            "attempt": [e["attempt"] for e in released],
-            "virtual_ts_ms": [e["virtual_ts_ms"] for e in released],
-        }
-        table = pa.table(cols, schema=SCHED_SCHEMA)
-        ds = rd.from_arrow(table)
-        if table.num_rows > 4 * self.batch_size:
-            # bucket-align batches so each fetch worker touches few buckets
-            ds = ds.sort("bucket")
-        store_dir, nb = str(self.store_dir), self.cfg.num_fetch_buckets
-        seeds_ref, cfg_dict, wm_ref = self.seeds_ref, self.cfg_dict, self.wm_ref
+        t0 = time.perf_counter()
+        # bucket-align (seq is already assigned, so canonical order is
+        # unaffected): each fetch task then touches few buckets.  All
+        # columnar — numpy modulo + pc.sort_indices, no per-entry Python.
+        nb = self.cfg.num_fetch_buckets
+        import numpy as np
+        n_rel = released.num_rows
+        uh = released["url_hash"].to_numpy(zero_copy_only=False)
+        tbl = (released
+               .append_column("bucket",
+                              pa.array((uh % nb).astype(np.int32), pa.int32()))
+               .append_column("round",
+                              pa.array(np.full(n_rel, rnd, np.int32),
+                                       pa.int32())))
+        order = pc.sort_indices(tbl, sort_keys=[("bucket", "ascending"),
+                                                ("seq", "ascending")])
+        table = tbl.take(order).select([f.name for f in SCHED_SCHEMA])
+        # canon-by-seq for edge sources: seq is contiguous this round, so
+        # src canon = canon_by_seq[page_seq - seq_start] (O(1) arithmetic)
+        seq_start = self.seq - n_rel
+        canon_by_seq = released["canon"].combine_chunks()
+        # block split: one slice per task, one wave across the cluster,
+        # >= ~2*batch_size rows per task so task overhead stays amortized
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        nblocks = max(1, min(-(-table.num_rows // (2 * self.batch_size)),
+                             ncpu))
+        chunk = -(-table.num_rows // nblocks)
+        slices = [table.slice(i, chunk)
+                  for i in range(0, table.num_rows, chunk)]
+        visit_dir = self.workdir / "visit_log" / f"r{rnd}"
+        visit_dir.mkdir(parents=True, exist_ok=True)
+        rec_dir = self.workdir / "records" / f"r{rnd}"
+        t0 = self._t("build_ds", t0)
 
-        # fetch + extract fused into one task-based stage pass: Ray worker
-        # processes cache bucket dicts / broadcast state (module globals), so
-        # there is no per-round actor-pool spin-up
-        fetched = ds.map_batches(
-            lambda t: fetch_batch(t, store_dir, nb),
-            batch_format="pyarrow", batch_size=self.batch_size,
-        ).materialize()
-        fetched.drop_columns(["html"]).write_parquet(
-            str(self.workdir / "visit_log" / f"r{rnd}"))
+        # fetch + extract + parquet writes fused into one raw-task wave per
+        # round (see _round_task docstring for the Dataset-vs-tasks call).
+        # Only the (small) control/link rows return to the driver;
+        # records/visit-log stream straight from tasks to Parquet.  File
+        # names derive from each block's first seq (deterministic +
+        # idempotent on task retry).
+        futs = [_round_task.remote(s, self._bundle, nb,
+                                   str(visit_dir), str(rec_dir))
+                for s in slices]
+        tbls = [t for t in ray.get(futs) if t.num_rows]
+        from ..stages.extract_stage import OUT_SCHEMA
+        ctrl_tbl = (pa.concat_tables(tbls).combine_chunks() if tbls
+                    else pa.table({f.name: [] for f in OUT_SCHEMA},
+                                  schema=OUT_SCHEMA))
+        t0 = self._t("round_exec", t0)
 
-        extracted = fetched.map_batches(
-            lambda t: extract_batch(t, seeds_ref, cfg_dict, wm_ref),
-            batch_format="pyarrow", batch_size=self.batch_size,
-        ).materialize()
-
-        ctrl = extracted.map_batches(
-            lambda t: t.filter(pc.invert(pc.equal(t["out_kind"], "record"))),
-            batch_format="pyarrow").take_all()
-
-        n_records = 0
-        for row in ctrl:
-            if row["out_kind"] == "event":
-                p = json.loads(row["payload"])
-                if p.get("type") == "rec_count":
-                    self.record_counts[row["seed_id"]] += p["n"]
-                    n_records += p["n"]
-        if n_records > 0:
-            extracted.map_batches(
-                lambda t: t.filter(pc.equal(t["out_kind"], "record")),
-                batch_format="pyarrow",
-            ).write_parquet(str(self.workdir / "records" / f"r{rnd}"))
-        self._apply_ctrl(released, ctrl)
+        self._apply_ctrl(canon_by_seq, seq_start, ctrl_tbl)
+        t0 = self._t("apply_ctrl", t0)
 
         if self.checkpoints:
             self._checkpoint(rnd)
+            self._t("checkpoint", t0)
+        if self._trace:
+            print(f"GSR_TIMING round={rnd} n={table.num_rows} "
+                  + " ".join(f"{k}={v:.2f}" for k, v in
+                             sorted(self.timings.items())), flush=True)
 
     # ---------------------------------------------------------- control rows
-    def _apply_ctrl(self, released: list[dict], ctrl: list[dict]):
-        seq_canon = {e["seq"]: e["canon"] for e in released}
-        seq_entry = {e["seq"]: e for e in released}
-        ctrl.sort(key=lambda r: (r["page_seq"], 0 if r["out_kind"] == "event" else 1,
-                                 r["emit_idx"]))
+    def _apply_ctrl(self, canon_by_seq: pa.Array, seq_start: int,
+                    ctrl_tbl: pa.Table):
+        """Events (tiny) drive the per-seed state machine as Python rows;
+        record counts aggregate columnar; links (the bulk) stay COLUMNAR
+        all the way to the shard actors — the driver's per-link Python
+        work is zero."""
+        links_tbl = ctrl_tbl.filter(pc.equal(ctrl_tbl["out_kind"], "link"))
+        if links_tbl.num_rows:
+            order = pc.sort_indices(
+                links_tbl, sort_keys=[("page_seq", "ascending"),
+                                      ("emit_idx", "ascending")])
+            links_tbl = links_tbl.take(order)
+        # per-page record counts ride in sort_ts of 'rcnt' rows — columnar sum
+        rcnt = ctrl_tbl.filter(pc.equal(ctrl_tbl["out_kind"], "rcnt"))
+        if rcnt.num_rows:
+            agg = rcnt.group_by("seed_id").aggregate([("sort_ts", "sum")])
+            for sid, s in zip(agg["seed_id"].to_pylist(),
+                              agg["sort_ts_sum"].to_pylist()):
+                self.record_counts[sid] += int(s)
+        ev = ctrl_tbl.filter(pc.equal(ctrl_tbl["out_kind"], "event")).to_pylist()
+        ev.sort(key=lambda r: (r["page_seq"], r["emit_idx"]))
         to_push: list[dict] = []
-        for row in ctrl:
+        for row in ev:
             sid = row["seed_id"]
-            p = json.loads(row["payload"])
             out = self.outcomes[sid]
             b = self.biz[sid]
-            if row["out_kind"] == "link":
-                to_push.append({"seed_id": sid, "url": p["url"],
-                                "kind": p["kind"], "depth": p["depth"],
-                                "parent_seq": p["parent_seq"],
-                                "emit_idx": p["emit_idx"], "attempt": 1,
-                                "src": seq_canon.get(row["page_seq"]),
-                                "rel": p.get("rel", "")})
-                continue
+            p = json.loads(row["payload"])
             t = p["type"]
             if t == "fetch_fail":
                 key = f"{sid}|{p['canon']}"
@@ -378,8 +459,56 @@ class CrawlEngine:
                 out.status = NO_REVIEWS
             elif t == "hash_hit":
                 self.cursors[sid].matched = True
-        self.pushed_seeds = {e["seed_id"] for e in to_push}
+        self.pushed_seeds = ({e["seed_id"] for e in to_push}
+                             | set(pc.unique(links_tbl["seed_id"]).to_pylist()
+                                   if links_tbl.num_rows else []))
+        self._push_links(links_tbl, canon_by_seq, seq_start)
         self._push_entries(to_push)
+
+    def _push_links(self, links_tbl: pa.Table, canon_by_seq: pa.Array,
+                    seq_start: int):
+        """Columnar link routing: numpy shard masks → batched seen-shard
+        check-and-insert → edge table append → batched frontier push_table.
+        All per-link Python runs on the shard actors, not the driver."""
+        import numpy as np
+
+        n = links_tbl.num_rows
+        if n == 0:
+            return
+        hashes = links_tbl["l_hash"].to_numpy(zero_copy_only=False)
+        shard = hashes % len(self.seen)
+        futs, idxs = {}, {}
+        for s in range(len(self.seen)):
+            sel = np.nonzero(shard == s)[0]
+            if not len(sel):
+                continue
+            sub = links_tbl.take(pa.array(sel))
+            futs[s] = self.seen[s].add_if_new.remote(
+                sub["l_hash"].to_pylist(), sub["l_canon"].to_pylist())
+            idxs[s] = sel
+        new_mask = np.zeros(n, dtype=bool)
+        for s, f in futs.items():
+            new_mask[idxs[s]] = ray.get(f)
+        kept = links_tbl.filter(pa.array(new_mask))
+        if kept.num_rows == 0:
+            return
+        src_idx = pc.subtract(kept["page_seq"],
+                              pa.scalar(seq_start, pa.int64()))
+        srcs = canon_by_seq.take(src_idx.combine_chunks())
+        self.edge_tables.append(pa.table(
+            {"src": srcs.combine_chunks()
+             if isinstance(srcs, pa.ChunkedArray) else srcs,
+             "dst": kept["l_canon"].combine_chunks(),
+             "rel": kept["l_rel"].combine_chunks()}))
+        hh = kept["l_hosthash"].to_numpy(zero_copy_only=False)
+        fshard = hh % len(self.frontier)
+        futs2 = []
+        for s in range(len(self.frontier)):
+            sel = np.nonzero(fshard == s)[0]
+            if len(sel):
+                futs2.append(self.frontier[s].push_table.remote(
+                    kept.take(pa.array(sel))))
+        ray.get(futs2)
 
     def _grow_windows(self) -> bool:
         """Flow 3 window growth for drained incremental seeds
@@ -424,17 +553,24 @@ class CrawlEngine:
         futs += [s.checkpoint.remote(str(ckdir / f"seen_{i}.parquet"))
                  for i, s in enumerate(self.seen)]
         ray.get(futs)
+        pq.write_table(self._edges_table(), str(ckdir / "edges.parquet"))
         state = {
             "round": self.round, "seq": self.seq,
             "ledger": self.ledger.counts,
             "record_counts": self.record_counts,
-            "edges": self.edges,
             "outcomes": {sid: vars(o) for sid, o in self.outcomes.items()},
             "cursors": {sid: vars(c) for sid, c in self.cursors.items()},
             "biz": self.biz,
         }
         (ckdir / "driver.json").write_text(json.dumps(state))
         (ckdir / "_complete").write_text("ok")
+
+    def _edges_table(self) -> pa.Table:
+        if self.edge_tables:
+            return pa.concat_tables(self.edge_tables)
+        return pa.table({"src": pa.array([], pa.string()),
+                         "dst": pa.array([], pa.string()),
+                         "rel": pa.array([], pa.string())})
 
     def resume_from(self, rnd: int):
         """Rebuild actor + driver state from a complete round checkpoint;
@@ -451,7 +587,7 @@ class CrawlEngine:
         self.seq = state["seq"]
         self.ledger.counts = state["ledger"]
         self.record_counts = {int(k): v for k, v in state["record_counts"].items()}
-        self.edges = [tuple(e) for e in state["edges"]]
+        self.edge_tables = [pq.read_table(str(ckdir / "edges.parquet"))]
         for sid_s, d in state["outcomes"].items():
             self.outcomes[int(sid_s)] = SeedOutcome(**d)
         for sid_s, d in state["cursors"].items():
@@ -469,11 +605,10 @@ class CrawlEngine:
         """Continue the round loop after resume_from()."""
         while True:
             released = self._release()
-            grew = False
-            if released:
+            if released.num_rows:
                 self._run_round(released)
             grew = self._grow_windows()
-            if not released and not grew:
+            if not released.num_rows and not grew:
                 if sum(ray.get([f.pending.remote() for f in self.frontier])) == 0:
                     break
         return self._finalize()
@@ -508,20 +643,40 @@ class CrawlEngine:
 
         rec_dir = self.workdir / "records"
         out_dir = self.workdir / "out"
+        t0 = time.perf_counter()
         # untruncated counts are already tracked from the control stream; only
         # watermark-truncated seeds need a recount (no second groupby shuffle)
         final_counts: dict[int, int] = dict(self.record_counts)
         if rec_dir.exists() and any(rec_dir.iterdir()):
+            # bound shuffle parallelism to the data, not the cluster: Ray's
+            # groupby defaults to ~200 shuffle partitions, which on small
+            # per-round outputs costs far more than the work itself (measured
+            # 32-CPU finalize: 31.8s -> ~1s with sized repartition)
+            total_rec = sum(self.record_counts.values())
+            nparts = max(1, min(64, total_rec // 2000 + 1))
             ds = rd.read_parquet(str(rec_dir))
-            fin = ds.groupby("seed_id").map_groups(
+            t0 = self._t("fin_read", t0)
+            fin = ds.repartition(nparts).groupby("seed_id").map_groups(
                 finalize_group, batch_format="pandas").materialize()
+            t0 = self._t("fin_groupby", t0)
             fin.write_parquet(str(out_dir / "records"))
+            t0 = self._t("fin_write", t0)
             if self.watermarks:
+                # zero-copy per-block Arrow group_by over the MATERIALIZED
+                # blocks (select_columns().take_all() re-executed the plan:
+                # measured 7.4s -> ~0.1s)
                 from collections import Counter
-                c = Counter(r["seed_id"] for r in
-                            fin.select_columns(["seed_id"]).take_all())
+                c: Counter = Counter()
+                for ref in fin.to_arrow_refs():
+                    t = ray.get(ref)
+                    agg = t.select(["seed_id"]).group_by("seed_id").aggregate(
+                        [("seed_id", "count")])
+                    for sid, m in zip(agg["seed_id"].to_pylist(),
+                                      agg["seed_id_count"].to_pylist()):
+                        c[sid] += m
                 for sid in self.watermarks:
                     final_counts[sid] = c.get(sid, 0)
+            t0 = self._t("fin_recount", t0)
         else:
             fin = None
 
@@ -537,9 +692,6 @@ class CrawlEngine:
                 out.status = NO_REVIEWS_SINCE_LAST_MATCH
             out.finalize_status(final_counts.get(sid, 0))
 
-        seen_rows = [r for part in ray.get([s.dump.remote() for s in self.seen])
-                     for r in part]
-        seen_rows.sort()
         meta = {sid: (None if o.no_meta else {
             "histogram": {"primary": {"score": o.score,
                                       "total_revews": o.total_reviews}},
@@ -549,17 +701,42 @@ class CrawlEngine:
         }) for sid, o in self.outcomes.items()}
         (self.workdir / "meta.json").write_text(
             json.dumps({str(k): v for k, v in meta.items()}, indent=1))
-        return CrawlResult(self.workdir, fin, self.outcomes, seen_rows,
-                           sorted(self.edges))
+        return CrawlResult(self.workdir, fin, self.outcomes, self.seen,
+                           self._edges_table())
 
 
 class CrawlResult:
-    def __init__(self, workdir: Path, fin_ds, outcomes, seen_rows, edges):
+    def __init__(self, workdir: Path, fin_ds, outcomes, seen_actors,
+                 edges_table):
         self.workdir = Path(workdir)
         self.records = fin_ds  # finalized Dataset (seed_id, rank, ..., jsonl)
         self.outcomes = outcomes
-        self.seen = seen_rows  # [(url_hash, canon_url)] sorted
-        self.edges = edges
+        self._seen_actors = seen_actors
+        self._seen: list | None = None
+        self._edges_table = edges_table
+        self._edges: list | None = None
+
+    @property
+    def seen(self) -> list:
+        """[(url_hash, canon_url)] sorted — pulled from the shard actors
+        lazily (the dump is O(frontier); benches that don't inspect it
+        shouldn't pay for it)."""
+        if self._seen is None:
+            rows = [r for part in
+                    ray.get([s.dump.remote() for s in self._seen_actors])
+                    for r in part]
+            rows.sort()
+            self._seen = rows
+        return self._seen
+
+    @property
+    def edges(self) -> list:
+        if self._edges is None:
+            t = self._edges_table
+            self._edges = sorted(zip(t["src"].to_pylist(),
+                                     t["dst"].to_pylist(),
+                                     t["rel"].to_pylist()))
+        return self._edges
 
     def jsonl_lines(self, seed_id: int) -> list[str]:
         if self.records is None:

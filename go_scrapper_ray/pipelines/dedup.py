@@ -148,6 +148,98 @@ def minhash_dups(sf_dir: str, threshold: float = 0.8, seed: int = 42) -> rd.Data
         lambda g: g.head(1), batch_format="pandas")
 
 
+# ------------------------------------------------------------ n-gram jaccard
+
+def ngram_jaccard_dups(sf_dir: str, threshold: float = 0.5) -> rd.Dataset:
+    """(doc_a, doc_b): EXACT token-set Jaccard >= threshold pairs — no LSH
+    approximation, SQL-checkable against a DuckDB self-join oracle.
+
+    Shape (PPJoin-style prefix filtering — Xiao et al., WWW'08):
+      1. (doc_id, token) distinct rows; global df per token (small groupby)
+         broadcast as the canonical rare-first token order;
+      2. each doc indexes only its PREFIX tokens (first |A|-ceil(t*|A|)+1
+         under that order) — theorem: any pair with J>=t shares a prefix
+         token, so low-df prefixes generate candidates without the
+         stopword pair explosion;
+      3. groupby(prefix token) -> candidate pairs -> distinct;
+      4. verify true Jaccard against broadcast per-doc token sets.
+    Partitioning assumption (documented): the verify step broadcasts the
+    token-set map; at corpus scale it becomes a doc_id-partitioned lookup
+    join, and minhash_dups is the preferred screen."""
+
+    def tok_batch(t: pa.Table) -> pa.Table:
+        ids, toks = [], []
+        for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            for w in set(TOKEN_RE.findall(s.lower())):
+                ids.append(did)
+                toks.append(w)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "token": pa.array(toks, pa.string())})
+
+    import math
+    from collections import Counter
+
+    toks = docs(sf_dir).map_batches(tok_batch, batch_format="pyarrow")
+
+    # driver-side broadcast build (test-scale; see docstring caveat):
+    # per-doc token sets → df counts → global rare-first rank → prefixes
+    sets: dict[int, frozenset] = {}
+    for ref in toks.to_arrow_refs():
+        t = ray.get(ref)
+        for did, w in zip(t["doc_id"].to_pylist(), t["token"].to_pylist()):
+            sets.setdefault(did, set()).add(w)
+    sets = {k: frozenset(v) for k, v in sets.items()}
+    df = Counter()
+    for s in sets.values():
+        df.update(s)
+    rank = {w: i for i, (w, _) in
+            enumerate(sorted(df.items(), key=lambda kv: (kv[1], kv[0])))}
+    prefixes = {}
+    for did, s in sets.items():
+        n = len(s)
+        if n == 0:
+            continue
+        p = n - math.ceil(threshold * n) + 1
+        prefixes[did] = sorted(s, key=rank.__getitem__)[:p]
+    bc = ray.put((rank, sets, {d: frozenset(p) for d, p in prefixes.items()}))
+
+    def prefix_rows(t: pa.Table) -> pa.Table:
+        _, _, pmap = ray.get(bc)
+        ids, toks_out = [], []
+        for did in t["doc_id"].to_pylist():
+            for w in pmap.get(did, ()):
+                ids.append(did)
+                toks_out.append(w)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "token": pa.array(toks_out, pa.string())})
+
+    def pairs_group(g: pd.DataFrame) -> pd.DataFrame:
+        """Verify inline; emit a pair ONLY in the group of its first (by
+        global rank) common prefix token — each qualifying pair surfaces in
+        exactly one group, so no dedup shuffle is needed."""
+        rk, smap, pmap = ray.get(bc)
+        w = g["token"].iloc[0]
+        ids = sorted(set(g["doc_id"]))
+        out_a, out_b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a, b = ids[i], ids[j]
+                shared = pmap[a] & pmap[b]
+                if min(shared, key=rk.__getitem__) != w:
+                    continue
+                sa, sb = smap[a], smap[b]
+                u = len(sa | sb)
+                if u and len(sa & sb) / u >= threshold:
+                    out_a.append(a)
+                    out_b.append(b)
+        return pd.DataFrame({"doc_a": pd.Series(out_a, dtype="int64"),
+                             "doc_b": pd.Series(out_b, dtype="int64")})
+
+    return (docs(sf_dir, columns=("doc_id",))
+            .map_batches(prefix_rows, batch_format="pyarrow")
+            .groupby("token").map_groups(pairs_group, batch_format="pandas"))
+
+
 # -------------------------------------------------------------------- simhash
 
 def simhash64(text: str) -> int:

@@ -38,6 +38,17 @@ OUT_SCHEMA = pa.schema([
     ("sort_ts", pa.int64()),
     ("review_hash", pa.string()),
     ("payload", pa.string()),
+    # link rows use NATIVE columns (canonicalized + hashed + host/robots
+    # filtered IN the distributed kernel) so the driver never runs per-link
+    # Python kernels — at frontier scale the driver only routes hashes
+    ("l_url", pa.string()),
+    ("l_canon", pa.string()),
+    ("l_hash", pa.uint64()),
+    ("l_host", pa.string()),
+    ("l_hosthash", pa.uint64()),
+    ("l_kind", pa.string()),
+    ("l_depth", pa.int32()),
+    ("l_rel", pa.string()),
 ])
 
 
@@ -65,17 +76,48 @@ class ExtractStage:
         self.watermarks = ray.get(watermarks_ref)  # seed_id -> set(hashes)
         from ..minidom import parse_html  # bind once
         self._parse = parse_html
+        # link-filter state, built once per worker: allowed-host set
+        # (colly AllowedDomains, collyfunc.go:67,126) and per-host robots
+        # rules parsed from the broadcast robots table
+        ah = cfg_dict.get("allowed_hosts")
+        self.allowed_hosts = set(ah) if ah is not None else None
+        self.robots = None
+        if not cfg_dict.get("ignore_robots", True):
+            rp = cfg_dict.get("robots_parquet")
+            if rp:
+                import pyarrow.parquet as pq
+                from ..state.robots import RobotsRules
+                t = pq.read_table(rp)
+                self.robots = {h: RobotsRules.parse(s) for h, s in
+                               zip(t["host"].to_pylist(),
+                                   t["robots_txt"].to_pylist())}
+
+    def _link_allowed(self, canon: str, host: str) -> bool:
+        if self.allowed_hosts is not None and host not in self.allowed_hosts:
+            return False
+        if self.robots is not None:
+            rules = self.robots.get(host)
+            if rules is not None and not rules.allowed(canon):
+                return False
+        return True
 
     # ------------------------------------------------------------------ rows
     def _rows(self, out, kind, seed_id, page_seq, emit_idx, payload,
-              sort_ts=0, review_hash=""):
+              sort_ts=0, review_hash="", link=None):
         out["out_kind"].append(kind)
         out["seed_id"].append(seed_id)
         out["page_seq"].append(page_seq)
         out["emit_idx"].append(emit_idx)
         out["sort_ts"].append(sort_ts)
         out["review_hash"].append(review_hash)
-        out["payload"].append(json.dumps(payload, ensure_ascii=False))
+        out["payload"].append(
+            json.dumps(payload, ensure_ascii=False) if payload is not None else "")
+        if link is None:
+            link = ("", "", 0, "", 0, "", 0, "")
+        (out["l_url"].append(link[0]), out["l_canon"].append(link[1]),
+         out["l_hash"].append(link[2]), out["l_host"].append(link[3]),
+         out["l_hosthash"].append(link[4]), out["l_kind"].append(link[5]),
+         out["l_depth"].append(link[6]), out["l_rel"].append(link[7]))
 
     def _emit_records(self, out, sid, page_seq, recs):
         wm = self.watermarks.get(sid)
@@ -88,17 +130,23 @@ class ExtractStage:
             if wm and r["review_hash"] in wm:
                 self._rows(out, "event", sid, page_seq, j,
                            {"type": "hash_hit"})
-        # per-page record count event → the driver tracks per-seed counts
-        # from the (small) control stream without a groupby execution
+        # per-page record count rides COLUMNAR (out_kind='rcnt', n in
+        # sort_ts) → the driver sums per seed with one Arrow group_by
         if recs:
-            self._rows(out, "event", sid, page_seq, len(recs),
-                       {"type": "rec_count", "n": len(recs)})
+            self._rows(out, "rcnt", sid, page_seq, len(recs), None,
+                       sort_ts=len(recs))
 
-    def _emit_links(self, out, sid, page_seq, links):
-        for j, (url, kind, depth, rel) in enumerate(links):
-            self._rows(out, "link", sid, page_seq, j,
-                       {"url": url, "kind": kind, "depth": depth,
-                        "parent_seq": page_seq, "emit_idx": j, "rel": rel})
+    def _emit_links(self, out, sid, page_seq, links, emit_start: int = 0):
+        """Canonicalize + hash + host/robots-filter links IN the kernel
+        (distributed); the driver only routes the precomputed hashes."""
+        for j, (url, kind, depth, rel) in enumerate(links, start=emit_start):
+            canon = urlkit.canonicalize(url)
+            host = urlkit.host_of(canon)
+            if not self._link_allowed(canon, host):
+                continue
+            self._rows(out, "link", sid, page_seq, j, None,
+                       link=(url, canon, urlkit.url_hash64(canon), host,
+                             urlkit.host_hash64(host), kind, depth, rel))
 
     # ------------------------------------------------------------------ main
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -173,10 +221,9 @@ class ExtractStage:
                 # non-rec landing is emitted LAST with a high emit_idx so the
                 # canonical order puts it after the feed pages (oracle parity)
                 self._emit_links(out, sid, page_seq, links)
-                self._rows(out, "link", sid, page_seq, 10_000,
-                           {"url": nonrec, "kind": NONREC_LANDING,
-                            "depth": row["depth"] + 1, "parent_seq": page_seq,
-                            "emit_idx": 10_000, "rel": "non_rec"})
+                self._emit_links(out, sid, page_seq,
+                                 [(nonrec, NONREC_LANDING, row["depth"] + 1,
+                                   "non_rec")], emit_start=10_000)
                 continue
 
             if kind == FEED:

@@ -27,7 +27,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from ..flow import politeness_gap_ms
-from ..urlkit import host_of
+from ..urlkit import host_of, url_hash64 as _url_hash64
 from .robots import RobotsRules
 
 FIELDS = ("seed_id", "url", "canon", "kind", "depth", "parent_seq",
@@ -37,6 +37,15 @@ FIELDS = ("seed_id", "url", "canon", "kind", "depth", "parent_seq",
 def _order_key(e: dict) -> tuple:
     return (e["seed_id"], e["depth"], e["parent_seq"], e["emit_idx"],
             e["attempt"])
+
+
+RELEASE_SCHEMA = pa.schema([
+    ("seed_id", pa.int64()), ("url", pa.string()), ("canon", pa.string()),
+    ("url_hash", pa.uint64()), ("host", pa.string()),
+    ("kind", pa.string()), ("depth", pa.int32()),
+    ("parent_seq", pa.int64()), ("emit_idx", pa.int32()),
+    ("attempt", pa.int32()), ("virtual_ts_ms", pa.int64()),
+])
 
 
 @ray.remote(num_cpus=0)
@@ -63,7 +72,7 @@ class FrontierShard:
         check happens here — the per-host cache lives with the host's queue."""
         n = 0
         for e in entries:
-            host = host_of(e["canon"])
+            host = e.get("host") or host_of(e["canon"])
             if not self.cfg.get("ignore_robots", True):
                 rules = self.robots.get(host)
                 if rules is not None and not rules.allowed(e["canon"]):
@@ -75,13 +84,33 @@ class FrontierShard:
             n += 1
         return n
 
-    def release(self) -> list[dict]:
+    def push_table(self, t: pa.Table) -> int:
+        """Columnar push of kernel-emitted link rows (already seen-filtered
+        and robots/host-filtered in the extract kernel).  The row→dict
+        conversion runs HERE, on the shard actor — the driver only routes
+        sub-tables, so its per-link Python cost is zero."""
+        entries = []
+        for sid, url, canon, uh, host, kind, depth, pseq, eidx in zip(
+                t["seed_id"].to_pylist(), t["l_url"].to_pylist(),
+                t["l_canon"].to_pylist(), t["l_hash"].to_pylist(),
+                t["l_host"].to_pylist(), t["l_kind"].to_pylist(),
+                t["l_depth"].to_pylist(), t["page_seq"].to_pylist(),
+                t["emit_idx"].to_pylist()):
+            entries.append({"seed_id": sid, "url": url, "canon": canon,
+                            "url_hash": uh, "kind": kind, "depth": depth,
+                            "parent_seq": pseq, "emit_idx": eidx,
+                            "attempt": 1, "priority": 0, "host": host})
+        return self.push(entries)
+
+    def release(self) -> pa.Table:
         """Drain due entries for this round, deterministic order, politeness
-        timestamps stamped.  With max_per_host_per_round set, a hot host keeps
-        the remainder queued for later rounds (politeness backpressure —
-        replaces colly's Parallelism cap, collyfunc.go:179)."""
+        timestamps stamped.  Returns a COLUMNAR Arrow table — the per-entry
+        Python (heap pops, clock stamping, row→column) runs on the shard
+        actor, never the driver.  With max_per_host_per_round set, a hot
+        host keeps the remainder queued for later rounds (politeness
+        backpressure — replaces colly's Parallelism cap, collyfunc.go:179)."""
         cap = self.cfg.get("max_per_host_per_round", 0)
-        out: list[dict] = []
+        cols = {f.name: [] for f in RELEASE_SCHEMA}
         for host in sorted(self.heaps):
             heap = self.heaps[host]
             n = len(heap) if cap <= 0 else min(cap, len(heap))
@@ -94,13 +123,22 @@ class FrontierShard:
                 ts = self.host_ts.get(host, 0) + gap
                 self.host_k[host] = k + 1
                 self.host_ts[host] = ts
-                e = dict(e)
-                e["virtual_ts_ms"] = ts
-                e["host"] = host
-                out.append(e)
+                cols["seed_id"].append(e["seed_id"])
+                cols["url"].append(e["url"])
+                cols["canon"].append(e["canon"])
+                cols["url_hash"].append(
+                    e.get("url_hash") if e.get("url_hash") is not None
+                    else _url_hash64(e["canon"]))
+                cols["host"].append(host)
+                cols["kind"].append(e["kind"])
+                cols["depth"].append(e["depth"])
+                cols["parent_seq"].append(e["parent_seq"])
+                cols["emit_idx"].append(e["emit_idx"])
+                cols["attempt"].append(e["attempt"])
+                cols["virtual_ts_ms"].append(ts)
             if not heap:
                 del self.heaps[host]
-        return out
+        return pa.table(cols, schema=RELEASE_SCHEMA)
 
     def pending(self) -> int:
         return sum(len(h) for h in self.heaps.values())

@@ -56,9 +56,9 @@ def qmap(ray_session):
 
 
 SQL_CHECKED = ["docs_lang_dist", "docs_token_count", "docs_quality",
-               "docs_fingerprint", "docs_exact_dedup", "emb_cosine_dups",
-               "knn_bruteforce", "events_windowed", "events_sessionize",
-               "events_top_users"]
+               "docs_fingerprint", "docs_exact_dedup", "docs_jaccard_dups",
+               "emb_cosine_dups", "knn_bruteforce", "events_windowed",
+               "events_sessionize", "events_top_users"]
 
 
 @pytest.mark.parametrize("name", SQL_CHECKED)
