@@ -98,7 +98,29 @@ def _mk_review(rng: random.Random, rid: str, with_prev: bool) -> dict:
     return r
 
 
-def _profile_html(bizid: str, review_count: int, variant: str, score: float) -> str:
+_FILLER_WORDS = ("lorem ipsum dolor sit amet consectetur adipiscing elit sed "
+                 "do eiusmod tempor incididunt ut labore et dolore magna "
+                 "aliqua enim minim veniam quis nostrud").split()
+
+
+def _filler_dom(rng: random.Random, n_paras: int) -> str:
+    """Realistic page bulk: Common-Crawl-style pages are 50-100KB of DOM,
+    not the 2KB of the bare fixtures.  The filler sits in containers no
+    extraction selector matches, so extracted output is unchanged while
+    parse cost (the dominant real-world per-page cost) becomes realistic.
+    Enabled for bench-scale corpora via GSR_FILLER_PARAS (default 120)."""
+    if n_paras <= 0:
+        return ""
+    paras = []
+    for i in range(n_paras):
+        words = " ".join(rng.choice(_FILLER_WORDS) for _ in range(18))
+        paras.append(f'<div class="page-chrome c{i % 7}"><span>{words}</span>'
+                     f'<a href="#s{i}">{i}</a></div>')
+    return f'<div id="site-chrome">{"".join(paras)}</div>'
+
+
+def _profile_html(bizid: str, review_count: int, variant: str, score: float,
+                  filler: str = "") -> str:
     """variant ∈ meta|fallback|missing (M6 paths, main.go:493-522)."""
     ld = json.dumps({"aggregateRating": {"ratingValue": score,
                                          "reviewCount": review_count}},
@@ -112,11 +134,11 @@ def _profile_html(bizid: str, review_count: int, variant: str, score: float) -> 
         # (see tests/test_kernels.py::test_extract_profile_meta_and_fallback)
         body_scripts += f'<script>{{"gaConfig":{{"business_id":["xy","{bizid}"],"p":1}}}}</script>'
     return (f"<html><head>{head}</head><body><h1>Biz {bizid}</h1>"
-            f"{body_scripts}</body></html>")
+            f"{filler}{body_scripts}</body></html>")
 
 
-def _nonrec_landing_html(count: int) -> str:
-    return (f"<html><body><h3>About the business</h3>"
+def _nonrec_landing_html(count: int, filler: str = "") -> str:
+    return (f"<html><body>{filler}<h3>About the business</h3>"
             f"<h3>{count} reviews that are not currently recommended</h3>"
             f"</body></html>")
 
@@ -170,7 +192,14 @@ class BusinessSpec:
     def __init__(self, idx: int, site_base: str, rng: random.Random,
                  n_reviews: int, n_nonrec: int, variant: str = "meta",
                  with_prev: bool = True, score: float = 4.5,
-                 window_pad: bool = False):
+                 window_pad: bool = False, feed_base: str | None = None):
+        # feed_base: where review_feed pages live.  The ENGINE builds feed
+        # URLs from the crawl config's site_base (reference parity,
+        # main.go:546 hardcodes the site), so multi-host businesses must
+        # still write their feeds under that base or every feed fetch 404s.
+        self.feed_base = feed_base or site_base
+        self.n_filler = 0  # paragraphs of DOM filler per html page (bench)
+        self._filler_rng = random.Random(idx * 7919 + 13)
         # window_pad: incremental-mode businesses need EMPTY pages covering the
         # 50-review window overshoot (real review_feed returns {"reviews":[]}
         # past the end; main.go:615-643 walks whole windows)
@@ -197,29 +226,41 @@ class BusinessSpec:
         return len(self.reviews)
 
     def feed_url(self, start: int) -> str:
-        return (f"{self.site_base}/biz/{self.bizid}/review_feed"
+        return (f"{self.feed_base}/biz/{self.bizid}/review_feed"
                 f"?rl=en&sort_by=date_desc&start={start}")
 
     def nonrec_landing_url(self) -> str:
         return f"{self.site_base}/not_recommended_reviews/{self.bizid}"
 
+    def _filler(self) -> str:
+        return _filler_dom(self._filler_rng, self.n_filler)
+
     def pages(self) -> list[tuple[str, str]]:
         """[(url, html), ...] for every page of this business."""
         out = [(self.profile_url,
-                _profile_html(self.bizid, self.n_reviews, self.variant, self.score))]
+                _profile_html(self.bizid, self.n_reviews, self.variant,
+                              self.score, filler=self._filler()))]
         feed_hi = self.n_reviews
         nonrec_hi = self.n_nonrec
         if self.window_pad:
             feed_hi = max(((self.n_reviews + 49) // 50) * 50, 50)
             nonrec_hi = max(((self.n_nonrec + 49) // 50) * 50, 50)
         for start in range(0, feed_hi, 10):
-            body = json.dumps({"reviews": self.reviews[start:start + 10]},
-                              separators=(",", ":"))
+            doc = {"reviews": self.reviews[start:start + 10]}
+            if self.n_filler:
+                doc["pageProps"] = [  # unknown keys; parse-cost realism
+                    " ".join(self._filler_rng.choice(_FILLER_WORDS)
+                             for _ in range(18))
+                    for _ in range(self.n_filler // 4)]
+            body = json.dumps(doc, separators=(",", ":"))
             out.append((self.feed_url(start), body))
-        out.append((self.nonrec_landing_url(), _nonrec_landing_html(self.n_nonrec)))
+        out.append((self.nonrec_landing_url(),
+                    _nonrec_landing_html(self.n_nonrec,
+                                         filler=self._filler())))
         for start in range(0, nonrec_hi, 10):
             lis = "".join(self.nonrec_lis[start:start + 10])
-            html = (f'<html><body><div class="not-recommended-reviews">'
+            html = (f'<html><body>{self._filler()}'
+                    f'<div class="not-recommended-reviews">'
                     f'<ul class="reviews">{lis}</ul></div></body></html>')
             out.append((f"{self.nonrec_landing_url()}?not_recommended_start={start}", html))
         return out
@@ -313,7 +354,10 @@ def generate_corpus(out_dir: str, scale: str = "small", seed: int = 42) -> dict:
             nrev = rng.randint(20, 60) if scale == "med" else rng.randint(30, 80)
             nnon = rng.randint(0, 15)
             sp = BusinessSpec(100 + k, base, rng, nrev, nnon,
-                              variant="meta", with_prev=(scale == "med"))
+                              variant="meta", with_prev=(scale == "med"),
+                              feed_base=site)
+            if scale == "bench":
+                sp.n_filler = int(os.environ.get("GSR_FILLER_PARAS", "120"))
             specs.append(sp)
             add_seed(url=sp.profile_url)
 

@@ -60,9 +60,87 @@ from ..state.frontier import FrontierShard
 from ..state.robots import RobotsRules
 from ..state.seen import SeenShard
 
+N_FIN_SHARDS = 32  # records hash-partition fan-in (fixed: file layout is
+#                    part of the checkpoint contract, independent of cluster)
+
+
 @ray.remote
+def _load_table(path: str) -> pa.Table:
+    """Parquet file → plasma (used to rebuild record refs on resume)."""
+    return pq.read_table(path)
+
+
+@ray.remote
+def _concat_tables(bundle: dict) -> pa.Table:
+    """Per-round record consolidation: many per-task tables → ONE plasma
+    object, so finalize shards fetch O(rounds) refs instead of
+    O(rounds × tasks) (the per-ref fixed cost dominated at 32 CPUs)."""
+    tabs = [t for t in (ray.get(r) for r in bundle["refs"]) if t.num_rows]
+    if not tabs:
+        return pa.table({"seed_id": pa.array([], pa.int64())})
+    return pa.concat_tables(tabs).combine_chunks()
+
+
+@ray.remote
+def _finalize_task(bundle: dict, shard: int, watermarks: dict,
+                   out_path: str, scraped_at: int) -> dict:
+    """Finalize one seed-hash shard: zero-copy filter of the per-round
+    record tables (plasma refs; parquet is only the durability copy),
+    per-seed sort (date desc, schedule tiebreak — main.go:984-1007),
+    watermark truncation (main.go:950-960), hash+b64+Go-JSONL render
+    (main.go:1009-1077), write one output parquet.  Returns seed_id→count.
+
+    A seed's records land in exactly one shard (seed_id % N_FIN_SHARDS),
+    so shards finalize independently — a hash-partitioned group-by
+    expressed as one raw task per partition, no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from ..gojson import encode_record_b64, record_to_jsonl
+
+    tabs = []
+    for ref in bundle["refs"]:
+        t = ray.get(ref)  # zero-copy plasma read
+        if not t.num_rows:
+            continue
+        sids = t["seed_id"].to_numpy(zero_copy_only=False)
+        sub = t.filter(pa.array(sids % N_FIN_SHARDS == shard))
+        if sub.num_rows:
+            tabs.append(sub)
+    if not tabs:
+        return {}
+    df = pa.concat_tables(tabs).to_pandas()
+    counts: dict[int, int] = {}
+    outs = []
+    for sid, g in df.groupby("seed_id", sort=True):
+        g = g.sort_values(["sort_ts", "page_seq", "emit_idx"],
+                          ascending=[False, True, True]).reset_index(drop=True)
+        wm = watermarks.get(int(sid))
+        if wm:
+            hit = g.index[g["review_hash"].isin(wm)]
+            if len(hit):
+                g = g.iloc[:hit[0]]
+        lines = [record_to_jsonl(encode_record_b64(json.loads(pj)))
+                 for pj in g["payload"]]
+        counts[int(sid)] = len(g)
+        outs.append(pd.DataFrame({
+            "seed_id": int(sid), "rank": range(len(g)),
+            "review_hash": g["review_hash"].to_numpy(),
+            "sort_ts": g["sort_ts"].to_numpy(),
+            "page_seq": g["page_seq"].to_numpy(),
+            "emit_idx": g["emit_idx"].to_numpy(),
+            "payload": g["payload"].to_numpy(),
+            "jsonl": lines,
+        }))
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(pd.concat(outs, ignore_index=True),
+                                        preserve_index=False), out_path)
+    return counts
+
+
+@ray.remote(num_returns=2)
 def _round_task(block: pa.Table, bundle: dict, nb: int,
-                visit_dir: str, rec_dir: str) -> pa.Table:
+                visit_dir: str, rec_dir: str):
     """One fetch+extract+write task over one scheduled block.
 
     The round loop deliberately uses RAW Ray tasks, not a per-round Dataset
@@ -73,18 +151,33 @@ def _round_task(block: pa.Table, bundle: dict, nb: int,
     pipelines.  ``bundle`` nests ObjectRefs (nested refs are NOT auto
     resolved) so bucket tables stay zero-copy in plasma and broadcast state
     is fetched once per worker (module caches in the kernels)."""
+    _dbg = os.environ.get("GSR_TASK_TIMING")
+    t0 = time.perf_counter()
     f = fetch_batch_refs(block, bundle["buckets"], nb)
+    t1 = time.perf_counter()
     part = f"part-{f['seq'][0].as_py()}.parquet"
-    pq.write_table(f.drop_columns(["html"]), f"{visit_dir}/{part}")
-    ex = extract_batch(f, bundle["seeds"], bundle["cfg"], bundle["wm"])
+    pq.write_table(f.drop_columns(["html_row"]), f"{visit_dir}/{part}")
+    t2 = time.perf_counter()
+    ex = extract_batch(f, bundle["seeds"], bundle["cfg"], bundle["wm"],
+                       bundle["buckets"])
+    t3 = time.perf_counter()
+    if _dbg:
+        from ..sources.pagestore import FETCH_TIMING
+        with open(f"{_dbg}/t-{part}.json", "w") as fh:
+            json.dump({"rows": block.num_rows, "fetch": t1 - t0,
+                       "vwrite": t2 - t1, "extract": t3 - t2,
+                       "start": t0, "pid": os.getpid(),
+                       "cum_get": FETCH_TIMING["get"],
+                       "cum_kernel": FETCH_TIMING["kernel"]}, fh)
     rec_mask = pc.equal(ex["out_kind"], "record")
     recs = ex.filter(rec_mask).select(
-        ["out_kind", "seed_id", "page_seq", "emit_idx", "sort_ts",
+        ["seed_id", "page_seq", "emit_idx", "sort_ts",
          "review_hash", "payload"])
     if recs.num_rows:
+        # durability copy; the finalize path reads the returned plasma ref
         os.makedirs(rec_dir, exist_ok=True)
         pq.write_table(recs, f"{rec_dir}/{part}")
-    return ex.filter(pc.invert(rec_mask))
+    return ex.filter(pc.invert(rec_mask)), recs
 
 
 SCHED_SCHEMA = pa.schema([
@@ -176,6 +269,9 @@ class CrawlEngine:
         # edge lists stay COLUMNAR (one Arrow table per round) — the driver
         # never loops per edge; tuples materialize lazily in CrawlResult
         self.edge_tables: list[pa.Table] = []
+        # plasma refs of per-task record tables (finalize input; the parquet
+        # copies under records/ are durability only, re-loaded on resume)
+        self.rec_refs: list = []
         self.timings: dict[str, float] = defaultdict(float)
         self._trace = bool(os.environ.get("GSR_TIMING"))
 
@@ -229,7 +325,10 @@ class CrawlEngine:
 
         by_fshard: dict[int, list[dict]] = {}
         for e in final:
-            h = urlkit.host_hash64(e["host"]) % len(self.frontier)
+            hh = e.get("host_hash")
+            if hh is None:
+                hh = urlkit.host_hash64(e["host"])
+            h = hh % len(self.frontier)
             entry = {k: e[k] for k in ("seed_id", "url", "canon", "kind",
                                        "depth", "parent_seq", "emit_idx",
                                        "attempt", "url_hash")}
@@ -337,14 +436,24 @@ class CrawlEngine:
         # src canon = canon_by_seq[page_seq - seq_start] (O(1) arithmetic)
         seq_start = self.seq - n_rel
         canon_by_seq = released["canon"].combine_chunks()
-        # block split: one slice per task, one wave across the cluster,
-        # >= ~2*batch_size rows per task so task overhead stays amortized
-        ncpu = int(ray.cluster_resources().get("CPU", 8))
-        nblocks = max(1, min(-(-table.num_rows // (2 * self.batch_size)),
-                             ncpu))
-        chunk = -(-table.num_rows // nblocks)
-        slices = [table.slice(i, chunk)
-                  for i in range(0, table.num_rows, chunk)]
+        # block split by estimated WORK, not rows: DOM-parsed pages
+        # (profile/landing/nonrec) cost ~20x a JSON feed page, so row-count
+        # splitting starves the cluster on parse-heavy rounds (measured:
+        # a 6k-row nonrec round ran 12 tasks on 32 CPUs).  Cut the
+        # bucket-sorted table at equal cumulative-weight boundaries.
+        ncpu = int(os.environ.get("GSR_MAX_BLOCKS", 0)) or \
+            int(ray.cluster_resources().get("CPU", 8))
+        feed_mask = pc.equal(table["kind"], FEED).to_numpy(
+            zero_copy_only=False)
+        weights = np.where(feed_mask, 1.0, 16.0)
+        cum = np.cumsum(weights)
+        total_w = float(cum[-1]) if len(cum) else 0.0
+        nblocks = max(1, min(2 * ncpu, int(total_w // 256) + 1))
+        bounds = np.searchsorted(
+            cum, np.linspace(0, total_w, nblocks + 1)[1:-1])
+        edges = [0] + [int(b) + 1 for b in bounds] + [table.num_rows]
+        slices = [table.slice(s, e - s)
+                  for s, e in zip(edges[:-1], edges[1:]) if e > s]
         visit_dir = self.workdir / "visit_log" / f"r{rnd}"
         visit_dir.mkdir(parents=True, exist_ok=True)
         rec_dir = self.workdir / "records" / f"r{rnd}"
@@ -359,7 +468,10 @@ class CrawlEngine:
         futs = [_round_task.remote(s, self._bundle, nb,
                                    str(visit_dir), str(rec_dir))
                 for s in slices]
-        tbls = [t for t in ray.get(futs) if t.num_rows]
+        ctrl_refs = [f[0] for f in futs]
+        self.rec_refs.append(
+            _concat_tables.remote({"refs": [f[1] for f in futs]}))
+        tbls = [t for t in ray.get(ctrl_refs) if t.num_rows]
         from ..stages.extract_stage import OUT_SCHEMA
         ctrl_tbl = (pa.concat_tables(tbls).combine_chunks() if tbls
                     else pa.table({f.name: [] for f in OUT_SCHEMA},
@@ -384,6 +496,7 @@ class CrawlEngine:
         record counts aggregate columnar; links (the bulk) stay COLUMNAR
         all the way to the shard actors — the driver's per-link Python
         work is zero."""
+        tt = time.perf_counter()
         links_tbl = ctrl_tbl.filter(pc.equal(ctrl_tbl["out_kind"], "link"))
         if links_tbl.num_rows:
             order = pc.sort_indices(
@@ -397,8 +510,10 @@ class CrawlEngine:
             for sid, s in zip(agg["seed_id"].to_pylist(),
                               agg["sort_ts_sum"].to_pylist()):
                 self.record_counts[sid] += int(s)
+        tt = self._t("ac_split", tt)
         ev = ctrl_tbl.filter(pc.equal(ctrl_tbl["out_kind"], "event")).to_pylist()
         ev.sort(key=lambda r: (r["page_seq"], r["emit_idx"]))
+        tt = self._t("ac_ev_pylist", tt)
         to_push: list[dict] = []
         for row in ev:
             sid = row["seed_id"]
@@ -406,30 +521,7 @@ class CrawlEngine:
             b = self.biz[sid]
             p = json.loads(row["payload"])
             t = p["type"]
-            if t == "fetch_fail":
-                key = f"{sid}|{p['canon']}"
-                if self.ledger.allow_retry(key):
-                    to_push.append({"seed_id": sid, "url": p["url"],
-                                    "kind": p["kind"], "depth": p["depth"],
-                                    "parent_seq": p["parent_seq"],
-                                    "emit_idx": p["link_emit_idx"],
-                                    "attempt": p["attempt"] + 1})
-                else:
-                    st = status_for_fetch_error(p["kind"], p["status"],
-                                                b["minimal"])
-                    if st is not None:
-                        out.status = st
-            elif t == "profile_nobizid":
-                key = f"{sid}|{p['canon']}"
-                if self.ledger.allow_retry(key):
-                    to_push.append({"seed_id": sid, "url": p["url"],
-                                    "kind": PROFILE, "depth": p["depth"],
-                                    "parent_seq": p["parent_seq"],
-                                    "emit_idx": p["link_emit_idx"],
-                                    "attempt": p["attempt"] + 1})
-                else:
-                    out.status = PAGE_FORMAT_CHANGE
-            elif t == "profile_ok":
+            if t == "profile_ok":
                 b["business_id"] = p["business_id"]
                 b["profile_seq"] = row["page_seq"]
                 if p["histogram_found"]:
@@ -459,11 +551,53 @@ class CrawlEngine:
                 out.status = NO_REVIEWS
             elif t == "hash_hit":
                 self.cursors[sid].matched = True
+        tt = self._t("ac_ev_loop", tt)
+        # ---- retries: columnar rows, no URL kernels on the driver (the
+        # failed row's canon/hash/host ride along); ledger + exhaustion
+        # status machine are O(failures) dict ops
+        retry_tbl = ctrl_tbl.filter(pc.equal(ctrl_tbl["out_kind"], "retry"))
+        if retry_tbl.num_rows:
+            order = pc.sort_indices(
+                retry_tbl, sort_keys=[("page_seq", "ascending"),
+                                      ("emit_idx", "ascending")])
+            retry_tbl = retry_tbl.take(order)
+            cols = {c: retry_tbl[c].to_pylist()
+                    for c in ("seed_id", "page_seq", "emit_idx", "sort_ts",
+                              "l_url", "l_canon", "l_hash", "l_host",
+                              "l_hosthash", "l_kind", "l_depth", "l_rel")}
+            for i in range(retry_tbl.num_rows):
+                sid = cols["seed_id"][i]
+                key = f"{sid}|{cols['l_canon'][i]}"
+                if self.ledger.allow_retry(key):
+                    to_push.append(
+                        {"seed_id": sid, "url": cols["l_url"][i],
+                         "canon": cols["l_canon"][i],
+                         "host": cols["l_host"][i],
+                         "host_hash": cols["l_hosthash"][i],
+                         "url_hash": cols["l_hash"][i],
+                         "kind": cols["l_kind"][i],
+                         "depth": cols["l_depth"][i],
+                         "parent_seq": cols["page_seq"][i],
+                         "emit_idx": cols["emit_idx"][i],
+                         "attempt": cols["sort_ts"][i] + 1})
+                else:
+                    out = self.outcomes[sid]
+                    if cols["l_rel"][i] == "nobizid":
+                        out.status = PAGE_FORMAT_CHANGE
+                    else:
+                        st = status_for_fetch_error(
+                            cols["l_kind"][i], int(cols["l_rel"][i]),
+                            self.biz[sid]["minimal"])
+                        if st is not None:
+                            out.status = st
+        tt = self._t("ac_retries", tt)
         self.pushed_seeds = ({e["seed_id"] for e in to_push}
                              | set(pc.unique(links_tbl["seed_id"]).to_pylist()
                                    if links_tbl.num_rows else []))
         self._push_links(links_tbl, canon_by_seq, seq_start)
+        tt = time.perf_counter()
         self._push_entries(to_push)
+        self._t("ac_push_entries", tt)
 
     def _push_links(self, links_tbl: pa.Table, canon_by_seq: pa.Array,
                     seq_start: int):
@@ -475,6 +609,7 @@ class CrawlEngine:
         n = links_tbl.num_rows
         if n == 0:
             return
+        tt = time.perf_counter()
         hashes = links_tbl["l_hash"].to_numpy(zero_copy_only=False)
         shard = hashes % len(self.seen)
         futs, idxs = {}, {}
@@ -486,9 +621,11 @@ class CrawlEngine:
             futs[s] = self.seen[s].add_if_new.remote(
                 sub["l_hash"].to_pylist(), sub["l_canon"].to_pylist())
             idxs[s] = sel
+        tt = self._t("pl_seen_send", tt)
         new_mask = np.zeros(n, dtype=bool)
         for s, f in futs.items():
             new_mask[idxs[s]] = ray.get(f)
+        tt = self._t("pl_seen_wait", tt)
         kept = links_tbl.filter(pa.array(new_mask))
         if kept.num_rows == 0:
             return
@@ -500,6 +637,7 @@ class CrawlEngine:
              if isinstance(srcs, pa.ChunkedArray) else srcs,
              "dst": kept["l_canon"].combine_chunks(),
              "rel": kept["l_rel"].combine_chunks()}))
+        tt = self._t("pl_edges", tt)
         hh = kept["l_hosthash"].to_numpy(zero_copy_only=False)
         fshard = hh % len(self.frontier)
         futs2 = []
@@ -508,7 +646,9 @@ class CrawlEngine:
             if len(sel):
                 futs2.append(self.frontier[s].push_table.remote(
                     kept.take(pa.array(sel))))
+        tt = self._t("pl_front_send", tt)
         ray.get(futs2)
+        self._t("pl_front_wait", tt)
 
     def _grow_windows(self) -> bool:
         """Flow 3 window growth for drained incremental seeds
@@ -600,6 +740,17 @@ class CrawlEngine:
                 for p in base.iterdir():
                     if int(p.name.lstrip("r")) > rnd:
                         shutil.rmtree(p)
+        # rebuild record plasma refs from the durability parquet copies
+        # (parallel load tasks)
+        self.rec_refs = []
+        rec_base = self.workdir / "records"
+        if rec_base.exists():
+            for rdir in sorted(rec_base.iterdir()):
+                refs = [_load_table.remote(str(p))
+                        for p in sorted(rdir.glob("part-*.parquet"))]
+                if refs:
+                    self.rec_refs.append(
+                        _concat_tables.remote({"refs": refs}))
 
     def resume_run(self) -> "CrawlResult":
         """Continue the round loop after resume_from()."""
@@ -616,69 +767,34 @@ class CrawlEngine:
     # -------------------------------------------------------------- finalize
     def _finalize(self) -> "CrawlResult":
         watermarks = self.watermarks
-
-        def finalize_group(df):
-            import pandas as pd
-            sid = int(df["seed_id"].iloc[0])
-            df = df.sort_values(["sort_ts", "page_seq", "emit_idx"],
-                                ascending=[False, True, True]).reset_index(drop=True)
-            wm = watermarks.get(sid)
-            if wm:
-                hit = df.index[df["review_hash"].isin(wm)]
-                if len(hit):
-                    df = df.iloc[:hit[0]]
-            lines = []
-            for pj in df["payload"]:
-                rec = json.loads(pj)
-                lines.append(record_to_jsonl(encode_record_b64(rec)))
-            return pd.DataFrame({
-                "seed_id": sid, "rank": range(len(df)),
-                "review_hash": df["review_hash"].to_numpy(),
-                "sort_ts": df["sort_ts"].to_numpy(),
-                "page_seq": df["page_seq"].to_numpy(),
-                "emit_idx": df["emit_idx"].to_numpy(),
-                "payload": df["payload"].to_numpy(),
-                "jsonl": lines,
-            })
-
         rec_dir = self.workdir / "records"
         out_dir = self.workdir / "out"
         t0 = time.perf_counter()
-        # untruncated counts are already tracked from the control stream; only
-        # watermark-truncated seeds need a recount (no second groupby shuffle)
+        # per-seed counts come back from the finalize shard tasks (they see
+        # post-watermark-truncation counts); non-truncated seeds fall back
+        # to the control-stream tally
         final_counts: dict[int, int] = dict(self.record_counts)
-        if rec_dir.exists() and any(rec_dir.iterdir()):
-            # bound shuffle parallelism to the data, not the cluster: Ray's
-            # groupby defaults to ~200 shuffle partitions, which on small
-            # per-round outputs costs far more than the work itself (measured
-            # 32-CPU finalize: 31.8s -> ~1s with sized repartition)
-            total_rec = sum(self.record_counts.values())
-            nparts = max(1, min(64, total_rec // 2000 + 1))
-            ds = rd.read_parquet(str(rec_dir))
+        fin = None
+        if self.rec_refs:
+            # one raw task per seed-hash shard over the plasma record refs —
+            # a group-by with zero shuffle and zero disk reads; replaces a
+            # Ray Data repartition+groupby+map_groups that anti-scaled on
+            # this workload (measured 23.6s@8cpu / 48.6s@32cpu -> ~3s)
+            ref_bundle = {"refs": list(self.rec_refs)}
+            futs = [_finalize_task.remote(ref_bundle, s, watermarks,
+                                          str(out_dir / "records" /
+                                              f"shard-{s:02d}.parquet"),
+                                          self.cfg.scraped_at)
+                    for s in range(N_FIN_SHARDS)]
+            any_rows = False
+            for counts in ray.get(futs):
+                if counts:
+                    any_rows = True
+                final_counts.update(counts)
+            t0 = self._t("fin_tasks", t0)
+            if any_rows:
+                fin = rd.read_parquet(str(out_dir / "records"))
             t0 = self._t("fin_read", t0)
-            fin = ds.repartition(nparts).groupby("seed_id").map_groups(
-                finalize_group, batch_format="pandas").materialize()
-            t0 = self._t("fin_groupby", t0)
-            fin.write_parquet(str(out_dir / "records"))
-            t0 = self._t("fin_write", t0)
-            if self.watermarks:
-                # zero-copy per-block Arrow group_by over the MATERIALIZED
-                # blocks (select_columns().take_all() re-executed the plan:
-                # measured 7.4s -> ~0.1s)
-                from collections import Counter
-                c: Counter = Counter()
-                for ref in fin.to_arrow_refs():
-                    t = ray.get(ref)
-                    agg = t.select(["seed_id"]).group_by("seed_id").aggregate(
-                        [("seed_id", "count")])
-                    for sid, m in zip(agg["seed_id"].to_pylist(),
-                                      agg["seed_id_count"].to_pylist()):
-                        c[sid] += m
-                for sid in self.watermarks:
-                    final_counts[sid] = c.get(sid, 0)
-            t0 = self._t("fin_recount", t0)
-        else:
-            fin = None
 
         for s in self.seeds:
             sid = s["seed_id"]

@@ -93,6 +93,9 @@ def load_bucket_refs(store_dir: str, num_buckets: int) -> list:
     return refs
 
 
+FETCH_TIMING = {"get": 0.0, "kernel": 0.0}  # per-process debug accumulators
+
+
 def fetch_batch_refs(batch: pa.Table, refs: list, num_buckets: int) -> pa.Table:
     """map_batches kernel: scheduled rows in → +status +html out, fully
     vectorized (``pc.index_in`` + ``take`` + ``if_else``) against the
@@ -106,15 +109,19 @@ def fetch_batch_refs(batch: pa.Table, refs: list, num_buckets: int) -> pa.Table:
     import pyarrow.compute as pc
     import ray
 
+    import time as _time
     buckets = batch["bucket"].to_numpy(zero_copy_only=False)
     # contiguous run boundaries (batch sorted by bucket)
     cuts = [0] + (np.flatnonzero(np.diff(buckets)) + 1).tolist() + [len(buckets)]
-    status_parts, html_parts = [], []
+    status_parts, idx_parts = [], []
     for s, e in zip(cuts[:-1], cuts[1:]):
+        _a = _time.perf_counter()
         bt = ray.get(refs[int(buckets[s])])  # zero-copy plasma read
+        FETCH_TIMING["get"] += _time.perf_counter() - _a
+        _a = _time.perf_counter()
         sub = batch.slice(s, e - s)
-        idx = pc.index_in(sub["canon"], value_set=bt["url"]).combine_chunks()
-        st = pc.take(bt["status"], idx).combine_chunks()
+        idx = pc.index_in(sub["canon"], value_set=bt["url"])
+        st = pc.take(bt["status"], idx)
         ft = pc.take(bt["fail_times"], idx)
         att = sub["attempt"].combine_chunks()
         eff = pc.if_else(pc.is_null(idx), pa.scalar(404, pa.int32()), st)
@@ -122,20 +129,24 @@ def fetch_batch_refs(batch: pa.Table, refs: list, num_buckets: int) -> pa.Table:
             pc.fill_null(pc.equal(eff, 200), False),
             pc.fill_null(pc.less_equal(pc.cast(att, pa.int32()), ft), False))
         eff = pc.if_else(retry_mask, pa.scalar(503, pa.int32()), eff)
-        html = pc.take(bt["html"], idx)
-        html = pc.if_else(pc.fill_null(pc.equal(eff, 200), False), html,
-                          pa.scalar(None, pa.binary()))
+        # NO html materialization: pages stay in the shared bucket tables;
+        # downstream resolves bytes lazily via (bucket, html_row).  The
+        # previous take+if_else html copies were the measured scaling
+        # killer (memory-copy contention: 0.15s/block solo -> ~4s at
+        # 32-wide concurrency)
+        idx_out = pc.if_else(pc.fill_null(pc.equal(eff, 200), False),
+                             idx, pa.scalar(None, pa.int32()))
         status_parts.append(eff)
-        html_parts.append(html)
-    status_arr = pa.concat_arrays(
-        [p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p
-         for p in status_parts]) if status_parts else pa.array([], pa.int32())
-    html_arr = pa.concat_arrays(
-        [p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p
-         for p in html_parts]) if html_parts else pa.array([], pa.binary())
+        idx_parts.append(idx_out)
+    def _cat(parts, typ):
+        if not parts:
+            return pa.array([], typ)
+        return pa.concat_arrays(
+            [p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p
+             for p in parts])
     return (batch
-            .append_column("status", status_arr)
-            .append_column("html", html_arr))
+            .append_column("status", _cat(status_parts, pa.int32()))
+            .append_column("html_row", _cat(idx_parts, pa.int32())))
 
 
 # Worker-process-global bucket cache: the fetch stage runs as Ray TASKS (no

@@ -57,23 +57,37 @@ OUT_SCHEMA = pa.schema([
 # setup costs once per worker process (see sources/pagestore.py note).
 _STAGE_CACHE: dict[str, "ExtractStage"] = {}
 
+# DOM parsing allocates millions of small objects per batch; the default
+# gen-0 threshold (700) makes CPython walk young objects constantly during
+# parse.  Raising it once per worker process cuts measurable parse time
+# without disabling collection.
+import gc as _gc  # noqa: E402
+
+_gc.set_threshold(50_000, 25, 25)
+
 
 def extract_batch(batch: pa.Table, seeds_ref, cfg_dict: dict,
-                  watermarks_ref) -> pa.Table:
+                  watermarks_ref, bucket_refs=None) -> pa.Table:
     key = seeds_ref.hex()
     stage = _STAGE_CACHE.get(key)
     if stage is None:
-        stage = ExtractStage(seeds_ref, cfg_dict, watermarks_ref)
+        stage = ExtractStage(seeds_ref, cfg_dict, watermarks_ref, bucket_refs)
         _STAGE_CACHE[key] = stage
     return stage(batch)
 
 
 class ExtractStage:
-    def __init__(self, seeds_ref, cfg_dict: dict, watermarks_ref):
+    def __init__(self, seeds_ref, cfg_dict: dict, watermarks_ref,
+                 bucket_refs=None):
         # once-per-actor state (broadcast refs)
         self.seeds = ray.get(seeds_ref)          # seed_id -> seed config dict
         self.cfg = cfg_dict
         self.watermarks = ray.get(watermarks_ref)  # seed_id -> set(hashes)
+        # zero-copy page-store bucket tables, resolved once per worker; rows
+        # reference html lazily via (bucket, html_row) so no html column is
+        # ever materialized between fetch and extract
+        self.btabs = ([ray.get(r) for r in bucket_refs]
+                      if bucket_refs is not None else None)
         from ..minidom import parse_html  # bind once
         self._parse = parse_html
         # link-filter state, built once per worker: allowed-host set
@@ -149,6 +163,11 @@ class ExtractStage:
                              urlkit.host_hash64(host), kind, depth, rel))
 
     # ------------------------------------------------------------------ main
+    def _html_of(self, row) -> bytes:
+        if self.btabs is not None and "html_row" in row:
+            return self.btabs[row["bucket"]]["html"][row["html_row"]].as_py()
+        return row["html"]
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = {f.name: [] for f in OUT_SCHEMA}
         for row in batch.to_pylist():
@@ -156,15 +175,19 @@ class ExtractStage:
             page_seq = row["seq"]
             kind = row["kind"]
             if row["status"] != 200:
-                self._rows(out, "event", sid, page_seq, 0,
-                           {"type": "fetch_fail", "status": row["status"],
-                            "kind": kind, "url": row["url"],
-                            "canon": row["canon"], "depth": row["depth"],
-                            "parent_seq": row["parent_seq"],
-                            "link_emit_idx": row["emit_idx"],
-                            "attempt": row["attempt"]})
+                # COLUMNAR retry row (out_kind='retry'): canon/hash/host come
+                # from the failed row itself, so the driver's retry path does
+                # no URL kernels.  Layout: page_seq=original parent_seq,
+                # emit_idx=original link emit_idx, sort_ts=attempt,
+                # l_rel=str(status) for the exhaustion status machine.
+                self._rows(out, "retry", sid, row["parent_seq"],
+                           row["emit_idx"], None, sort_ts=row["attempt"],
+                           link=(row["url"], row["canon"], row["url_hash"],
+                                 row["host"],
+                                 urlkit.host_hash64(row["host"]),
+                                 kind, row["depth"], str(row["status"])))
                 continue
-            html = row["html"]
+            html = self._html_of(row)
             seed = self.seeds[sid]
 
             if kind == SEARCH:
@@ -192,12 +215,12 @@ class ExtractStage:
                 root = self._parse(html).select_first("html")
                 prof = extract.extract_profile(root)
                 if prof["business_id"] == "":
-                    self._rows(out, "event", sid, page_seq, 0,
-                               {"type": "profile_nobizid", "url": row["url"],
-                                "canon": row["canon"], "depth": row["depth"],
-                                "parent_seq": row["parent_seq"],
-                                "link_emit_idx": row["emit_idx"],
-                                "attempt": row["attempt"]})
+                    self._rows(out, "retry", sid, row["parent_seq"],
+                               row["emit_idx"], None, sort_ts=row["attempt"],
+                               link=(row["url"], row["canon"],
+                                     row["url_hash"], row["host"],
+                                     urlkit.host_hash64(row["host"]),
+                                     PROFILE, row["depth"], "nobizid"))
                     continue
                 incremental = bool(self.watermarks.get(sid))
                 links = []
