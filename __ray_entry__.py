@@ -208,7 +208,7 @@ def oracle_sql() -> dict[str, str]:
             FROM inter
             JOIN cnt ca ON ca.doc_id = da
             JOIN cnt cb ON cb.doc_id = db
-            WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.5""",
+            WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8""",
         "emb_cosine_dups": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
             FROM embeddings a, embeddings b

@@ -136,21 +136,24 @@ def minhash_dups(sf_dir: str, threshold: float = 0.8, seed: int = 42) -> rd.Data
         aa, bb = zip(*sorted(pairs))
         return pd.DataFrame({"doc_a": list(aa), "doc_b": list(bb)})
 
-    cand = (minhash_signatures(sf_dir, seed)
+    # sized repartition before the groupby: Ray's shuffle partition count
+    # otherwise defaults to ~200, which dominates at fixture scale
+    cand = (minhash_signatures(sf_dir, seed).repartition(16)
             .groupby(["band_id", "band_hash"])
             .map_groups(verify_group, batch_format="pandas"))
 
-    # candidate pairs can surface from several bands → distinct
-    def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates()
+    # candidate pairs can surface from several bands → distinct.  The pair
+    # set is output-sized (small), so dedup is one Arrow group_by in a
+    # single block — NOT a per-pair map_groups (measured pathological)
+    def distinct(t: pa.Table) -> pa.Table:
+        return t.group_by(["doc_a", "doc_b"]).aggregate([])
 
-    return cand.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    return cand.repartition(1).map_batches(distinct, batch_format="pyarrow")
 
 
 # ------------------------------------------------------------ n-gram jaccard
 
-def ngram_jaccard_dups(sf_dir: str, threshold: float = 0.5) -> rd.Dataset:
+def ngram_jaccard_dups(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
     """(doc_a, doc_b): EXACT token-set Jaccard >= threshold pairs — no LSH
     approximation, SQL-checkable against a DuckDB self-join oracle.
 
@@ -237,6 +240,7 @@ def ngram_jaccard_dups(sf_dir: str, threshold: float = 0.5) -> rd.Dataset:
 
     return (docs(sf_dir, columns=("doc_id",))
             .map_batches(prefix_rows, batch_format="pyarrow")
+            .repartition(16)
             .groupby("token").map_groups(pairs_group, batch_format="pandas"))
 
 
@@ -287,10 +291,15 @@ def simhash_dups(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
         return pd.DataFrame({"doc_a": a, "doc_b": b, "hamming": h})
 
     cand = (docs(sf_dir).map_batches(sig_batch, batch_format="pyarrow")
+            .repartition(16)
             .groupby(["chunk_id", "chunk_val"])
             .map_groups(verify_group, batch_format="pandas"))
-    return cand.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+
+    def distinct(t: pa.Table) -> pa.Table:
+        return t.group_by(["doc_a", "doc_b"]).aggregate([("hamming", "min")]) \
+            .rename_columns(["doc_a", "doc_b", "hamming"])
+
+    return cand.repartition(1).map_batches(distinct, batch_format="pyarrow")
 
 
 # --------------------------------------------------------- embedding near-dup
