@@ -215,10 +215,16 @@ def _parse_simple(tok: str) -> _Simple:
     return s
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=256)
 def _parse_selector(selector: str) -> list[tuple[str, _Simple]]:
     """Returns [(combinator, simple), ...]; combinator of first is ''.
 
-    Supported: descendant (space), child ('>').
+    Supported: descendant (space), child ('>').  Cached: extraction calls
+    select() with the same handful of selectors per-element (measured 13k
+    parses per 200 pages before caching).
     """
     # tokenize, keeping '>' separate — but not inside [...] or (...)
     toks: list[str] = []
