@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search ---
         "knn_bruteforce": similarity.knn_bruteforce,
         "knn_lsh": similarity.knn_lsh,                    # rows-only (ANN)
+        "knn_ivf": similarity.knn_ivf,                    # rows-only (ANN)
         # --- events / streaming-shaped ---
         "events_windowed": events.windowed_counts,
         "events_sessionize": events.sessionize,

@@ -85,6 +85,63 @@ def knn_bruteforce(sf_dir: str, k: int = 5, query_stride: int = 50) -> rd.Datase
             .map_groups(merge_group, batch_format="pandas"))
 
 
+def _kmeans(M: np.ndarray, k: int, seed: int = 42, iters: int = 10):
+    """Deterministic Lloyd's k-means on normalized vectors (numpy)."""
+    rng = np.random.RandomState(seed)
+    C = M[rng.choice(len(M), size=k, replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(M @ C.T, axis=1)  # cosine on normalized = dot
+        for c in range(k):
+            sel = M[assign == c]
+            if len(sel):
+                v = sel.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    C[c] = v / n
+    return C, np.argmax(M @ C.T, axis=1)
+
+
+def knn_ivf(sf_dir: str, k: int = 5, query_stride: int = 50,
+            n_lists: int = 16, n_probe: int = 6, seed: int = 42) -> rd.Dataset:
+    """(query_id, rnk, neighbor_id): ANN via an IVF coarse quantizer —
+    deterministic k-means lists; each query scans only its ``n_probe``
+    nearest lists.  The scale path for embedding search: at corpus scale
+    the lists are the PARTITIONING (groupby(list_id) materialized once),
+    queries route to co-located list partitions, and only 1/n_lists of
+    the corpus is touched per probe.  Recall measured against
+    knn_bruteforce in tests."""
+    ids, M = _load_matrix(sf_dir)
+    C, assign = _kmeans(M, n_lists, seed)
+    lists = {c: np.nonzero(assign == c)[0] for c in range(n_lists)}
+    bundle = ray.put((ids, M, C, lists))
+
+    q_mask = ids % query_stride == 0
+    q_tbl = pa.table({"query_id": pa.array(ids[q_mask], pa.int64())})
+
+    def probe(t: pa.Table) -> pa.Table:
+        g_ids, g_M, g_C, g_lists = ray.get(bundle)
+        out_q, out_r, out_n = [], [], []
+        for qid in t["query_id"].to_pylist():
+            qvec = g_M[np.searchsorted(g_ids, qid)]
+            top_lists = np.argsort(-(g_C @ qvec))[:n_probe]
+            cand_idx = np.concatenate([g_lists[int(c)] for c in top_lists])
+            sims = g_M[cand_idx] @ qvec
+            c_ids = g_ids[cand_idx]
+            mask = c_ids != qid
+            sims, c_ids = sims[mask], c_ids[mask]
+            order = np.lexsort((c_ids, -sims))[:k]
+            for r, j in enumerate(order, 1):
+                out_q.append(qid)
+                out_r.append(r)
+                out_n.append(c_ids[j])
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "rnk": pa.array(out_r, pa.int64()),
+                         "neighbor_id": pa.array(out_n, pa.int64())})
+
+    return rd.from_arrow(q_tbl).map_batches(probe, batch_format="pyarrow",
+                                            batch_size=512)
+
+
 def knn_lsh(sf_dir: str, k: int = 5, query_stride: int = 50,
             n_planes: int = 6, n_tables: int = 8, seed: int = 42) -> rd.Dataset:
     """(query_id, rnk, neighbor_id): ANN via MULTI-TABLE random-hyperplane

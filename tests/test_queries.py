@@ -153,18 +153,20 @@ def test_simhash_matches_bruteforce(ray_session, tmp_path):
     assert pairs == want
 
 
-def test_knn_lsh_recall(ray_session, qmap):
+@pytest.mark.parametrize("ann_name,floor", [("knn_lsh", 0.5),
+                                            ("knn_ivf", 0.6)])
+def test_knn_ann_recall(ray_session, qmap, ann_name, floor):
     """ANN recall@5 vs brute force must be reasonable on the embeddings."""
     queries, _ = qmap
     bf = _to_df(queries["knn_bruteforce"](SF))
-    ann = _to_df(queries["knn_lsh"](SF))
+    ann = _to_df(queries[ann_name](SF))
     bf_sets = bf.groupby("query_id")["neighbor_id"].apply(set)
     ann_sets = ann.groupby("query_id")["neighbor_id"].apply(set)
     recalls = []
     for q, want in bf_sets.items():
         got = ann_sets.get(q, set())
         recalls.append(len(got & want) / len(want))
-    assert sum(recalls) / len(recalls) >= 0.5
+    assert sum(recalls) / len(recalls) >= floor
 
 
 def test_media_strict_decode_raises(ray_session):
