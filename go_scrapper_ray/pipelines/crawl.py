@@ -196,7 +196,8 @@ class CrawlEngine:
                  enforce_robots: bool | None = None,
                  fetch_concurrency: int = 4, extract_concurrency: int = 4,
                  batch_size: int = 256, checkpoints: bool = True,
-                 store_dir: str | None = None):
+                 store_dir: str | None = None,
+                 max_per_host_per_round: int = 0):
         self.corpus = Path(corpus_dir)
         self.workdir = Path(workdir)
         self.workdir.mkdir(parents=True, exist_ok=True)
@@ -230,7 +231,7 @@ class CrawlEngine:
         cfg_dict = {"delay_ms": self.cfg.delay_ms, "jitter_ms": self.cfg.jitter_ms,
                     "jitter_seed": self.cfg.jitter_seed,
                     "ignore_robots": self.cfg.ignore_robots,
-                    "max_per_host_per_round": 0}
+                    "max_per_host_per_round": max_per_host_per_round}
         self.frontier = [FrontierShard.remote(i, cfg_dict,
                                               str(self.corpus / "robots.parquet"))
                          for i in range(self.cfg.num_frontier_shards)]
