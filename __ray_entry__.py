@@ -187,7 +187,10 @@ def oracle_sql() -> dict[str, str]:
                    length(text)::BIGINT AS n_chars,
                    length(regexp_extract_all(text, '\S+'))::BIGINT AS n_words,
                    length(regexp_extract_all(text, '[!-/:-@\[-`{-~]'))::BIGINT AS n_punct,
-                   length(regexp_extract_all(text, '[0-9]'))::BIGINT AS n_digits
+                   length(regexp_extract_all(text, '[0-9]'))::BIGINT AS n_digits,
+                   length(list_filter(regexp_extract_all(lower(text), '\S+'),
+                       x -> x IN ('the','and','of','to','a','in','is','it',
+                                  'that','for')))::BIGINT AS n_stopwords
             FROM documents""",
         "docs_fingerprint":
             "SELECT doc_id, md5(text) AS fp FROM documents",

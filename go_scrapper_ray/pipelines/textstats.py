@@ -49,18 +49,28 @@ def token_count(sf_dir: str) -> rd.Dataset:
 
 # ------------------------------------------------------------- quality scores
 
+STOPWORDS = ("the", "and", "of", "to", "a", "in", "is", "it", "that", "for")
+
+
 def quality(sf_dir: str) -> rd.Dataset:
-    """(doc_id, n_chars, n_words, n_punct, n_digits) — integer-valued quality
-    features (ints keep the DuckDB oracle comparison exact)."""
+    """(doc_id, n_chars, n_words, n_punct, n_digits, n_stopwords) —
+    integer-valued quality features (length / punctuation / digit /
+    stopword-ratio numerators; ints keep the DuckDB oracle comparison
+    exact)."""
+    sw = frozenset(STOPWORDS)
 
     def kernel(t: pa.Table) -> pa.Table:
         texts = t["text"].to_pylist()
+        toks = [TOKEN_RE.findall(s) for s in texts]
         return pa.table({
             "doc_id": t["doc_id"],
             "n_chars": pc.utf8_length(t["text"]).cast(pa.int64()),
-            "n_words": pa.array([len(TOKEN_RE.findall(s)) for s in texts], pa.int64()),
+            "n_words": pa.array([len(ts) for ts in toks], pa.int64()),
             "n_punct": pa.array([len(PUNCT_RE.findall(s)) for s in texts], pa.int64()),
             "n_digits": pa.array([len(DIGIT_RE.findall(s)) for s in texts], pa.int64()),
+            "n_stopwords": pa.array(
+                [sum(1 for w in ts if w.lower() in sw) for ts in toks],
+                pa.int64()),
         })
 
     return docs(sf_dir).map_batches(kernel, batch_format="pyarrow")
