@@ -134,7 +134,8 @@ def _q_canonicalize(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from go_scrapper_ray.pipelines import dedup, events, multimodal, similarity, textstats
+    from go_scrapper_ray.pipelines import (dedup, events, multimodal,
+                                           relational, similarity, textstats)
 
     return {
         # --- crawl engine (non-SQL; rows-only checks) ---
@@ -169,6 +170,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- multimodal plumbing (rows-only; codecs stubbed) ---
         "media_features": multimodal.media_features,
         "media_frame_sample": multimodal.frame_sample,
+        # --- relational (broadcast hash joins + combiner aggregates) ---
+        "top_suppliers": relational.top_suppliers_by_revenue,
+        "order_priorities": relational.order_priority_counts,
+        "nation_revenue": relational.nation_customer_revenue,
     }
 
 
@@ -254,4 +259,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, sum(CAST(round(value*100) AS BIGINT)) AS cents
             FROM events GROUP BY user_id
             ORDER BY cents DESC, user_id LIMIT 10""",
+        "top_suppliers": """
+            SELECT s_name,
+                   sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS cents
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY s_name ORDER BY cents DESC, s_name LIMIT 10""",
+        "order_priorities": """
+            SELECT o_orderpriority, count(*)::BIGINT AS n
+            FROM orders GROUP BY o_orderpriority""",
+        "nation_revenue": """
+            SELECT n_name, sum(CAST(round(o_totalprice*100) AS BIGINT)) AS cents
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name""",
     }

@@ -1,0 +1,116 @@
+"""Relational operators over the TPC-H-ish tables — the engine's general
+join/aggregate capability (the reference's only join is the tiny match-service
+lookup, SURVEY.md J1; these are its at-scale analogs).
+
+Pattern: BROADCAST HASH JOIN — the small side is read once, keyed, and
+``ray.put`` into the object store; the big side streams through
+``map_batches`` doing a vectorized ``index_in`` + ``take``.  No all-to-all
+shuffle; aggregation pre-combines per batch before the final small groupby
+(combiner-before-shuffle)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+
+def _read(sf_dir: str, table: str, columns: list[str]) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def broadcast_join(big: rd.Dataset, small_tbl: pa.Table, big_key: str,
+                   small_key: str, take_cols: list[str]) -> rd.Dataset:
+    """Left-inner broadcast join: rows of ``big`` matched against the
+    broadcast ``small_tbl``; unmatched rows are dropped (inner)."""
+    small_ref = ray.put(small_tbl)
+
+    def kernel(t: pa.Table) -> pa.Table:
+        s = ray.get(small_ref)  # zero-copy
+        idx = pc.index_in(t[big_key], value_set=s[small_key])
+        mask = pc.is_valid(idx)
+        t = t.filter(mask)
+        idx = pc.filter(idx, mask)
+        for c in take_cols:
+            t = t.append_column(c, pc.take(s[c], idx))
+        return t
+
+    return big.map_batches(kernel, batch_format="pyarrow")
+
+
+def top_suppliers_by_revenue(sf_dir: str, n: int = 10) -> rd.Dataset:
+    """(s_name, cents): lineitem revenue per supplier, top-N — lineitem
+    streams, supplier broadcasts, revenue pre-aggregates per batch (integer
+    cents keep the DuckDB comparison exact)."""
+    # read the (small) supplier table eagerly via pyarrow for the broadcast
+    import pyarrow.parquet as pq
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_name"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.round(pc.multiply(
+            pc.multiply(t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            100), round_mode="half_towards_infinity")
+        tmp = pa.table({"l_suppkey": t["l_suppkey"],
+                        "cents": pc.cast(cents, pa.int64())})
+        g = tmp.group_by("l_suppkey").aggregate([("cents", "sum")])
+        return g.rename_columns(["l_suppkey", "p_cents"])
+
+    from ray.data.aggregate import Sum
+    agg = (_read(sf_dir, "lineitem",
+                 ["l_suppkey", "l_extendedprice", "l_discount"])
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("l_suppkey").aggregate(Sum("p_cents", alias_name="cents")))
+    joined = broadcast_join(agg, sup, "l_suppkey", "s_suppkey", ["s_name"])
+    return (joined.map_batches(
+        lambda t: t.select(["s_name", "cents"]), batch_format="pyarrow")
+        .sort(["cents", "s_name"], descending=[True, False]).limit(n))
+
+
+def order_priority_counts(sf_dir: str) -> rd.Dataset:
+    """(o_orderpriority, n): order counts per priority — pre-aggregated per
+    batch, tiny final groupby."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_orderpriority").aggregate([("o_orderpriority",
+                                                      "count")])
+        return g.rename_columns(["o_orderpriority", "p_n"])
+
+    from ray.data.aggregate import Sum
+    return (_read(sf_dir, "orders", ["o_orderpriority"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("o_orderpriority").aggregate(Sum("p_n", alias_name="n")))
+
+
+def nation_customer_revenue(sf_dir: str) -> rd.Dataset:
+    """(n_name, cents): total order value by customer nation — two chained
+    broadcast joins (customer→nation keyed maps are the small sides) over a
+    streaming orders scan."""
+    import pyarrow.parquet as pq
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100),
+                             round_mode="half_towards_infinity"),
+                        pa.int64())
+        tmp = pa.table({"c_nationkey": t["c_nationkey"], "cents": cents})
+        g = tmp.group_by("c_nationkey").aggregate([("cents", "sum")])
+        return g.rename_columns(["c_nationkey", "p_cents"])
+
+    from ray.data.aggregate import Sum
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    with_nat = broadcast_join(orders, cust, "o_custkey", "c_custkey",
+                              ["c_nationkey"])
+    agg = (with_nat.map_batches(partial, batch_format="pyarrow")
+           .groupby("c_nationkey").aggregate(Sum("p_cents",
+                                                 alias_name="cents")))
+    named = broadcast_join(agg, nation, "c_nationkey", "n_nationkey",
+                           ["n_name"])
+    return named.map_batches(lambda t: t.select(["n_name", "cents"]),
+                             batch_format="pyarrow")

@@ -58,7 +58,8 @@ def qmap(ray_session):
 SQL_CHECKED = ["docs_lang_dist", "docs_token_count", "docs_quality",
                "docs_fingerprint", "docs_exact_dedup", "docs_jaccard_dups",
                "emb_cosine_dups", "knn_bruteforce", "events_windowed",
-               "events_sessionize", "events_top_users"]
+               "events_sessionize", "events_top_users", "top_suppliers",
+               "order_priorities", "nation_revenue"]
 
 
 @pytest.mark.parametrize("name", SQL_CHECKED)
