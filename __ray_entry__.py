@@ -239,7 +239,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    epoch_us(ts)//3600000000 AS window_id,
                    count(*)::BIGINT AS n,
-                   sum(CAST(round(value*100) AS BIGINT)) AS cents
+                   sum(CAST(round(value*100) AS BIGINT))::BIGINT AS cents
             FROM events GROUP BY event_type, epoch_us(ts)//3600000000""",
         "events_sessionize": """
             WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
@@ -249,26 +249,26 @@ def oracle_sql() -> dict[str, str]:
                         THEN 1 ELSE 0 END AS is_new
                   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
             g AS (SELECT user_id, ts_us,
-                   SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-                                     ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+                   (SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                      ROWS UNBOUNDED PRECEDING) - 1)::BIGINT AS session_idx
                   FROM s)
             SELECT user_id, session_idx, count(*)::BIGINT AS n_events,
                    min(ts_us) AS start_us, max(ts_us) AS end_us
             FROM g GROUP BY user_id, session_idx""",
         "events_top_users": """
-            SELECT user_id, sum(CAST(round(value*100) AS BIGINT)) AS cents
+            SELECT user_id, sum(CAST(round(value*100) AS BIGINT))::BIGINT AS cents
             FROM events GROUP BY user_id
             ORDER BY cents DESC, user_id LIMIT 10""",
         "top_suppliers": """
             SELECT s_name,
-                   sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS cents
+                   sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT))::BIGINT AS cents
             FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
             GROUP BY s_name ORDER BY cents DESC, s_name LIMIT 10""",
         "order_priorities": """
             SELECT o_orderpriority, count(*)::BIGINT AS n
             FROM orders GROUP BY o_orderpriority""",
         "nation_revenue": """
-            SELECT n_name, sum(CAST(round(o_totalprice*100) AS BIGINT)) AS cents
+            SELECT n_name, sum(CAST(round(o_totalprice*100) AS BIGINT))::BIGINT AS cents
             FROM orders
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey

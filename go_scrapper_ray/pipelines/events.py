@@ -28,7 +28,8 @@ def windowed_counts(sf_dir: str, window_s: int = 3600) -> rd.Dataset:
     def partial(t: pa.Table) -> pa.Table:
         epoch_us = t["ts"].cast(pa.int64())
         window_id = pc.divide(epoch_us, 1_000_000 * window_s)
-        cents = pc.round(pc.multiply(t["value"], 100)).cast(pa.int64())
+        cents = pc.round(pc.multiply(t["value"], 100),
+                         round_mode="half_towards_infinity").cast(pa.int64())
         tmp = pa.table({"event_type": t["event_type"],
                         "window_id": window_id.cast(pa.int64()),
                         "cents": cents})
@@ -80,7 +81,8 @@ def top_users_by_value(sf_dir: str, n: int = 10) -> rd.Dataset:
     groupby sum, global top-N (sort on the tiny aggregate)."""
 
     def partial(t: pa.Table) -> pa.Table:
-        cents = pc.round(pc.multiply(t["value"], 100)).cast(pa.int64())
+        cents = pc.round(pc.multiply(t["value"], 100),
+                         round_mode="half_towards_infinity").cast(pa.int64())
         tmp = pa.table({"user_id": t["user_id"], "cents": cents})
         g = tmp.group_by("user_id").aggregate([("cents", "sum")])
         return g.rename_columns(["user_id", "p_cents"])
