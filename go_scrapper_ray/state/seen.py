@@ -31,20 +31,36 @@ class SeenShard:
         self.exact: dict[int, str] = {}
         self.filter = CuckooFilter(capacity)
 
+    def _filter_add(self, h: int) -> None:
+        """Insert into the cuckoo fast path; on over-full failure (which can
+        also evict a resident victim fingerprint) rebuild at 2x from the
+        exact keys so filter negatives stay trustworthy."""
+        if not self.filter.add(h):
+            nf = CuckooFilter(max(1 << 16, len(self.exact) * 4))
+            for k in self.exact:
+                nf.add(k)
+            self.filter = nf
+
     def add_if_new(self, hashes: list[int], canons: list[str]) -> list[bool]:
-        """Batched check-and-insert; True = new (caller may schedule)."""
+        """Batched check-and-insert; True = new (caller may schedule).
+
+        The exact dict is AUTHORITATIVE; the filter is a pure fast path
+        (a filter hit short-circuits to the dict probe; a filter miss still
+        falls through to the dict, so eviction/false-negatives can never
+        resurrect a seen URL as new)."""
         out = []
+        exact = self.exact
         for h, c in zip(hashes, canons):
-            if h in self.filter and h in self.exact:
+            if h in exact:
                 out.append(False)
                 continue
-            self.exact[h] = c
-            self.filter.add(h)
+            exact[h] = c
+            self._filter_add(h)
             out.append(True)
         return out
 
     def contains(self, hashes: list[int]) -> list[bool]:
-        return [(h in self.filter and h in self.exact) for h in hashes]
+        return [h in self.exact for h in hashes]
 
     def dump(self) -> list[tuple[int, str]]:
         return sorted(self.exact.items())

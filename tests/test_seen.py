@@ -1,0 +1,52 @@
+"""SeenShard at load: the exact dict must stay authoritative past the cuckoo
+filter's default capacity (1<<16 slots) — over-full inserts can evict
+resident fingerprints, so a filter miss must never be read as 'new'
+(regression for the silent-duplicate-scheduling bug)."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import ray
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from go_scrapper_ray.state.cuckoo import CuckooFilter
+from go_scrapper_ray.state.seen import SeenShard
+
+
+def test_seen_shard_past_filter_capacity(ray_session):
+    n = 100_000  # > 65_536 default filter slots
+    shard = SeenShard.remote(0)
+    hashes = [((i * 0x9E3779B97F4A7C15) & ((1 << 64) - 1)) for i in range(n)]
+    canons = [f"https://h{i % 997}.example.com/p/{i}" for i in range(n)]
+
+    first, second = [], []
+    B = 8192
+    for i in range(0, n, B):
+        first.extend(ray.get(
+            shard.add_if_new.remote(hashes[i:i+B], canons[i:i+B])))
+    assert all(first), "every distinct hash must be new on first insert"
+    assert ray.get(shard.size.remote()) == n
+
+    for i in range(0, n, B):
+        second.extend(ray.get(
+            shard.add_if_new.remote(hashes[i:i+B], canons[i:i+B])))
+    dupes_reported_new = sum(second)
+    assert dupes_reported_new == 0, (
+        f"{dupes_reported_new} previously-seen URLs reported new "
+        "(filter eviction treated as authoritative)")
+
+    assert all(ray.get(shard.contains.remote(hashes[:B])))
+    ray.kill(shard)
+
+
+def test_cuckoo_filter_reports_overfull():
+    cf = CuckooFilter(1 << 10)  # 1024 slots
+    failed = 0
+    for i in range(4096):
+        h = (i * 0x9E3779B97F4A7C15) & ((1 << 64) - 1)
+        if not cf.add(h):
+            failed += 1
+    assert failed > 0, "filter must signal over-full instead of lying"
