@@ -86,9 +86,13 @@ def _q_crawl_visit_log(sf_dir: str):
 
 
 def _q_crawl_seen(sf_dir: str):
+    import numpy as np
     import pandas as pd
     rows = _crawl(sf_dir).seen
-    return pd.DataFrame({"url_hash": [float(h) for h, _ in rows],
+    # uint64, not float: float64 only holds 53 bits and would silently
+    # collide distinct 64-bit url hashes
+    return pd.DataFrame({"url_hash": np.array([h for h, _ in rows],
+                                              dtype=np.uint64),
                          "canon_url": [c for _, c in rows]})
 
 
@@ -125,7 +129,7 @@ def _q_canonicalize(sf_dir: str):
         return pa.table({
             "url": t["url"],
             "canon_url": pa.array(canons, pa.string()),
-            "url_hash": pa.array([float(h) for h in urlkit.url_hash_batch(canons)]),
+            "url_hash": pa.array(urlkit.url_hash_batch(canons), pa.uint64()),
             "host": pa.array(urlkit.host_batch(canons), pa.string()),
         })
 

@@ -57,12 +57,17 @@ def knn_bruteforce(sf_dir: str, k: int = 5, query_stride: int = 50) -> rd.Datase
         self_mask = qi_ids[:, None] == c_ids[None, :]
         sims[self_mask] = -np.inf
         kk = min(k, sims.shape[1])
-        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        # kth-largest score per query; keep EVERY candidate at or above it so
+        # boundary ties survive to the deterministic (score desc, id asc)
+        # lexsort — argpartition alone picks arbitrary survivors among ties
+        # and can disagree with the oracle's row_number tiebreak
+        thresh = -np.partition(-sims, kk - 1, axis=1)[:, kk - 1]
         rows_q, rows_n, rows_s = [], [], []
         for qi in range(sims.shape[0]):
-            for j in idx[qi]:
-                if sims[qi, j] == -np.inf:
-                    continue
+            sel = np.flatnonzero(sims[qi] >= thresh[qi])
+            sel = sel[sims[qi, sel] > -np.inf]
+            order = sel[np.lexsort((c_ids[sel], -sims[qi, sel]))][:kk]
+            for j in order:
                 rows_q.append(qi_ids[qi])
                 rows_n.append(c_ids[j])
                 rows_s.append(sims[qi, j])

@@ -16,7 +16,6 @@ because the scheduled Dataset is sorted by bucket before the stage (SURVEY.md
 
 from __future__ import annotations
 
-from collections import OrderedDict
 from pathlib import Path
 
 import pyarrow as pa
@@ -62,6 +61,39 @@ def build_page_store(pages_parquet: str, status_parquet: str, store_dir: str,
     ds = rd.read_parquet(pages_parquet, columns=["url", "html"])
     ds = ds.map_batches(add_bucket, batch_format="pyarrow")
     ds.write_parquet(str(out), partition_cols=["bucket"])
+
+    # Union in page_status-only URLs (status recorded but no page row) with
+    # null html so the engine resolves them to their RECORDED status instead
+    # of 404 (oracle _effective_status parity).  Driver memory here is
+    # O(status table), the small side: the distributed scan emits only the
+    # page-urls that intersect the status keys.
+    def matched(batch: pa.Table) -> pa.Table:
+        smap = ray.get(status_ref)
+        urls = [u for u in batch["url"].to_pylist() if u in smap]
+        return pa.table({"url": pa.array(urls, pa.string())})
+
+    seen_urls: set[str] = set()
+    for t in (rd.read_parquet(pages_parquet, columns=["url"])
+              .map_batches(matched, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow")):
+        seen_urls.update(t["url"].to_pylist())
+    missing = sorted(set(status_map) - seen_urls)
+    if missing:
+        hashes = url_hash_batch(missing)
+        extra = pa.table({
+            "url": pa.array(missing, pa.string()),
+            "html": pa.array([None] * len(missing), pa.binary()),
+            "url_hash": pa.array(hashes, pa.uint64()),
+            "status": pa.array([status_map[u][0] for u in missing], pa.int32()),
+            "fail_times": pa.array([status_map[u][1] for u in missing],
+                                   pa.int32()),
+        })
+        for b in sorted({h % num_buckets for h in hashes}):
+            mask = pa.array([h % num_buckets == b for h in hashes])
+            bdir = out / f"bucket={b}"
+            bdir.mkdir(exist_ok=True)
+            pq.write_table(extra.filter(mask), bdir / "status_only.parquet")
+
     import json
     n = pads.dataset(str(out), partitioning="hive").count_rows()
     (out / "_built.json").write_text(json.dumps({"rows": n, "buckets": num_buckets}))
@@ -147,63 +179,3 @@ def fetch_batch_refs(batch: pa.Table, refs: list, num_buckets: int) -> pa.Table:
     return (batch
             .append_column("status", _cat(status_parts, pa.int32()))
             .append_column("html_row", _cat(idx_parts, pa.int32())))
-
-
-# Worker-process-global bucket cache: the fetch stage runs as Ray TASKS (no
-# actor-pool spin-up per crawl round — the driver loop runs many small
-# rounds); Ray worker processes are long-lived, so a module-level LRU gives
-# the same load-once-per-worker amortization an actor would.
-_BUCKET_CACHE: OrderedDict[tuple[str, int], dict] = OrderedDict()
-_BUCKET_CACHE_CAP = 64
-
-
-def _load_bucket(store_dir: str, b: int) -> dict:
-    key = (store_dir, b)
-    got = _BUCKET_CACHE.get(key)
-    if got is not None:
-        _BUCKET_CACHE.move_to_end(key)
-        return got
-    p = Path(store_dir) / f"bucket={b}"
-    d = {}
-    if p.exists():
-        t = pads.dataset(str(p)).to_table(
-            columns=["url", "html", "status", "fail_times"])
-        d = {u: (h, s, f) for u, h, s, f in
-             zip(t["url"].to_pylist(), t["html"].to_pylist(),
-                 t["status"].to_pylist(), t["fail_times"].to_pylist())}
-    _BUCKET_CACHE[key] = d
-    if len(_BUCKET_CACHE) > _BUCKET_CACHE_CAP:
-        _BUCKET_CACHE.popitem(last=False)
-    return d
-
-
-def fetch_batch(batch: pa.Table, store_dir: str, num_buckets: int) -> pa.Table:
-    """map_batches kernel: scheduled rows in → +status +html out.
-
-    Effective status reproduces the fixture failure model: permanent non-200,
-    or fail the first ``fail_times`` attempts with 503 (FIXTURES.md §2); URLs
-    absent from the store are 404."""
-    canons = batch["canon"].to_pylist()
-    hashes = batch["url_hash"].to_pylist()
-    attempts = batch["attempt"].to_pylist()
-    statuses, htmls = [], []
-    for canon, h, attempt in zip(canons, hashes, attempts):
-        d = _load_bucket(store_dir, h % num_buckets)
-        got = d.get(canon)
-        if got is None:
-            statuses.append(404)
-            htmls.append(None)
-            continue
-        html, st, ft = got
-        if st != 200:
-            statuses.append(st or 0)
-            htmls.append(None)
-        elif attempt <= ft:
-            statuses.append(503)
-            htmls.append(None)
-        else:
-            statuses.append(200)
-            htmls.append(html)
-    return (batch
-            .append_column("status", pa.array(statuses, pa.int32()))
-            .append_column("html", pa.array(htmls, pa.binary())))
