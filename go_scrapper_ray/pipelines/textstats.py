@@ -156,22 +156,27 @@ _LANG_MARKERS = {
 
 class LangIdStage:
     """Callable-class stage (actor pool when concurrency is set): marker
-    tables built once per actor in __init__, scored per batch."""
+    tables built once per actor in __init__, scored per batch.
+
+    Fully vectorized: one ``pc.count_substring`` per marker over the whole
+    batch (non-overlapping counts — same semantics as ``str.count``), argmax
+    across languages (first-max wins = the declared language order, matching
+    the old per-row loop's tie behavior)."""
 
     def __init__(self):
+        self.langs = list(_LANG_MARKERS)
         self.markers = {lang: [m.lower() for m in ms]
                         for lang, ms in _LANG_MARKERS.items()}
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        preds = []
-        for s in t["text"].to_pylist():
-            low = s.lower()
-            best, best_score = "en", -1
-            for lang, ms in self.markers.items():
-                score = sum(low.count(m) for m in ms)
-                if score > best_score:
-                    best, best_score = lang, score
-            preds.append(best)
+        low = pc.utf8_lower(t["text"])
+        scores = np.zeros((len(self.langs), len(t)), dtype=np.int64)
+        for i, lang in enumerate(self.langs):
+            for m in self.markers[lang]:
+                scores[i] += pc.count_substring(low, pattern=m) \
+                    .to_numpy(zero_copy_only=False)
+        best = np.argmax(scores, axis=0)  # first max wins (lang order)
+        preds = np.array(self.langs, dtype=object)[best]
         return pa.table({"doc_id": t["doc_id"],
                          "pred_lang": pa.array(preds, pa.string())})
 
