@@ -26,3 +26,7 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+from .mem import tune_malloc as _tune_malloc
+
+_tune_malloc()  # see mem.py: keeps large batch temps on the warm heap

@@ -32,6 +32,9 @@ from .textstats import docs
 
 TOKEN_RE = re.compile(r"\S+")
 
+# byte-popcount lookup table for vectorized bitset intersection
+_POPCNT = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint16)
+
 
 # -------------------------------------------------------------------- exact
 
@@ -157,18 +160,29 @@ def ngram_jaccard_dups(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
     """(doc_a, doc_b): EXACT token-set Jaccard >= threshold pairs — no LSH
     approximation, SQL-checkable against a DuckDB self-join oracle.
 
-    Shape (PPJoin-style prefix filtering — Xiao et al., WWW'08):
-      1. (doc_id, token) distinct rows; global df per token (small groupby)
-         broadcast as the canonical rare-first token order;
-      2. each doc indexes only its PREFIX tokens (first |A|-ceil(t*|A|)+1
-         under that order) — theorem: any pair with J>=t shares a prefix
-         token, so low-df prefixes generate candidates without the
-         stopword pair explosion;
-      3. groupby(prefix token) -> candidate pairs -> distinct;
-      4. verify true Jaccard against broadcast per-doc token sets.
-    Partitioning assumption (documented): the verify step broadcasts the
-    token-set map; at corpus scale it becomes a doc_id-partitioned lookup
-    join, and minhash_dups is the preferred screen."""
+    Fully distributed (PPJoin-style prefix filtering — Xiao et al., WWW'08):
+      1. (doc_id, token) distinct rows (map_batches) — materialized once,
+         reused by the df pass and the verify pass;
+      2. global df per token via combiner-before-shuffle groupby; ONLY the
+         vocab-sized token→rank dict is broadcast (rare-first global order);
+      3. each doc emits its PREFIX tokens (first |A|-ceil(t*|A|)+1 under
+         that order) + its set size — theorem: any pair with J>=t shares a
+         prefix token, so low-df prefixes generate candidates without the
+         stopword pair explosion; groupby(prefix token) emits length-filtered
+         candidate pairs with vectorized triu indices;
+      4. verify, two size-gated paths:
+         * FAST: vocab small enough that per-doc BITSET masks (V/8 bytes)
+           fit a 64 MiB broadcast → candidate gen + popcount(AND) verify
+           fused inside the prefix groups, all numpy;
+         * AT SCALE: distinct candidates NATIVE-HASH-JOIN
+           (doc_id-co-partitioned) against the streaming (doc_id, set-blob)
+           table once per side, then batch-vectorized popcount / sorted-
+           array intersection.  No whole-corpus text broadcast, no
+           driver-side token sets, no millions-of-groups aggregate (Ray
+           groupby degrades badly there).
+    Driver/broadcast state is bounded by the vocab-sized rank dict plus the
+    size-gated bitset table — never by corpus text."""
+    import math
 
     def tok_batch(t: pa.Table) -> pa.Table:
         ids, toks = [], []
@@ -179,69 +193,280 @@ def ngram_jaccard_dups(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
         return pa.table({"doc_id": pa.array(ids, pa.int64()),
                          "token": pa.array(toks, pa.string())})
 
-    import math
-    from collections import Counter
+    toks = docs(sf_dir).map_batches(tok_batch,
+                                    batch_format="pyarrow").materialize()
 
-    toks = docs(sf_dir).map_batches(tok_batch, batch_format="pyarrow")
+    # ---- pass 1: distributed df → vocab-sized rare-first rank broadcast
+    def df_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("token").aggregate([("token", "count")])
+        return g.rename_columns(["token", "p_n"])
 
-    # driver-side broadcast build (test-scale; see docstring caveat):
-    # per-doc token sets → df counts → global rare-first rank → prefixes
-    sets: dict[int, frozenset] = {}
-    for ref in toks.to_arrow_refs():
-        t = ray.get(ref)
-        for did, w in zip(t["doc_id"].to_pylist(), t["token"].to_pylist()):
-            sets.setdefault(did, set()).add(w)
-    sets = {k: frozenset(v) for k, v in sets.items()}
-    df = Counter()
-    for s in sets.values():
-        df.update(s)
-    rank = {w: i for i, (w, _) in
-            enumerate(sorted(df.items(), key=lambda kv: (kv[1], kv[0])))}
-    prefixes = {}
-    for did, s in sets.items():
-        n = len(s)
-        if n == 0:
-            continue
-        p = n - math.ceil(threshold * n) + 1
-        prefixes[did] = sorted(s, key=rank.__getitem__)[:p]
-    bc = ray.put((rank, sets, {d: frozenset(p) for d, p in prefixes.items()}))
+    from ray.data.aggregate import Sum
+    df_ds = (toks.map_batches(df_partial, batch_format="pyarrow")
+             .groupby("token").aggregate(Sum("p_n", alias_name="n")))
+    vocab, counts = [], []
+    for t in df_ds.iter_batches(batch_format="pyarrow"):
+        vocab.extend(t["token"].to_pylist())
+        counts.extend(t["n"].to_pylist())
+    order = sorted(range(len(vocab)), key=lambda i: (counts[i], vocab[i]))
+    rank = {vocab[i]: r for r, i in enumerate(order)}
+    rank_ref = ray.put(rank)
+    # bitset verify when the vocab is small enough that a doc's token set
+    # packs into <=8 KiB of uint64 words — popcount(AND) then vectorizes
+    # across an entire batch of pairs; otherwise sorted-array intersect
+    n_words = (len(rank) + 63) // 64 if len(rank) <= 65536 else 0
 
+    # ---- pass 2: prefix rows from a fresh column-pruned doc scan
     def prefix_rows(t: pa.Table) -> pa.Table:
-        _, _, pmap = ray.get(bc)
-        ids, toks_out = [], []
-        for did in t["doc_id"].to_pylist():
-            for w in pmap.get(did, ()):
+        rk = ray.get(rank_ref)
+        ids, toks_out, sizes = [], [], []
+        for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            ws = set(TOKEN_RE.findall(s.lower()))
+            n = len(ws)
+            if n == 0:
+                continue
+            p = n - math.ceil(threshold * n) + 1
+            for w in sorted(ws, key=rk.__getitem__)[:p]:
                 ids.append(did)
                 toks_out.append(w)
+                sizes.append(n)
         return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                         "token": pa.array(toks_out, pa.string())})
+                         "token": pa.array(toks_out, pa.string()),
+                         "dsize": pa.array(sizes, pa.int64())})
 
-    def pairs_group(g: pd.DataFrame) -> pd.DataFrame:
-        """Verify inline; emit a pair ONLY in the group of its first (by
-        global rank) common prefix token — each qualifying pair surfaces in
-        exactly one group, so no dedup shuffle is needed."""
-        rk, smap, pmap = ray.get(bc)
-        w = g["token"].iloc[0]
-        ids = sorted(set(g["doc_id"]))
+    def set_rows(t: pa.Table) -> pa.Table:
+        # token set as a BINARY blob (Acero hash joins reject list<>
+        # non-key fields but pass binary through): bitset words when the
+        # vocab allows, else the sorted rank array
+        rk = ray.get(rank_ref)
+        ids, arrs = [], []
+        for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            ws = set(TOKEN_RE.findall(s.lower()))
+            if not ws:
+                continue
+            ids.append(did)
+            rr = np.fromiter((rk[w] for w in ws), np.int64, len(ws))
+            if n_words:
+                mask = np.zeros(n_words, np.uint64)
+                np.bitwise_or.at(mask, rr >> 6,
+                                 np.uint64(1) << (rr & 63).astype(np.uint64))
+                arrs.append(mask.tobytes())
+            else:
+                rr.sort()
+                arrs.append(rr.tobytes())
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "ranks": pa.array(arrs, pa.binary())})
+
+    sets_ds = docs(sf_dir).map_batches(set_rows,
+                                       batch_format="pyarrow").materialize()
+    prefix_ds = (docs(sf_dir).map_batches(prefix_rows, batch_format="pyarrow")
+                 .repartition(16))
+    _empty_pairs = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64")})
+
+    def distinct(t: pa.Table) -> pa.Table:
+        return t.group_by(["doc_a", "doc_b"]).aggregate([])
+
+    # ---- FAST PATH: when the bitset side table fits a broadcast budget
+    # (masks are V/8 bytes per doc — 8 B/doc on small vocabs), fuse candidate
+    # generation + verification inside the prefix-token groups: triu pair
+    # emission, popcount(AND) verify, all numpy.  The broadcast object is
+    # packed BITSETS, not text, and is size-gated; past the gate the
+    # co-partitioned join path below runs instead.
+    n_docs = sets_ds.count()
+    if n_words and n_docs * n_words * 8 <= (64 << 20):
+        ids_l, blob_l = [], []
+        for t in sets_ds.iter_batches(batch_format="pyarrow"):
+            ids_l.append(t["doc_id"].to_numpy(zero_copy_only=False))
+            blob_l.append(b"".join(t["ranks"].to_pylist()))
+        g_ids = (np.concatenate(ids_l).astype(np.int64)
+                 if ids_l else np.empty(0, np.int64))
+        g_masks = np.frombuffer(b"".join(blob_l), np.uint64) \
+            .reshape(len(g_ids), n_words)
+        o2 = np.argsort(g_ids)
+        g_ids, g_masks = g_ids[o2], np.ascontiguousarray(g_masks[o2])
+        g_ns = _POPCNT[g_masks.view(np.uint8)].reshape(len(g_ids), -1) \
+            .sum(axis=1, dtype=np.int64)
+        masks_ref = ray.put((g_ids, g_masks, g_ns))
+
+        # cost-based plan: on tiny vocabs the prefix groups overlap so much
+        # that their total pair work EXCEEDS brute-force all-pairs (measured
+        # 44.5M group-pair slots vs C(5000,2)=12.5M on the dup-heavy
+        # fixture); pick the cheaper side from the prefix histogram
+        def hist_partial(t: pa.Table) -> pa.Table:
+            g = t.group_by("token").aggregate([("token", "count")])
+            return g.rename_columns(["token", "p_n"])
+
+        gh = (prefix_ds.map_batches(hist_partial, batch_format="pyarrow")
+              .groupby("token").aggregate(Sum("p_n", alias_name="n")))
+        gsizes = np.array([r["n"] for r in gh.iter_rows()], dtype=np.int64)
+        work_prefix = int((gsizes * (gsizes - 1) // 2).sum())
+        work_all = n_docs * (n_docs - 1) // 2
+
+        if work_all <= work_prefix:
+            # striped all-pairs sweep: stripe s owns rows s, s+S, s+2S, ...
+            # (balanced since row r pairs with N-r-1 later rows); each task
+            # verifies its rows against all later rows, vectorized per row.
+            # Every pair surfaces exactly once (i<j) — no distinct needed.
+            S = 64
+            stripes = rd.from_arrow(
+                pa.table({"stripe": pa.array(range(S), pa.int64())}))
+
+            def sweep(t: pa.Table) -> pa.Table:
+                gi, gm, gn = ray.get(masks_ref)
+                N = len(gi)
+                out_a, out_b = [], []
+                for s in t["stripe"].to_pylist():
+                    for r in range(s, N - 1, S):
+                        nb = gn[r + 1:]
+                        lo = np.minimum(gn[r], nb)
+                        hi = np.maximum(gn[r], nb)
+                        cand = np.flatnonzero(lo >= threshold * hi) + r + 1
+                        if not len(cand):
+                            continue
+                        inter = _POPCNT[(gm[r] & gm[cand]).view(np.uint8)] \
+                            .reshape(len(cand), -1).sum(axis=1, dtype=np.int64)
+                        union = gn[r] + gn[cand] - inter
+                        ok = (union > 0) & (inter / union >= threshold)
+                        sel = cand[ok]
+                        if len(sel):
+                            out_a.append(np.full(len(sel), gi[r], np.int64))
+                            out_b.append(gi[sel])
+                if not out_a:
+                    return pa.table({"doc_a": pa.array([], pa.int64()),
+                                     "doc_b": pa.array([], pa.int64())})
+                return pa.table({"doc_a": pa.array(np.concatenate(out_a)),
+                                 "doc_b": pa.array(np.concatenate(out_b))})
+
+            return stripes.map_batches(sweep, batch_format="pyarrow",
+                                       batch_size=1)
+
+        def fused_group(g: pd.DataFrame) -> pd.DataFrame:
+            """Pairs processed in bounded BLOCKS (B x B tiles of the upper
+            triangle) so every temp stays small and reuses warm heap pages —
+            one giant triu allocation per group repays the VM's first-touch
+            fault cost and measured 25 s for a 4k-doc group."""
+            u = g.drop_duplicates("doc_id").sort_values("doc_id")
+            ids = u["doc_id"].to_numpy(dtype=np.int64)
+            ns = u["dsize"].to_numpy(dtype=np.int64)
+            N = len(ids)
+            if N < 2:
+                return _empty_pairs
+            gi, gm = ray.get(masks_ref)
+            idx = np.searchsorted(gi, ids)
+            out_a, out_b = [], []
+            B = 512
+            base = np.arange(N, dtype=np.int64)
+            for s0 in range(0, N, B):
+                e0 = min(s0 + B, N)
+                for s1 in range(s0, N, B):
+                    e1 = min(s1 + B, N)
+                    ii = np.repeat(base[s0:e0], e1 - s1)
+                    jj = np.tile(base[s1:e1], e0 - s0)
+                    m = ii < jj
+                    ii, jj = ii[m], jj[m]
+                    if not len(ii):
+                        continue
+                    lo = np.minimum(ns[ii], ns[jj])
+                    hi = np.maximum(ns[ii], ns[jj])
+                    k = lo >= threshold * hi  # length filter
+                    ii, jj = ii[k], jj[k]
+                    if not len(ii):
+                        continue
+                    A, Bm = gm[idx[ii]], gm[idx[jj]]
+                    inter = _POPCNT[(A & Bm).view(np.uint8)] \
+                        .reshape(len(ii), -1).sum(axis=1, dtype=np.int64)
+                    union = ns[ii] + ns[jj] - inter
+                    # same float expression as the oracle: i/u >= t
+                    ok = (union > 0) & (inter / union >= threshold)
+                    out_a.append(ids[ii[ok]])
+                    out_b.append(ids[jj[ok]])
+            if not out_a:
+                return _empty_pairs
+            return pd.DataFrame({"doc_a": np.concatenate(out_a),
+                                 "doc_b": np.concatenate(out_b)})
+
+        true_pairs = prefix_ds.groupby("token").map_groups(
+            fused_group, batch_format="pandas")
+        # a pair can qualify via several shared prefix tokens → distinct
+        # (output-sized, single-block Arrow group_by)
+        return true_pairs.repartition(1).map_batches(distinct,
+                                                     batch_format="pyarrow")
+
+    # ---- AT-SCALE PATH: length-filtered candidate pairs per prefix-token
+    # group, distinct, then doc_id-co-partitioned hash joins against the
+    # streaming sets table and a per-batch vectorized verify
+    def cand_group(g: pd.DataFrame) -> pd.DataFrame:
+        u = g.drop_duplicates("doc_id").sort_values("doc_id")
+        ids = u["doc_id"].to_numpy(dtype=np.int64)
+        ns = u["dsize"].to_numpy(dtype=np.int64)
+        if len(ids) < 2:
+            return _empty_pairs
+        i, j = np.triu_indices(len(ids), k=1)
+        lo = np.minimum(ns[i], ns[j])
+        hi = np.maximum(ns[i], ns[j])
+        keep = lo >= threshold * hi
+        return pd.DataFrame({"doc_a": ids[i[keep]], "doc_b": ids[j[keep]]})
+
+    cand_ds = (prefix_ds.groupby("token")
+               .map_groups(cand_group, batch_format="pandas")
+               .repartition(1)
+               .map_batches(distinct, batch_format="pyarrow").materialize())
+
+    def rename(cols):
+        def k(t: pa.Table) -> pa.Table:
+            return t.rename_columns(cols)
+        return k
+
+    sets_a = sets_ds.map_batches(rename(["doc_a", "ranks_a"]),
+                                 batch_format="pyarrow")
+    sets_b = sets_ds.map_batches(rename(["doc_b", "ranks_b"]),
+                                 batch_format="pyarrow")
+    joined = (cand_ds
+              .join(sets_a, "inner", num_partitions=16, on=("doc_a",))
+              .join(sets_b, "inner", num_partitions=16, on=("doc_b",)))
+
+    def verify(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64())})
+        if n_words:
+            # vectorized across the whole batch: popcount(A AND B)
+            P = len(t)
+            A = np.frombuffer(b"".join(t["ranks_a"].to_pylist()),
+                              np.uint64).reshape(P, n_words)
+            B = np.frombuffer(b"".join(t["ranks_b"].to_pylist()),
+                              np.uint64).reshape(P, n_words)
+            inter = _POPCNT[(A & B).view(np.uint8)].reshape(P, -1) \
+                .sum(axis=1, dtype=np.int64)
+            na = _POPCNT[A.view(np.uint8)].reshape(P, -1) \
+                .sum(axis=1, dtype=np.int64)
+            nb = _POPCNT[B.view(np.uint8)].reshape(P, -1) \
+                .sum(axis=1, dtype=np.int64)
+            union = na + nb - inter
+            # same float expression as the oracle: i/u >= t
+            keep = (union > 0) & (inter / union >= threshold)
+            return pa.table({
+                "doc_a": pa.array(t["doc_a"].to_numpy(
+                    zero_copy_only=False)[keep], pa.int64()),
+                "doc_b": pa.array(t["doc_b"].to_numpy(
+                    zero_copy_only=False)[keep], pa.int64())})
         out_a, out_b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a, b = ids[i], ids[j]
-                shared = pmap[a] & pmap[b]
-                if min(shared, key=rk.__getitem__) != w:
-                    continue
-                sa, sb = smap[a], smap[b]
-                u = len(sa | sb)
-                if u and len(sa & sb) / u >= threshold:
-                    out_a.append(a)
-                    out_b.append(b)
-        return pd.DataFrame({"doc_a": pd.Series(out_a, dtype="int64"),
-                             "doc_b": pd.Series(out_b, dtype="int64")})
+        for a, b, ra, rb in zip(t["doc_a"].to_pylist(),
+                                t["doc_b"].to_pylist(),
+                                t["ranks_a"].to_pylist(),
+                                t["ranks_b"].to_pylist()):
+            va = np.frombuffer(ra, dtype=np.int64)
+            vb = np.frombuffer(rb, dtype=np.int64)
+            inter = np.intersect1d(va, vb, assume_unique=True).size
+            union = va.size + vb.size - inter
+            if union and inter / union >= threshold:
+                out_a.append(a)
+                out_b.append(b)
+        return pa.table({"doc_a": pa.array(out_a, pa.int64()),
+                         "doc_b": pa.array(out_b, pa.int64())})
 
-    return (docs(sf_dir, columns=("doc_id",))
-            .map_batches(prefix_rows, batch_format="pyarrow")
-            .repartition(16)
-            .groupby("token").map_groups(pairs_group, batch_format="pandas"))
+    return joined.map_batches(verify, batch_format="pyarrow")
 
 
 # -------------------------------------------------------------------- simhash
