@@ -112,38 +112,45 @@ def jaccard(t1: str, t2: str, k: int = 3) -> float:
 
 
 def minhash_dups(sf_dir: str, threshold: float = 0.8, seed: int = 42) -> rd.Dataset:
-    """(doc_a, doc_b) near-dup pairs: LSH candidates verified by exact
-    shingle-Jaccard ≥ threshold.  Texts for verification come from a
-    broadcast id→text map (fixture scale) — at 100 TB the verify stage is a
-    second co-partitioned lookup join instead (documented partitioning
-    assumption: pair verification joins on doc_id)."""
-    texts_tbl = docs(sf_dir).to_arrow_refs()
-    id_text: dict[int, str] = {}
-    for ref in texts_tbl:
-        t = ray.get(ref)
-        id_text.update(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
-    text_ref = ray.put(id_text)
+    """(doc_a, doc_b) near-dup pairs: LSH band candidates verified by exact
+    shingle-Jaccard ≥ threshold.
 
-    def verify_group(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(g["doc_id"]))
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
-        texts = ray.get(text_ref)
-        pairs = set()
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if jaccard(texts[ids[i]], texts[ids[j]]) >= threshold:
-                    pairs.add((ids[i], ids[j]))
-        if not pairs:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
-        aa, bb = zip(*sorted(pairs))
-        return pd.DataFrame({"doc_a": list(aa), "doc_b": list(bb)})
+    Scale shape (no whole-corpus broadcast anywhere):
+      1. band rows NATIVE-HASH-SELF-JOIN on (band_id, band_hash) → candidate
+         pairs with doc_a < doc_b (a per-band-group map_groups measured 28 s
+         of pure per-group Python overhead on ~50k tiny groups — the join is
+         the vectorized router);
+      2. distinct candidates (output-sized, one Arrow group_by block);
+      3. verify, semi-join-reduced: only docs PARTICIPATING in candidates
+         get shingled (filtered doc scan) — when that set fits a broadcast
+         budget the blobs broadcast and candidates verify in one vectorized
+         map; past the gate, candidates NATIVE-HASH-JOIN
+         (doc_id-co-partitioned) against the streaming shingle-blob table
+         once per side — the same join-verify pattern as
+         ngram_jaccard_dups' at-scale path.  Broadcast state is bounded by
+         the candidate set (output-sized), never the corpus."""
+    import pyarrow.compute as pc
 
-    # sized repartition before the groupby: Ray's shuffle partition count
-    # otherwise defaults to ~200, which dominates at fixture scale
-    cand = (minhash_signatures(sf_dir, seed).repartition(16)
-            .groupby(["band_id", "band_hash"])
-            .map_groups(verify_group, batch_format="pandas"))
+    sig = minhash_signatures(sf_dir, seed).materialize()
+
+    def _side(cols):
+        def k(t: pa.Table) -> pa.Table:
+            return t.rename_columns(cols)
+        return k
+
+    sig_a = sig.map_batches(_side(["doc_a", "band_id", "band_hash"]),
+                            batch_format="pyarrow")
+    sig_b = sig.map_batches(_side(["doc_b", "band_id", "band_hash"]),
+                            batch_format="pyarrow")
+
+    def ordered(t: pa.Table) -> pa.Table:
+        keep = pc.less(t["doc_a"], t["doc_b"])
+        t = t.filter(keep)
+        return t.select(["doc_a", "doc_b"])
+
+    cand = (sig_a.join(sig_b, "inner", num_partitions=16,
+                       on=("band_id", "band_hash"))
+            .map_batches(ordered, batch_format="pyarrow"))
 
     # candidate pairs can surface from several bands → distinct.  The pair
     # set is output-sized (small), so dedup is one Arrow group_by in a
@@ -151,7 +158,86 @@ def minhash_dups(sf_dir: str, threshold: float = 0.8, seed: int = 42) -> rd.Data
     def distinct(t: pa.Table) -> pa.Table:
         return t.group_by(["doc_a", "doc_b"]).aggregate([])
 
-    return cand.repartition(1).map_batches(distinct, batch_format="pyarrow")
+    cand_ds = (cand.repartition(1)
+               .map_batches(distinct, batch_format="pyarrow").materialize())
+
+    part_ids: set[int] = set()
+    for t in cand_ds.iter_batches(batch_format="pyarrow"):
+        part_ids.update(t["doc_a"].to_pylist())
+        part_ids.update(t["doc_b"].to_pylist())
+    part_ref = ray.put(part_ids)
+
+    def shingle_rows(t: pa.Table) -> pa.Table:
+        # semi-join reduction: shingle ONLY candidate participants
+        pids = ray.get(part_ref)
+        ids, blobs = [], []
+        for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            if did not in pids:
+                continue
+            ids.append(did)
+            blobs.append(_shingles(s).tobytes())  # sorted unique int64
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "sh": pa.array(blobs, pa.binary())})
+
+    sets_ds = docs(sf_dir).map_batches(shingle_rows, batch_format="pyarrow")
+
+    def _pair_jac(ra: bytes, rb: bytes) -> float:
+        va = np.frombuffer(ra, dtype=np.int64)
+        vb = np.frombuffer(rb, dtype=np.int64)
+        if not len(va) and not len(vb):
+            return 1.0
+        inter = np.intersect1d(va, vb, assume_unique=True).size
+        union = va.size + vb.size - inter
+        return inter / union if union else 0.0
+
+    if len(part_ids) <= 500_000:
+        # candidate-bounded broadcast of participant blobs; one verify map
+        blobs: dict[int, bytes] = {}
+        for t in sets_ds.iter_batches(batch_format="pyarrow"):
+            blobs.update(zip(t["doc_id"].to_pylist(), t["sh"].to_pylist()))
+        blob_ref = ray.put(blobs)
+
+        def verify_bc(t: pa.Table) -> pa.Table:
+            bl = ray.get(blob_ref)
+            out_a, out_b = [], []
+            for a, b in zip(t["doc_a"].to_pylist(), t["doc_b"].to_pylist()):
+                if _pair_jac(bl[a], bl[b]) >= threshold:
+                    out_a.append(a)
+                    out_b.append(b)
+            return pa.table({"doc_a": pa.array(out_a, pa.int64()),
+                             "doc_b": pa.array(out_b, pa.int64())})
+
+        return cand_ds.map_batches(verify_bc, batch_format="pyarrow")
+
+    # at-scale fallback: doc_id-co-partitioned joins, per-pair verify
+    sets_m = sets_ds.materialize()
+
+    def rename(cols):
+        def k(t: pa.Table) -> pa.Table:
+            return t.rename_columns(cols)
+        return k
+
+    joined = (cand_ds
+              .join(sets_m.map_batches(rename(["doc_a", "sh_a"]),
+                                       batch_format="pyarrow"),
+                    "inner", num_partitions=16, on=("doc_a",))
+              .join(sets_m.map_batches(rename(["doc_b", "sh_b"]),
+                                       batch_format="pyarrow"),
+                    "inner", num_partitions=16, on=("doc_b",)))
+
+    def verify(t: pa.Table) -> pa.Table:
+        out_a, out_b = [], []
+        for a, b, ra, rb in zip(t["doc_a"].to_pylist(),
+                                t["doc_b"].to_pylist(),
+                                t["sh_a"].to_pylist(),
+                                t["sh_b"].to_pylist()):
+            if _pair_jac(ra, rb) >= threshold:
+                out_a.append(a)
+                out_b.append(b)
+        return pa.table({"doc_a": pa.array(out_a, pa.int64()),
+                         "doc_b": pa.array(out_b, pa.int64())})
+
+    return joined.map_batches(verify, batch_format="pyarrow")
 
 
 # ------------------------------------------------------------ n-gram jaccard
