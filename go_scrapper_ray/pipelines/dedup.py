@@ -615,35 +615,101 @@ def simhash_dups(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
 
 # --------------------------------------------------------- embedding near-dup
 
+def _decode_vec_block(t: pa.Table):
+    ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(ids)
+    dim = len(t["v"][0].as_py()) // 8
+    M = np.frombuffer(b"".join(t["v"].to_pylist()), np.float64).reshape(n, dim)
+    return ids, M
+
+
 def embedding_dups(sf_dir: str, threshold: float = 0.98) -> rd.Dataset:
-    """(vec_a, vec_b): cosine ≥ threshold pairs.  The full normalized matrix
-    is broadcast once (ray.put); each batch does one f64 matmul against it —
-    small-side-broadcast instead of a shuffle join.  SQL-checkable (DuckDB
-    list_cosine_similarity self-join)."""
+    """(vec_a, vec_b): EXACT cosine ≥ threshold pairs, SQL-checkable
+    (DuckDB list_cosine_similarity self-join).
+
+    Scale shape — no full-matrix broadcast, no O(n²) per-batch matmul
+    against the whole corpus:
+      1. normalize per batch, attach a random-hyperplane sign CODE, and
+         ``sort(code)`` — one distributed sort that makes blocks angularly
+         coherent (similar vectors share sign prefixes);
+      2. per-block summaries (centroid, angular radius) — tiny, driver-side
+         list of O(num_blocks);
+      3. EXACT block-pair pruning: pair (A,B) can contain a qualifying pair
+         only if theta(cA,cB) - rA - rB <= arccos(t) (angular triangle
+         inequality) — a lossy LSH accept would break SQL-exactness, this
+         prune cannot;
+      4. admissible block pairs matmul as raw Ray tasks over the
+         object-store block refs (a pairwise block join is not expressible
+         in the Dataset API — documented escape hatch).
+    On angularly spread corpora the prune admits most pairs (exact
+    all-pairs is inherently O(n²) then) but the work is distributed
+    block×block, each task touching two blocks, never the corpus."""
+    import pyarrow.parquet as _pq
+
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding"])
-    all_ids, all_vecs = [], []
-    for ref in emb.to_arrow_refs():
-        t = ray.get(ref)
-        all_ids.extend(t["vec_id"].to_pylist())
-        all_vecs.extend(t["embedding"].to_pylist())
-    ids = np.array(all_ids, dtype=np.int64)
-    M = np.array(all_vecs, dtype=np.float64)
-    M /= np.linalg.norm(M, axis=1, keepdims=True)
-    order = np.argsort(ids)
-    ids, M = ids[order], M[order]
-    mat_ref = ray.put((ids, M))
+    dim = len(_pq.read_table(f"{sf_dir}/embeddings.parquet",
+                             columns=["embedding"])["embedding"][0])
+    rng = np.random.RandomState(7)
+    planes = rng.randn(16, dim)
+    planes_ref = ray.put(planes)
 
-    def kernel(t: pa.Table) -> pa.Table:
-        g_ids, g_M = ray.get(mat_ref)
-        q_ids = np.array(t["vec_id"].to_pylist(), dtype=np.int64)
-        Q = np.array(t["embedding"].to_pylist(), dtype=np.float64)
-        Q /= np.linalg.norm(Q, axis=1, keepdims=True)
-        sims = Q @ g_M.T
-        qi, gi = np.nonzero(sims >= threshold)
-        a, b = q_ids[qi], g_ids[gi]
-        keep = a < b  # each unordered pair once, no self-pairs
-        return pa.table({"vec_a": pa.array(a[keep], pa.int64()),
-                         "vec_b": pa.array(b[keep], pa.int64())})
+    def norm_code(t: pa.Table) -> pa.Table:
+        P = ray.get(planes_ref)
+        M = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        M /= np.linalg.norm(M, axis=1, keepdims=True)
+        bits = (M @ P.T > 0)
+        code = np.zeros(len(M), np.int64)
+        for b in range(P.shape[0]):
+            code |= bits[:, b].astype(np.int64) << b
+        return pa.table({
+            "vec_id": t["vec_id"],
+            "code": pa.array(code),
+            "v": pa.array([row.tobytes() for row in M], pa.binary())})
 
-    return emb.map_batches(kernel, batch_format="pyarrow", batch_size=1024)
+    coded = (emb.map_batches(norm_code, batch_format="pyarrow")
+             .sort("code").materialize())
+    # coalesce to ~4096-row blocks: the sort emits many tiny blocks and the
+    # pair-task count is quadratic in block count (order-preserving
+    # repartition keeps the code-sorted coherence)
+    n_blocks = max(1, coded.count() // 4096)
+    coded = coded.repartition(n_blocks).materialize()
+    refs = [r for r in coded.to_arrow_refs()]
+
+    @ray.remote
+    def block_summary(tbl: pa.Table):
+        if tbl.num_rows == 0:
+            return None
+        _, M = _decode_vec_block(tbl)
+        c = M.mean(axis=0)
+        nc = np.linalg.norm(c)
+        c = c / nc if nc > 0 else M[0]
+        r = float(np.arccos(np.clip((M @ c).min(), -1.0, 1.0)))
+        return c, r
+
+    sums = ray.get([block_summary.remote(r) for r in refs])
+    ang_t = float(np.arccos(min(max(threshold, -1.0), 1.0)))
+
+    @ray.remote
+    def pair_task(ta: pa.Table, tb: pa.Table, same: bool) -> pa.Table:
+        ids_a, A = _decode_vec_block(ta)
+        ids_b, B = _decode_vec_block(tb)
+        S = A @ B.T
+        if same:
+            S[np.tril_indices(len(ids_a))] = -np.inf  # i<j positions only
+        qi, qj = np.nonzero(S >= threshold)
+        a, b = ids_a[qi], ids_b[qj]
+        return pa.table({"vec_a": pa.array(np.minimum(a, b), pa.int64()),
+                         "vec_b": pa.array(np.maximum(a, b), pa.int64())})
+
+    out = []
+    live = [(i, s) for i, s in enumerate(sums) if s is not None]
+    for x, (i, (ci, ri)) in enumerate(live):
+        for j, (cj, rj) in [live[y] for y in range(x, len(live))]:
+            theta = float(np.arccos(np.clip(float(ci @ cj), -1.0, 1.0)))
+            if theta - ri - rj <= ang_t:  # exact angular prune
+                out.append(pair_task.remote(refs[i], refs[j], i == j))
+    if not out:
+        return rd.from_arrow(pa.table({"vec_a": pa.array([], pa.int64()),
+                                       "vec_b": pa.array([], pa.int64())}))
+    return rd.from_arrow_refs(out)

@@ -1,14 +1,22 @@
 """Similarity search over the ``embeddings`` table.
 
-* brute-force cosine top-k — the exact baseline: broadcast the query matrix
-  (ray.put once), per-batch f64 matmul + argpartition inside map_batches.
-* LSH-bucketed ANN — the scale path: random-hyperplane signatures bucket the
-  corpus; each query probes its own bucket plus hamming-1 neighbors.  Recall
-  measured against the brute-force baseline in tests."""
+* brute-force cosine top-k — the exact baseline: broadcast the QUERY matrix
+  (ray.put once, bounded by n/query_stride), per-batch f64 matmul +
+  tie-safe top-k inside map_batches; the corpus only ever streams.
+* IVF ANN — the scale path: centroids from a SAMPLED k-means (driver state
+  is sample-sized, never the corpus), assignment as a distributed
+  map_batches, probe as a NATIVE HASH JOIN of (query x probed-list) rows
+  against the list-partitioned vector table.
+* LSH ANN — multi-table random-hyperplane codes; corpus codes and query
+  probe codes (bucket + hamming-1) meet in a native hash join on
+  (table_id, code).
+
+No stage loads the full corpus matrix on the driver or broadcasts it."""
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 import ray
@@ -20,17 +28,45 @@ def _emb(sf_dir: str) -> rd.Dataset:
                            columns=["vec_id", "embedding"])
 
 
-def _load_matrix(sf_dir: str):
-    ids, vecs = [], []
-    for ref in _emb(sf_dir).to_arrow_refs():
-        t = ray.get(ref)
-        ids.extend(t["vec_id"].to_pylist())
-        vecs.extend(t["embedding"].to_pylist())
-    ids = np.array(ids, dtype=np.int64)
-    M = np.array(vecs, dtype=np.float64)
+def _norm_rows(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    M = np.array(t["embedding"].to_pylist(), dtype=np.float64)
     M /= np.linalg.norm(M, axis=1, keepdims=True)
-    order = np.argsort(ids)
-    return ids[order], M[order]
+    return ids, M
+
+
+def _query_matrix(sf_dir: str, stride: int):
+    """(q_ids, Q) for every ``stride``-th vec_id — a distributed filtered
+    scan collected to the driver; driver memory is O(n/stride), the
+    broadcast-small side, never the corpus."""
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids, M = _norm_rows(t)
+        m = ids % stride == 0
+        return pa.table({"vec_id": pa.array(ids[m], pa.int64()),
+                         "v": pa.array([r.tobytes() for r in M[m]],
+                                       pa.binary())})
+
+    ids_l, blobs = [], []
+    for t in (_emb(sf_dir).map_batches(pick, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow")):
+        ids_l.append(t["vec_id"].to_numpy(zero_copy_only=False))
+        blobs.extend(t["v"].to_pylist())
+    q_ids = (np.concatenate(ids_l).astype(np.int64)
+             if ids_l else np.empty(0, np.int64))
+    Q = (np.frombuffer(b"".join(blobs), np.float64).reshape(len(q_ids), -1)
+         if len(q_ids) else np.empty((0, 0)))
+    o = np.argsort(q_ids)
+    return q_ids[o], np.ascontiguousarray(Q[o])
+
+
+def _topk_frame(g: pd.DataFrame, k: int) -> pd.DataFrame:
+    g = g.drop_duplicates("neighbor_id")
+    g = g.sort_values(["score", "neighbor_id"],
+                      ascending=[False, True]).head(k)
+    return pd.DataFrame({"query_id": g["query_id"].to_numpy(),
+                         "rnk": np.arange(1, len(g) + 1),
+                         "neighbor_id": g["neighbor_id"].to_numpy()})
 
 
 def knn_bruteforce(sf_dir: str, k: int = 5, query_stride: int = 50) -> rd.Dataset:
@@ -39,28 +75,19 @@ def knn_bruteforce(sf_dir: str, k: int = 5, query_stride: int = 50) -> rd.Datase
     neighbor_id asc so the DuckDB oracle ranks identically.
 
     The CORPUS streams through map_batches; the (much smaller) QUERY matrix
-    is broadcast — so this scales with corpus size, not corpus × corpus.
-    Per batch we emit (query, neighbor, score) for the batch-local top-k,
-    then a final per-query top-k merge on the small candidate set."""
-    ids, M = _load_matrix(sf_dir)
-    q_mask = ids % query_stride == 0
-    q_ids, Q = ids[q_mask], M[q_mask]
+    is broadcast.  Per batch we emit the batch-local top-k KEEPING every
+    candidate at or above the kth score (boundary ties survive), then a
+    final per-query merge."""
+    q_ids, Q = _query_matrix(sf_dir, query_stride)
     q_ref = ray.put((q_ids, Q))
 
     def batch_topk(t: pa.Table) -> pa.Table:
         qi_ids, qM = ray.get(q_ref)
-        c_ids = np.array(t["vec_id"].to_pylist(), dtype=np.int64)
-        C = np.array(t["embedding"].to_pylist(), dtype=np.float64)
-        C /= np.linalg.norm(C, axis=1, keepdims=True)
+        c_ids, C = _norm_rows(t)
         sims = qM @ C.T  # (nq, nbatch)
-        # exclude self matches
         self_mask = qi_ids[:, None] == c_ids[None, :]
         sims[self_mask] = -np.inf
         kk = min(k, sims.shape[1])
-        # kth-largest score per query; keep EVERY candidate at or above it so
-        # boundary ties survive to the deterministic (score desc, id asc)
-        # lexsort — argpartition alone picks arbitrary survivors among ties
-        # and can disagree with the oracle's row_number tiebreak
         thresh = -np.partition(-sims, kk - 1, axis=1)[:, kk - 1]
         rows_q, rows_n, rows_s = [], [], []
         for qi in range(sims.shape[0]):
@@ -75,14 +102,8 @@ def knn_bruteforce(sf_dir: str, k: int = 5, query_stride: int = 50) -> rd.Datase
                          "neighbor_id": pa.array(rows_n, pa.int64()),
                          "score": pa.array(rows_s, pa.float64())})
 
-    import pandas as pd
-
     def merge_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["score", "neighbor_id"],
-                          ascending=[False, True]).head(k)
-        return pd.DataFrame({"query_id": g["query_id"].to_numpy(),
-                             "rnk": np.arange(1, len(g) + 1),
-                             "neighbor_id": g["neighbor_id"].to_numpy()})
+        return _topk_frame(g, k)
 
     return (_emb(sf_dir)
             .map_batches(batch_topk, batch_format="pyarrow", batch_size=2048)
@@ -106,103 +127,136 @@ def _kmeans(M: np.ndarray, k: int, seed: int = 42, iters: int = 10):
     return C, np.argmax(M @ C.T, axis=1)
 
 
+def _score_candidates(joined: rd.Dataset, k: int) -> rd.Dataset:
+    """(query_id, qv, vec_id, v) rows → per-batch vectorized scores →
+    per-query top-k merge (candidate sets are probe-bounded, so the merge
+    groups stay small)."""
+
+    def score(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        n = len(t)
+        qv = np.frombuffer(b"".join(t["qv"].to_pylist()),
+                           np.float64).reshape(n, -1)
+        cv = np.frombuffer(b"".join(t["v"].to_pylist()),
+                           np.float64).reshape(n, -1)
+        s = np.einsum("ij,ij->i", qv, cv)
+        qid = t["query_id"].to_numpy(zero_copy_only=False)
+        nid = t["vec_id"].to_numpy(zero_copy_only=False)
+        m = qid != nid  # self excluded
+        return pa.table({"query_id": pa.array(qid[m], pa.int64()),
+                         "neighbor_id": pa.array(nid[m], pa.int64()),
+                         "score": pa.array(s[m], pa.float64())})
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        return _topk_frame(g, k)
+
+    return (joined.map_batches(score, batch_format="pyarrow")
+            .groupby("query_id")
+            .map_groups(merge_group, batch_format="pandas"))
+
+
 def knn_ivf(sf_dir: str, k: int = 5, query_stride: int = 50,
-            n_lists: int = 16, n_probe: int = 6, seed: int = 42) -> rd.Dataset:
-    """(query_id, rnk, neighbor_id): ANN via an IVF coarse quantizer —
-    deterministic k-means lists; each query scans only its ``n_probe``
-    nearest lists.  The scale path for embedding search: at corpus scale
-    the lists are the PARTITIONING (groupby(list_id) materialized once),
-    queries route to co-located list partitions, and only 1/n_lists of
-    the corpus is touched per probe.  Recall measured against
-    knn_bruteforce in tests."""
-    ids, M = _load_matrix(sf_dir)
-    C, assign = _kmeans(M, n_lists, seed)
-    lists = {c: np.nonzero(assign == c)[0] for c in range(n_lists)}
-    bundle = ray.put((ids, M, C, lists))
+            n_lists: int = 16, n_probe: int = 6, seed: int = 42,
+            sample_stride: int = 2) -> rd.Dataset:
+    """(query_id, rnk, neighbor_id): ANN via an IVF coarse quantizer.
 
-    q_mask = ids % query_stride == 0
-    q_tbl = pa.table({"query_id": pa.array(ids[q_mask], pa.int64())})
+    Scale shape: centroids come from a SAMPLED k-means (every
+    ``sample_stride``-th vector — driver/broadcast state is sample-sized);
+    list assignment is a distributed map; the probe is a NATIVE HASH JOIN
+    of (query x its n_probe nearest lists) against the (list_id, vec)
+    table, so each query's work touches only its probed lists.  Recall
+    measured against knn_bruteforce in tests."""
+    s_ids, S = _query_matrix(sf_dir, sample_stride)
+    C, _ = _kmeans(S, n_lists, seed)
+    c_ref = ray.put(C)
 
-    def probe(t: pa.Table) -> pa.Table:
-        g_ids, g_M, g_C, g_lists = ray.get(bundle)
-        out_q, out_r, out_n = [], [], []
-        for qid in t["query_id"].to_pylist():
-            qvec = g_M[np.searchsorted(g_ids, qid)]
-            top_lists = np.argsort(-(g_C @ qvec))[:n_probe]
-            cand_idx = np.concatenate([g_lists[int(c)] for c in top_lists])
-            sims = g_M[cand_idx] @ qvec
-            c_ids = g_ids[cand_idx]
-            mask = c_ids != qid
-            sims, c_ids = sims[mask], c_ids[mask]
-            order = np.lexsort((c_ids, -sims))[:k]
-            for r, j in enumerate(order, 1):
-                out_q.append(qid)
-                out_r.append(r)
-                out_n.append(c_ids[j])
-        return pa.table({"query_id": pa.array(out_q, pa.int64()),
-                         "rnk": pa.array(out_r, pa.int64()),
-                         "neighbor_id": pa.array(out_n, pa.int64())})
+    def assign(t: pa.Table) -> pa.Table:
+        CC = ray.get(c_ref)
+        ids, M = _norm_rows(t)
+        lists = np.argmax(M @ CC.T, axis=1).astype(np.int64)
+        return pa.table({"list_id": pa.array(lists),
+                         "vec_id": pa.array(ids, pa.int64()),
+                         "v": pa.array([r.tobytes() for r in M],
+                                       pa.binary())})
 
-    return rd.from_arrow(q_tbl).map_batches(probe, batch_format="pyarrow",
-                                            batch_size=512)
+    vec_tbl = _emb(sf_dir).map_batches(assign, batch_format="pyarrow")
+
+    q_ids, Q = _query_matrix(sf_dir, query_stride)
+    probe_lists = np.argsort(-(Q @ C.T), axis=1)[:, :n_probe]
+    q_tbl = pa.table({
+        "list_id": pa.array(probe_lists.ravel().astype(np.int64)),
+        "query_id": pa.array(np.repeat(q_ids, n_probe), pa.int64()),
+        "qv": pa.array([Q[i].tobytes() for i in range(len(q_ids))
+                        for _ in range(n_probe)], pa.binary())})
+
+    joined = rd.from_arrow(q_tbl).join(vec_tbl, "inner", num_partitions=8,
+                                       on=("list_id",))
+    return _score_candidates(joined, k)
 
 
 def knn_lsh(sf_dir: str, k: int = 5, query_stride: int = 50,
             n_planes: int = 6, n_tables: int = 8, seed: int = 42) -> rd.Dataset:
     """(query_id, rnk, neighbor_id): ANN via MULTI-TABLE random-hyperplane
     LSH — L independent tables of b planes each; a query's candidates are
-    the union over tables of its bucket + hamming-1 buckets.  Multi-table
-    is the standard recall lever (single-table sign-LSH recall collapses
-    as buckets outnumber points).  Approximate, deterministic.
+    the union over tables of its bucket + hamming-1 buckets.
 
-    Scale shape: the bucket index is built once and broadcast (ray.put);
-    queries stream through map_batches.  At 100 TB the index build itself
-    becomes a groupby(code) stage and each query probes only co-partitioned
-    buckets — same bucketing math, sharded by code."""
-    ids, M = _load_matrix(sf_dir)
+    Scale shape: corpus code rows (one per table) and query probe rows
+    (bucket + hamming-1 per table) meet in a NATIVE HASH JOIN on
+    (table_id, code) — the bucket index is never built or broadcast as one
+    object.  Duplicate candidates across tables are dropped in the
+    per-query merge.  Recall measured against brute force in tests."""
+    import pyarrow.parquet as _pq
+    dim = len(_pq.read_table(f"{sf_dir}/embeddings.parquet",
+                             columns=["embedding"])["embedding"][0])
     rng = np.random.RandomState(seed)
-    tables = []
-    all_codes = []
-    for _ in range(n_tables):
-        planes = rng.randn(n_planes, M.shape[1])
-        sig = (M @ planes.T > 0).astype(np.uint8)
-        codes = np.packbits(sig, axis=1, bitorder="little")[:, 0].astype(np.int64)
-        buckets = {int(c): np.nonzero(codes == c)[0] for c in np.unique(codes)}
-        tables.append(buckets)
-        all_codes.append(codes)
-    codes_mat = np.stack(all_codes, axis=1)  # (n, L)
-    bucket_ref = ray.put((ids, M, tables))
+    planes = np.stack([rng.randn(n_planes, dim) for _ in range(n_tables)])
+    p_ref = ray.put(planes)
 
-    q_mask = ids % query_stride == 0
-    q_tbl = pa.table({"query_id": pa.array(ids[q_mask], pa.int64()),
-                      "codes": pa.array(codes_mat[q_mask].tolist(),
-                                        pa.list_(pa.int64()))})
+    def _codes(M: np.ndarray, P: np.ndarray) -> np.ndarray:
+        """(n, L) int64 codes for normalized vectors."""
+        out = np.zeros((len(M), P.shape[0]), np.int64)
+        for li in range(P.shape[0]):
+            bits = M @ P[li].T > 0
+            for b in range(P.shape[1]):
+                out[:, li] |= bits[:, b].astype(np.int64) << b
+        return out
 
-    def probe(t: pa.Table) -> pa.Table:
-        g_ids, g_M, g_tables = ray.get(bucket_ref)
-        out_q, out_r, out_n = [], [], []
-        empty = np.empty(0, np.int64)
-        for qid, qcodes in zip(t["query_id"].to_pylist(),
-                               t["codes"].to_pylist()):
-            cand = []
-            for li, code in enumerate(qcodes):
-                cand.append(g_tables[li].get(code, empty))
-                for b in range(n_planes):
-                    cand.append(g_tables[li].get(code ^ (1 << b), empty))
-            cand_idx = np.unique(np.concatenate(cand)).astype(np.int64)
-            qvec = g_M[np.searchsorted(g_ids, qid)]
-            sims = g_M[cand_idx] @ qvec
-            c_ids = g_ids[cand_idx]
-            mask = c_ids != qid
-            sims, c_ids = sims[mask], c_ids[mask]
-            order = np.lexsort((c_ids, -sims))[:k]
-            for r, j in enumerate(order, 1):
-                out_q.append(qid)
-                out_r.append(r)
-                out_n.append(c_ids[j])
-        return pa.table({"query_id": pa.array(out_q, pa.int64()),
-                         "rnk": pa.array(out_r, pa.int64()),
-                         "neighbor_id": pa.array(out_n, pa.int64())})
+    def corpus_rows(t: pa.Table) -> pa.Table:
+        P = ray.get(p_ref)
+        ids, M = _norm_rows(t)
+        codes = _codes(M, P)
+        L = P.shape[0]
+        blobs = [r.tobytes() for r in M]
+        return pa.table({
+            "table_id": pa.array(np.tile(np.arange(L, dtype=np.int64),
+                                         len(ids))),
+            "code": pa.array(codes.ravel()),
+            "vec_id": pa.array(np.repeat(ids, L), pa.int64()),
+            "v": pa.array([blobs[i] for i in range(len(ids))
+                           for _ in range(L)], pa.binary())})
 
-    return rd.from_arrow(q_tbl).map_batches(probe, batch_format="pyarrow",
-                                            batch_size=512)
+    vec_tbl = _emb(sf_dir).map_batches(corpus_rows, batch_format="pyarrow")
+
+    q_ids, Q = _query_matrix(sf_dir, query_stride)
+    qcodes = _codes(Q, planes)  # (nq, L)
+    rows_t, rows_c, rows_q, rows_v = [], [], [], []
+    for qi in range(len(q_ids)):
+        blob = Q[qi].tobytes()
+        for li in range(n_tables):
+            base = int(qcodes[qi, li])
+            for code in [base] + [base ^ (1 << b) for b in range(n_planes)]:
+                rows_t.append(li)
+                rows_c.append(code)
+                rows_q.append(q_ids[qi])
+                rows_v.append(blob)
+    q_tbl = pa.table({"table_id": pa.array(rows_t, pa.int64()),
+                      "code": pa.array(rows_c, pa.int64()),
+                      "query_id": pa.array(rows_q, pa.int64()),
+                      "qv": pa.array(rows_v, pa.binary())})
+
+    joined = rd.from_arrow(q_tbl).join(vec_tbl, "inner", num_partitions=8,
+                                       on=("table_id", "code"))
+    return _score_candidates(joined, k)
