@@ -53,8 +53,8 @@ from ..flow import (
     RetryLedger, SeedOutcome, WindowCursors, status_for_fetch_error,
 )
 from ..gojson import encode_record_b64, record_to_jsonl
-from ..sources.pagestore import (build_page_store, fetch_batch_refs,
-                                 load_bucket_refs)
+from ..sources.pagestore import (BucketCache, build_page_store,
+                                 fetch_batch_refs)
 from ..stages.extract_stage import extract_batch
 from ..state.frontier import FrontierShard
 from ..state.robots import RobotsRules
@@ -217,10 +217,12 @@ class CrawlEngine:
         build_page_store(str(self.corpus / "pages.parquet"),
                          str(self.corpus / "page_status.parquet"),
                          str(self.store_dir), self.cfg.num_fetch_buckets)
-        # each bucket lives ONCE in the object store; fetch tasks read it
-        # zero-copy (no per-worker dict caches — see pagestore.py)
-        self.bucket_refs = load_bucket_refs(str(self.store_dir),
-                                            self.cfg.num_fetch_buckets)
+        # budgeted LRU over bucket tables in plasma: each round loads only
+        # the buckets its scheduled URLs hash into and evicts past the byte
+        # budget — peak object-store residency is bounded by the budget,
+        # not corpus size (SURVEY.md J3 co-partitioned fetch join)
+        self.bucket_cache = BucketCache(str(self.store_dir),
+                                        self.cfg.num_fetch_buckets)
         self._bundle: dict | None = None  # built after seeds_ref/wm_ref
 
         self.seeds = pq.read_table(self.corpus / "seeds.parquet").to_pylist()
@@ -255,8 +257,9 @@ class CrawlEngine:
                          "robots_parquet": str(self.corpus / "robots.parquet")}
         # nested-refs bundle for _round_task (nested refs are not resolved
         # by Ray, so the tasks fetch broadcast state themselves, once per
-        # worker via the kernels' module caches)
-        self._bundle = {"buckets": self.bucket_refs, "seeds": self.seeds_ref,
+        # worker via the kernels' module caches); "buckets" is filled per
+        # round with just the touched buckets' refs
+        self._bundle = {"buckets": {}, "seeds": self.seeds_ref,
                         "cfg": self.cfg_dict, "wm": self.wm_ref}
 
         # driver-held per-seed state (small, checkpointable)
@@ -458,6 +461,10 @@ class CrawlEngine:
         visit_dir = self.workdir / "visit_log" / f"r{rnd}"
         visit_dir.mkdir(parents=True, exist_ok=True)
         rec_dir = self.workdir / "records" / f"r{rnd}"
+        # co-partitioned fetch join: load/pin ONLY this round's buckets
+        bundle = dict(self._bundle)
+        bundle["buckets"] = self.bucket_cache.refs_for(
+            np.unique(uh % nb).tolist())
         t0 = self._t("build_ds", t0)
 
         # fetch + extract + parquet writes fused into one raw-task wave per
@@ -466,7 +473,7 @@ class CrawlEngine:
         # records/visit-log stream straight from tasks to Parquet.  File
         # names derive from each block's first seq (deterministic +
         # idempotent on task retry).
-        futs = [_round_task.remote(s, self._bundle, nb,
+        futs = [_round_task.remote(s, bundle, nb,
                                    str(visit_dir), str(rec_dir))
                 for s in slices]
         ctrl_refs = [f[0] for f in futs]

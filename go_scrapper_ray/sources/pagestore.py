@@ -102,30 +102,92 @@ def build_page_store(pages_parquet: str, status_parquet: str, store_dir: str,
 
 def load_bucket_refs(store_dir: str, num_buckets: int) -> list:
     """Load each bucket ONCE into the Ray object store (zero-copy Arrow) and
-    return the refs.  Tasks read buckets via plasma shared memory — no
-    per-worker private dict copies (the dict-cache design measured 3-6x
-    anti-scaling at 32 CPUs: every worker redundantly loaded + held every
-    bucket).  On a multi-node cluster this is one copy per node, exactly the
-    broadcast-small-side pattern; at 10^10-URL scale fetch becomes a
-    co-partitioned hash join on url_hash instead (SURVEY.md J3)."""
+    return the refs.  Small-corpus variant (tests); the engine uses
+    ``BucketCache``, which bounds plasma residency by a byte budget."""
     import ray
 
     refs = []
     for b in range(num_buckets):
-        p = Path(store_dir) / f"bucket={b}"
-        if p.exists():
-            t = pads.dataset(str(p)).to_table(
-                columns=["url", "html", "status", "fail_times"])
-        else:
-            t = pa.table({"url": pa.array([], pa.string()),
-                          "html": pa.array([], pa.binary()),
-                          "status": pa.array([], pa.int32()),
-                          "fail_times": pa.array([], pa.int32())})
-        refs.append(ray.put(t))
+        refs.append(ray.put(_read_bucket(store_dir, b)))
     return refs
 
 
+def _read_bucket(store_dir: str, b: int) -> pa.Table:
+    p = Path(store_dir) / f"bucket={b}"
+    if p.exists():
+        return pads.dataset(str(p)).to_table(
+            columns=["url", "html", "status", "fail_times"])
+    return pa.table({"url": pa.array([], pa.string()),
+                     "html": pa.array([], pa.binary()),
+                     "status": pa.array([], pa.int32()),
+                     "fail_times": pa.array([], pa.int32())})
+
+
+class BucketCache:
+    """Driver-side budgeted LRU over page-store buckets in plasma.
+
+    The crawl's fetch join is co-partitioned on ``url_hash % num_buckets``;
+    each round needs only the buckets its scheduled URLs hash into.  This
+    cache loads those on demand (one Ray task per missing bucket — the read
+    itself is distributed) and EVICTS least-recently-used buckets past a
+    byte budget, so peak object-store usage is bounded by
+    max(budget, buckets touched this round), NOT corpus size.  Small corpora
+    stay fully resident (zero behavior change at bench scale); a 100 TB
+    store streams through the window.  Workers hold their own tiny per-
+    process LRU of fetched tables (extract_stage), released as refs rotate."""
+
+    def __init__(self, store_dir: str, num_buckets: int,
+                 budget_bytes: int | None = None):
+        import os
+        self.store_dir = store_dir
+        self.num_buckets = num_buckets
+        self.budget = budget_bytes if budget_bytes is not None else \
+            int(os.environ.get("GSR_BUCKET_BUDGET_MB", "4096")) << 20
+        self._refs: dict[int, object] = {}
+        self._sizes: dict[int, int] = {}
+        self._lru: list[int] = []  # oldest first
+
+    def refs_for(self, buckets) -> dict[int, object]:
+        import ray
+
+        global _LOAD_REMOTE
+        if _LOAD_REMOTE is None:
+            def _load(store_dir: str, b: int):
+                t = _read_bucket(store_dir, b)
+                return t, t.nbytes
+            _LOAD_REMOTE = ray.remote(num_returns=2)(_load)
+
+        need = [int(b) for b in buckets]
+        missing = [b for b in need if b not in self._refs]
+        pending = {b: _LOAD_REMOTE.remote(self.store_dir, b)
+                   for b in missing}
+        for b, (tref, szref) in pending.items():
+            self._refs[b] = tref
+            self._sizes[b] = int(ray.get(szref))
+        for b in need:
+            if b in self._lru:
+                self._lru.remove(b)
+            self._lru.append(b)
+        # evict beyond budget, never a bucket needed this round
+        total = sum(self._sizes.values())
+        needset = set(need)
+        i = 0
+        while total > self.budget and i < len(self._lru):
+            b = self._lru[i]
+            if b in needset:
+                i += 1
+                continue
+            self._lru.pop(i)
+            total -= self._sizes.pop(b)
+            del self._refs[b]  # plasma frees when workers release
+        return {b: self._refs[b] for b in need}
+
+    def resident_bytes(self) -> int:
+        return sum(self._sizes.values())
+
+
 FETCH_TIMING = {"get": 0.0, "kernel": 0.0}  # per-process debug accumulators
+_LOAD_REMOTE = None  # lazily-created remote loader (BucketCache)
 
 
 def fetch_batch_refs(batch: pa.Table, refs: list, num_buckets: int) -> pa.Table:

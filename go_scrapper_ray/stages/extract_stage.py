@@ -73,6 +73,8 @@ def extract_batch(batch: pa.Table, seeds_ref, cfg_dict: dict,
     if stage is None:
         stage = ExtractStage(seeds_ref, cfg_dict, watermarks_ref, bucket_refs)
         _STAGE_CACHE[key] = stage
+    else:
+        stage.set_bucket_refs(bucket_refs)  # refs rotate per round
     return stage(batch)
 
 
@@ -83,11 +85,16 @@ class ExtractStage:
         self.seeds = ray.get(seeds_ref)          # seed_id -> seed config dict
         self.cfg = cfg_dict
         self.watermarks = ray.get(watermarks_ref)  # seed_id -> set(hashes)
-        # zero-copy page-store bucket tables, resolved once per worker; rows
-        # reference html lazily via (bucket, html_row) so no html column is
-        # ever materialized between fetch and extract
-        self.btabs = ([ray.get(r) for r in bucket_refs]
-                      if bucket_refs is not None else None)
+        # zero-copy page-store bucket tables, resolved LAZILY per bucket
+        # with a small per-worker LRU; rows reference html via
+        # (bucket, html_row) so no html column is ever materialized between
+        # fetch and extract.  Refs may rotate between rounds (driver-side
+        # BucketCache evicts past its budget) — the LRU keys on the ref so
+        # stale pins are dropped and plasma can free evicted buckets.
+        from collections import OrderedDict
+        self.bucket_refs = bucket_refs
+        self._btab_lru: OrderedDict = OrderedDict()  # ref_hex -> table
+        self._btab_cap = 16
         from ..minidom import parse_html  # bind once
         self._parse = parse_html
         # link-filter state, built once per worker: allowed-host set
@@ -163,9 +170,26 @@ class ExtractStage:
                              urlkit.host_hash64(host), kind, depth, rel))
 
     # ------------------------------------------------------------------ main
+    def set_bucket_refs(self, bucket_refs) -> None:
+        if bucket_refs is not None:
+            self.bucket_refs = bucket_refs
+
+    def _btab(self, bucket: int) -> pa.Table:
+        ref = self.bucket_refs[bucket]
+        key = ref.hex()
+        t = self._btab_lru.get(key)
+        if t is None:
+            t = ray.get(ref)  # zero-copy plasma read
+            self._btab_lru[key] = t
+            if len(self._btab_lru) > self._btab_cap:
+                self._btab_lru.popitem(last=False)
+        else:
+            self._btab_lru.move_to_end(key)
+        return t
+
     def _html_of(self, row) -> bytes:
-        if self.btabs is not None and "html_row" in row:
-            return self.btabs[row["bucket"]]["html"][row["html_row"]].as_py()
+        if self.bucket_refs is not None and "html_row" in row:
+            return self._btab(row["bucket"])["html"][row["html_row"]].as_py()
         return row["html"]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
