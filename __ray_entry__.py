@@ -181,8 +181,127 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _langid_sql() -> str:
+    """DuckDB twin of LangIdStage: per-language non-overlapping marker counts
+    ((len - len(replace))/len(marker) == pc.count_substring) then first-max
+    argmax in declared language order."""
+    from go_scrapper_ray.pipelines.textstats import _LANG_MARKERS
+
+    langs = list(_LANG_MARKERS)
+    score_cols = []
+    for lang in langs:
+        terms = []
+        for m in _LANG_MARKERS[lang]:
+            m = m.lower().replace("'", "''")
+            terms.append(f"(length(lt) - length(replace(lt, '{m}', '')))"
+                         f"//length('{m}')")
+        score_cols.append(" + ".join(terms) + f" AS s_{lang}")
+    # first-max-wins CASE chain (np.argmax tie behavior)
+    cases = []
+    for i, lang in enumerate(langs):
+        conds = [f"s_{lang} >= s_{other}" for other in langs[i + 1:]]
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'"
+                     if conds else f"ELSE '{lang}'")
+    return f"""
+        WITH s AS (SELECT doc_id, lower(text) AS lt FROM documents),
+        c AS (SELECT doc_id, {', '.join(score_cols)} FROM s)
+        SELECT doc_id, CASE {' '.join(cases)} END AS pred_lang FROM c"""
+
+
+def _minhash_sql(threshold: float = 0.8) -> str:
+    """DuckDB twin of dedup.minhash_dups: md5-upper64>>3 shingle hashes,
+    (a*h+b) mod 2**64 permutations (HUGEINT), 16 bands x 4 rows candidate
+    join, exact-Jaccard verify — same pipeline end-to-end."""
+    from go_scrapper_ray.pipelines.dedup import _minhash_params
+
+    a, b, _ = _minhash_params(42)
+    vals = ", ".join(f"({i}, {int(a[i])}, {int(b[i])})" for i in range(len(a)))
+    return f"""
+        WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks
+                   FROM documents),
+        pos AS (
+          SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+          FROM d WHERE len(toks) >= 3),
+        gr AS (
+          SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS gram FROM pos
+          UNION ALL
+          SELECT doc_id, array_to_string(toks, ' ') AS gram FROM d
+          WHERE len(toks) BETWEEN 1 AND 2),
+        sh AS (SELECT DISTINCT doc_id, (md5_number_upper(gram) >> 3) AS h FROM gr),
+        perms AS (SELECT * FROM (VALUES {vals}) p(perm, a, b)),
+        mh AS (SELECT doc_id, perm,
+                 min(((a::HUGEINT * h::HUGEINT + b::HUGEINT)
+                      % 18446744073709551616)::UBIGINT) AS v
+               FROM sh CROSS JOIN perms GROUP BY doc_id, perm),
+        bands AS (SELECT doc_id, perm // 4 AS band, list(v ORDER BY perm) AS sig
+                  FROM mh GROUP BY doc_id, perm // 4),
+        cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+                 FROM bands a JOIN bands b
+                 ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        n AS (SELECT doc_id, count(*) AS cnt FROM sh GROUP BY doc_id),
+        inter AS (SELECT c.da, c.db, count(*) AS i
+                  FROM cand c JOIN sh a ON a.doc_id = c.da
+                  JOIN sh b ON b.doc_id = c.db AND a.h = b.h
+                  GROUP BY c.da, c.db)
+        SELECT da AS doc_a, db AS doc_b FROM inter
+        JOIN n na ON na.doc_id = da JOIN n nb ON nb.doc_id = db
+        WHERE i * 1.0 / (na.cnt + nb.cnt - i) >= {threshold}"""
+
+
+def _winnow_sql(k: int = 5, w: int = 8) -> str:
+    """DuckDB twin of textstats.fingerprint_winnow: codepoint polynomial
+    k-gram hash, per-window min, bit_xor of distinct selected minima."""
+    from go_scrapper_ray.pipelines.textstats import WINNOW_B, WINNOW_M
+
+    terms = " + ".join(
+        f"ascii(substr(text, i+{j}, 1))::BIGINT"
+        f" * {pow(WINNOW_B, k - 1 - j, WINNOW_M)}"
+        for j in range(k))
+    return f"""
+        WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        pos AS (SELECT doc_id, text,
+                  unnest(generate_series(1, n - {k - 1})) AS i
+                FROM d WHERE n >= {k}),
+        kg AS (SELECT doc_id, i, ({terms}) % {WINNOW_M} AS h FROM pos),
+        wm AS (SELECT doc_id, i,
+                 min(h) OVER (PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS mn,
+                 count(*) OVER (PARTITION BY doc_id) AS ng
+               FROM kg),
+        sel AS (SELECT DISTINCT doc_id, mn FROM wm
+                WHERE i <= greatest(1, ng - {w} + 1)),
+        fp AS (SELECT doc_id, bit_xor(mn) AS fpv FROM sel GROUP BY doc_id)
+        SELECT d.doc_id, COALESCE(fp.fpv, 0)::UBIGINT AS winnow_fp
+        FROM d LEFT JOIN fp USING (doc_id)"""
+
+
+_SIMHASH_SQL = """
+    WITH tok AS (SELECT DISTINCT doc_id,
+                   unnest(regexp_extract_all(lower(text), '\\S+')) AS w
+                 FROM documents),
+    th AS (SELECT doc_id, md5_number_upper(w) AS h FROM tok),
+    bt AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1
+                                      THEN 1 ELSE -1 END) AS v
+           FROM th CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b)
+           GROUP BY doc_id, b),
+    sig AS (SELECT doc_id,
+              COALESCE(bit_or(CASE WHEN v > 0 THEN 1::UBIGINT << b END),
+                       0)::UBIGINT AS sh
+            FROM bt GROUP BY doc_id),
+    allsig AS (SELECT d.doc_id, COALESCE(s.sh, 0)::UBIGINT AS sh
+               FROM documents d LEFT JOIN sig s USING (doc_id))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.sh, b.sh))::BIGINT AS hamming
+    FROM allsig a JOIN allsig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= 3"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "docs_langid": _langid_sql(),
+        "docs_minhash_dups": _minhash_sql(0.8),
+        "docs_simhash_dups": _SIMHASH_SQL,
+        "docs_winnow_fp": _winnow_sql(),
         "docs_lang_dist":
             "SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang",
         "docs_token_count": r"""

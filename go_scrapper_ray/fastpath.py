@@ -1,0 +1,358 @@
+"""Scanner fast paths for the extraction hot loop.
+
+The reference's extractions (``/root/reference/main.go:355-412,491-558,
+771-932``) touch only a handful of structural islands per page: ``<script>``
+and ``<meta>`` bodies (SERP + profile), ``<h3>`` texts (non-rec landing) and
+the ``div.not-recommended-reviews`` subtree (non-rec pages).  Real pages are
+dominated by chrome the selectors never match (the bench fixtures model this
+with ~18 KB of filler DOM per page), so building the full minidom tree is
+>90 % wasted allocation — the measured scaling killer at 32-wide concurrency
+(BASELINE.md: allocation-heavy parse drops ~1.65x per-core throughput).
+
+``scan()`` walks tags with C-level ``str.find`` and a strict tag grammar,
+collecting ONLY those islands; text outside them is skipped without a single
+Python-object allocation.  Byte parity with the full parse is preserved by
+construction where the grammar holds, and by FALLBACK where it doesn't: any
+comment, malformed tag, or improper nesting inside a captured fragment
+returns None and the caller uses ``minidom.parse_html`` as before.  The
+parity suite runs every fixture page through both paths
+(tests/test_fastpath.py)."""
+
+from __future__ import annotations
+
+import re
+from html import unescape
+
+from .minidom import VOID, Node, _Parser
+
+# strict tag grammar: lowercase/uppercase names, whitespace-separated
+# attributes with optional double-quoted values (no '<' or '>' inside).
+# Anything outside this grammar -> scan failure -> minidom fallback.
+_NAME_RE = re.compile(r"[a-zA-Z][a-zA-Z0-9-]*")
+_ATTR_RE = re.compile(
+    r'\s+([a-zA-Z][a-zA-Z0-9_:.-]*)\s*(?:=\s*"([^"<>]*)")?')
+
+
+class _ScanFail(Exception):
+    pass
+
+
+class FastpathMiss(Exception):
+    """Selector not answerable from the scan — caller must full-parse."""
+
+
+def _parse_fragment(frag: str) -> Node:
+    """minidom parse of a captured fragment (same parser => same entity and
+    tolerance semantics as the full-document parse)."""
+    p = _Parser()
+    p.feed(frag)
+    p.close()
+    return p.root
+
+
+# one-regex tokenizer for captured fragments.  Valid ONLY on text the
+# scanner already validated (proper nesting, no comments/CDATA, strict attr
+# grammar) — anything else must go through _parse_fragment.
+_TOK_RE = re.compile(
+    r'<(/?)([a-zA-Z][a-zA-Z0-9-]*)((?:[^<>"]|"[^"<>]*")*?)(/?)>')
+
+
+def fragment_tree(frag: str) -> Node:
+    """Node tree of a scanner-validated fragment — semantics identical to
+    ``_parse_fragment`` on this restricted grammar (entity decode in text
+    and attr values, first-attr-wins, VOID tags, pop-to-matching-open), at
+    regex-tokenizer speed.  Falls back to the HTMLParser build if the
+    tokenizer's view of the fragment is incomplete (defense in depth; the
+    scanner's guards should make that unreachable)."""
+    root = Node("#document")
+    stack = [root]
+    pos = 0
+    for m in _TOK_RE.finditer(frag):
+        s = m.start()
+        if s > pos:
+            text = frag[pos:s]
+            if "<" in text:  # markup the tokenizer skipped — be safe
+                return _parse_fragment(frag)
+            if "&" in text:
+                text = unescape(text)
+            stack[-1].children.append(text)
+        elif s < pos:  # overlapping/odd tokenization — be safe
+            return _parse_fragment(frag)
+        pos = m.end()
+        closing, name, span, selfclose = m.groups()
+        name = name.lower()
+        if closing:
+            for i in range(len(stack) - 1, 0, -1):
+                if stack[i].tag == name:
+                    del stack[i:]
+                    break
+            continue
+        try:
+            attrs = _attrs_of(span) if span.strip() else {}
+        except _ScanFail:  # e.g. unquoted attr values — HTMLParser-only
+            return _parse_fragment(frag)
+        node = Node(name, attrs, parent=stack[-1])
+        stack[-1].children.append(node)
+        if not selfclose and name not in VOID:
+            stack.append(node)
+    if pos < len(frag):
+        text = frag[pos:]
+        if "<" in text:
+            return _parse_fragment(frag)  # unconsumed markup
+        if "&" in text:
+            text = unescape(text)
+        stack[-1].children.append(text)
+    return root
+
+
+class FastDoc:
+    """Answers exactly the selector patterns the extraction kernels use,
+    from a single scan — raises FastpathMiss on anything else."""
+
+    __slots__ = ("scripts", "metas", "_h3_frags", "_h3_texts")
+
+    def __init__(self, scripts, metas, h3_frags):
+        self.scripts = scripts      # [(attrs, raw_body)]
+        self.metas = metas          # [attrs]
+        self._h3_frags = h3_frags   # raw inner HTML per h3, document order
+        self._h3_texts = None
+
+    # -- selector answers (minidom-equivalent for these patterns) ----------
+    def _script_texts(self, pred):
+        return [b for a, b in self.scripts if pred(a, b)]
+
+    def h3_texts(self) -> list[str]:
+        if self._h3_texts is None:
+            self._h3_texts = [fragment_tree(f).text()
+                              for f in self._h3_frags]
+        return self._h3_texts
+
+    def child_texts(self, selector: str) -> list[str]:
+        if selector == "h3":
+            return [t.strip() for t in self.h3_texts()]
+        if selector.startswith("script:contains(") and selector.endswith(")"):
+            sub = selector[len("script:contains("):-1].strip("\"'").lower()
+            return [b.strip() for a, b in self.scripts if sub in b.lower()]
+        m = re.fullmatch(r'script\[type="([^"]*)"\]', selector)
+        if m:
+            typ = m.group(1)
+            return [b.strip() for a, b in self.scripts
+                    if a.get("type") == typ]
+        raise FastpathMiss(selector)
+
+    def child_text(self, selector: str) -> str:
+        m = re.fullmatch(r'script\[type="([^"]*)"\]', selector)
+        if m:
+            typ = m.group(1)
+            return "".join(b for a, b in self.scripts
+                           if a.get("type") == typ).strip()
+        raise FastpathMiss(selector)
+
+    def child_attr(self, selector: str, name: str) -> str:
+        m = re.fullmatch(r'meta\[name="([^"]*)"\]', selector)
+        if m:
+            want = m.group(1)
+            for a in self.metas:
+                if a.get("name") == want:
+                    v = a.get(name)
+                    # colly ChildAttr: FIRST match only; '' if attr absent
+                    return v.strip() if v is not None else ""
+            return ""
+        raise FastpathMiss((selector, name))
+
+
+def _attrs_of(span: str) -> dict:
+    """Parse an attribute span; raise on grammar violations.  Mirrors
+    HTMLParser: lowercased names, first occurrence wins, entity refs
+    decoded in values."""
+    d: dict = {}
+    j, end = 0, len(span)
+    while j < end:
+        m = _ATTR_RE.match(span, j, end)
+        if m is None:
+            rest = span[j:end].strip().rstrip("/")
+            if rest:
+                raise _ScanFail(span[j:end])
+            break
+        k = m.group(1).lower()
+        v = m.group(2)
+        if v is None:
+            v = ""
+        elif "&" in v:
+            v = unescape(v)
+        if k not in d:
+            d[k] = v
+        j = m.end()
+    return d
+
+
+def scan(html: str | bytes, region_class: str | None = None):
+    """One pass over the document. Returns (FastDoc, region_fragment) or
+    (None, None) when the page needs the full parse.
+
+    region_class: when set, also capture the subtree of the unique
+    ``<div class="... region_class ...">`` (the non-rec reviews container);
+    ambiguity (0 or 2+ matches) or improper nesting inside any captured
+    fragment falls back."""
+    if isinstance(html, bytes):
+        html = html.decode("utf-8", errors="replace")
+    try:
+        return _scan(html, region_class)
+    except _ScanFail:
+        return None, None
+
+
+def _scan(html: str, region_class: str | None):
+    n = len(html)
+    find = html.find
+    lowered: str | None = None
+    scripts: list = []
+    metas: list = []
+    h3_frags: list = []
+    # open-tag name stack; captures pin a stack depth and an html offset
+    stack: list[str] = []
+    h3_start = h3_depth = -1
+    rg_start = rg_depth = -1
+    region: str | None = None
+    region_seen = 0
+    # captures only inside the FIRST <html> element — the extraction roots
+    # at select_first("html"), so islands outside it must not be collected
+    saw_html = False
+    in_html = False
+
+    i = 0
+    while True:
+        lt = find("<", i)
+        if lt < 0:
+            break
+        c = html[lt + 1] if lt + 1 < n else ""
+        if c == "!" or c == "?":
+            # comments/doctype interact with captures in ways the scanner
+            # doesn't model — only tolerate them OUTSIDE any capture
+            if h3_start >= 0 or rg_start >= 0 or html.startswith("<!--", lt):
+                raise _ScanFail("markup-decl")
+            gt = find(">", lt)
+            if gt < 0:
+                break
+            i = gt + 1
+            continue
+        if c == "/":
+            m = _NAME_RE.match(html, lt + 2)
+            if m is None:
+                raise _ScanFail("bad endtag")
+            name = m.group(0).lower()
+            gt = find(">", m.end())
+            if gt < 0:
+                break
+            # HTMLParser pops to the nearest matching open (stray end tags
+            # are ignored); a pop that crosses a capture boundary would
+            # change the capture's extent -> fallback
+            if name in stack:
+                idx = len(stack) - 1 - stack[::-1].index(name)
+                # the capture's own tag sits at depth-1; popping strictly
+                # below it would change the capture's extent
+                if h3_start >= 0 and idx < h3_depth - 1:
+                    raise _ScanFail("pop crosses h3")
+                if rg_start >= 0 and idx < rg_depth - 1:
+                    raise _ScanFail("pop crosses region")
+                if (h3_start >= 0 or rg_start >= 0) and idx != len(stack) - 1:
+                    raise _ScanFail("improper nesting in capture")
+                if in_html and "html" in stack[idx:]:
+                    in_html = False
+                del stack[idx:]
+                if h3_start >= 0 and len(stack) < h3_depth:
+                    h3_frags.append(html[h3_start:lt])
+                    h3_start = -1
+                if rg_start >= 0 and len(stack) < rg_depth:
+                    region = html[rg_start:gt + 1]
+                    rg_start = -1
+            i = gt + 1
+            continue
+        m = _NAME_RE.match(html, lt + 1)
+        if m is None:
+            # literal '<' in text: harmless outside captures, parity-risky
+            # inside (HTMLParser emits it as text; our fragment re-parse
+            # does the same, so it IS safe — but only in fragments we keep)
+            i = lt + 1
+            continue
+        name = m.group(0).lower()
+        gt = find(">", m.end())
+        if gt < 0:
+            break
+        span = html[m.end():gt]
+        # cheap safety gate (C-level): a '<' in the span or unbalanced
+        # quotes means the real tag end may differ from this '>' (quoted
+        # '>' in an attribute value) — the one case where this scanner and
+        # HTMLParser could tokenize differently.  Full attr parsing runs
+        # only for tags whose attributes matter.
+        if "<" in span or span.count('"') % 2:
+            raise _ScanFail("suspicious tag span")
+        selfclose = span.rstrip().endswith("/")
+
+        if name == "meta":
+            if in_html and rg_start < 0 and h3_start < 0:
+                metas.append(_attrs_of(span))
+            i = gt + 1
+            continue
+        if selfclose:
+            # HTMLParser's handle_startendtag: element created, nothing
+            # pushed, and script/style do NOT enter CDATA mode
+            if in_html and h3_start < 0 and rg_start < 0:
+                if name == "script":
+                    scripts.append((_attrs_of(span), ""))
+                elif name == "h3":
+                    h3_frags.append("")
+                elif (region_class is not None and name == "div"
+                      and region_class in span
+                      and region_class
+                      in (_attrs_of(span).get("class") or "").split()):
+                    raise _ScanFail("self-closed region")
+            i = gt + 1
+            continue
+        if name == "script" or name == "style":
+            # CDATA content: runs to the next matching end tag
+            # (case-insensitive, like HTMLParser's interesting_cdata)
+            if lowered is None:
+                lowered = html.lower()
+            close = lowered.find(f"</{name}", gt + 1)
+            if close < 0:
+                raise _ScanFail("unterminated cdata")
+            if name == "script" and in_html and rg_start < 0 and h3_start < 0:
+                scripts.append((_attrs_of(span), html[gt + 1:close]))
+            elif h3_start >= 0 or rg_start >= 0:
+                raise _ScanFail("cdata inside capture")
+            cgt = find(">", close)
+            if cgt < 0:
+                break
+            i = cgt + 1
+            continue
+        if name in VOID:
+            i = gt + 1
+            continue
+        stack.append(name)
+        if name == "html":
+            if saw_html:
+                raise _ScanFail("multiple html elements")
+            saw_html = True
+            in_html = True
+        elif in_html and name == "h3" and h3_start < 0 and rg_start < 0:
+            h3_start = gt + 1
+            h3_depth = len(stack)
+        elif (region_class is not None and name == "div" and in_html
+              and rg_start < 0 and h3_start < 0 and region_class in span
+              and region_class
+              in (_attrs_of(span).get("class") or "").split()):
+            region_seen += 1
+            if region_seen > 1:
+                raise _ScanFail("ambiguous region")
+            rg_start = lt
+            rg_depth = len(stack)
+        i = gt + 1
+
+    if h3_start >= 0 or rg_start >= 0:
+        raise _ScanFail("unterminated capture")
+    if not saw_html:
+        raise _ScanFail("no html element")
+    if region_class is not None and region_seen == 0:
+        region = None
+    return FastDoc(scripts, metas, h3_frags), region

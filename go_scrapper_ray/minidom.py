@@ -29,7 +29,8 @@ VOID = {"area", "base", "br", "col", "embed", "hr", "img", "input", "link",
 
 
 class Node:
-    __slots__ = ("tag", "attrs", "children", "parent", "order")
+    __slots__ = ("tag", "attrs", "children", "parent", "order",
+                 "_flat", "_cls")
 
     def __init__(self, tag: str, attrs=None, parent=None, order: int = -1):
         self.tag = tag
@@ -37,6 +38,9 @@ class Node:
         self.children: list = []  # Node | str (text)
         self.parent = parent
         self.order = order
+        self._flat = None  # cached descendant-element list (doc order);
+        self._cls = None   # cached class-token list — trees are read-only
+        #                    after parse, so both caches are safe
 
     # ---------------------------------------------------------------- texts
     def text(self) -> str:
@@ -57,17 +61,46 @@ class Node:
         return self.attrs.get(name.lower())
 
     def iter_elements(self):
-        """Descendant elements (excluding self), document order."""
-        for c in self.children:
-            if isinstance(c, Node):
-                yield c
-                yield from c.iter_elements()
+        """Descendant elements (excluding self), document order (cached —
+        repeated selects over the same subtree are the extraction hot
+        path)."""
+        f = self._flat
+        if f is None:
+            f = []
+            app = f.append
+            stack = [iter(self.children)]
+            while stack:
+                for c in stack[-1]:
+                    if type(c) is Node:
+                        app(c)
+                        stack.append(iter(c.children))
+                        break
+                else:
+                    stack.pop()
+            self._flat = f
+        return f
+
+    @property
+    def cls(self) -> list:
+        c = self._cls
+        if c is None:
+            c = self._cls = (self.attrs.get("class") or "").split()
+        return c
 
     # ------------------------------------------------------------- selection
     def select(self, selector: str) -> list["Node"]:
         """goquery Find(): matching DESCENDANTS of this node, document order."""
         chain = _parse_selector(selector)
-        return [el for el in self.iter_elements() if _match_chain(el, chain, scope=self)]
+        if len(chain) == 1:
+            simple = chain[0][1]
+            m = simple.matches
+            return [el for el in self.iter_elements() if m(el)]
+        tag = chain[-1][1].tag  # inline prefilter: skip the call for
+        if tag is not None:     # elements that can't match the last simple
+            return [el for el in self.iter_elements()
+                    if el.tag == tag and _match_chain(el, chain, scope=self)]
+        return [el for el in self.iter_elements()
+                if _match_chain(el, chain, scope=self)]
 
     def select_first(self, selector: str):
         chain = _parse_selector(selector)
@@ -162,7 +195,7 @@ class _Simple:
         if self.tag is not None and n.tag != self.tag:
             return False
         if self.classes:
-            cls = (n.attrs.get("class") or "").split()
+            cls = n.cls
             for c in self.classes:
                 if c not in cls:
                     return False
@@ -264,21 +297,37 @@ def _match_chain(el: Node, chain: list[tuple[str, _Simple]], scope: Node) -> boo
     descendants of `scope`, but the selector itself is matched against the
     WHOLE document tree — ancestor combinators may climb above the scope node
     (matching goquery's findWithMatcher, which filters document-wide cascadia
-    matches to descendants of the selection)."""
+    matches to descendants of the selection).
 
-    def rec(node: Node, idx: int) -> bool:
-        comb, simple = chain[idx]
-        if not simple.matches(node):
-            return False
-        if idx == 0:
-            return True
+    Iterative (no per-call closure): child combinators and the final
+    descendant hop are loops; only a descendant combinator in the MIDDLE of
+    a chain (which needs ancestor backtracking) recurses."""
+    if not chain[-1][1].matches(el):
+        return False
+    return _match_rest(el, chain, len(chain) - 1)
+
+
+def _match_rest(node: Node, chain, idx: int) -> bool:
+    """``node`` matches chain[idx]; check the remaining prefix upward."""
+    while idx > 0:
+        comb = chain[idx][0]
+        idx -= 1
+        simple = chain[idx][1]
         parent = node.parent
         if comb == ">":
-            return parent is not None and rec(parent, idx - 1)
-        while parent is not None:
-            if rec(parent, idx - 1):
+            if parent is None or not simple.matches(parent):
+                return False
+            node = parent
+            continue
+        if idx == 0:  # leading simple: any ancestor suffices
+            while parent is not None:
+                if simple.matches(parent):
+                    return True
+                parent = parent.parent
+            return False
+        while parent is not None:  # middle descendant hop: backtrack
+            if simple.matches(parent) and _match_rest(parent, chain, idx):
                 return True
             parent = parent.parent
         return False
-
-    return rec(el, len(chain) - 1)
+    return True

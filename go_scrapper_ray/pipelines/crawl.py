@@ -351,17 +351,29 @@ class CrawlEngine:
             p = self.workdir / sub
             if p.exists():
                 shutil.rmtree(p)
+        tt = time.perf_counter()
         self._intake()
+        tt = self._t("intake", tt)
         while True:
             released = self._release()
+            tt = self._t("release", tt)
             if released.num_rows:
                 self._run_round(released)
+            tt = time.perf_counter()
             grew = self._grow_windows()
+            tt = self._t("grow", tt)
             if not released.num_rows and not grew:
                 pending = sum(ray.get([f.pending.remote() for f in self.frontier]))
                 if pending == 0:
                     break
-        return self._finalize()
+        tt = time.perf_counter()
+        res = self._finalize()
+        self._t("finalize", tt)
+        if self._trace:
+            print("GSR_TIMING final " + " ".join(
+                f"{k}={v:.2f}" for k, v in sorted(self.timings.items())),
+                flush=True)
+        return res
 
     def _intake(self):
         entries = []
@@ -461,6 +473,7 @@ class CrawlEngine:
         visit_dir = self.workdir / "visit_log" / f"r{rnd}"
         visit_dir.mkdir(parents=True, exist_ok=True)
         rec_dir = self.workdir / "records" / f"r{rnd}"
+        t0 = self._t("bd_prep", t0)
         # co-partitioned fetch join: load/pin ONLY this round's buckets
         bundle = dict(self._bundle)
         bundle["buckets"] = self.bucket_cache.refs_for(

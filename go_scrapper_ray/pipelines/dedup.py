@@ -59,22 +59,36 @@ _BANDS = 16  # 16 bands x 4 rows
 
 
 def _minhash_params(seed: int = 42):
+    """Permutation params for (a*h + b) mod 2**64 multiply-add hashing.
+
+    The modulus is the natural uint64 wraparound (numpy uint64 arithmetic
+    engine-side; ``% 2**64`` HUGEINT arithmetic oracle-side) — exactly
+    SQL-reproducible, unlike a prime-modulus hash whose int64 overflow
+    semantics DuckDB can't mirror."""
     rng = np.random.RandomState(seed)
     M = (1 << 61) - 1
-    a = rng.randint(1, M, size=_N_PERM, dtype=np.int64)
-    b = rng.randint(0, M, size=_N_PERM, dtype=np.int64)
+    a = rng.randint(1, M, size=_N_PERM, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, M, size=_N_PERM, dtype=np.int64).astype(np.uint64)
     return a, b, M
 
 
+def md5_upper64(data: bytes) -> int:
+    """First 8 bytes of md5, little-endian — DuckDB ``md5_number_upper``.
+    The shared token/shingle hash that keeps the sketch queries
+    (simhash/minhash) SQL-checkable."""
+    return int.from_bytes(hashlib.md5(data).digest()[:8], "little")
+
+
 def _shingles(text: str, k: int = 3) -> np.ndarray:
+    """Sorted unique shingle hashes: md5-upper64 >> 3 (fits int64; DuckDB
+    twin: ``md5_number_upper(gram) >> 3``)."""
     toks = TOKEN_RE.findall(text.lower())
     if len(toks) < k:
         grams = [" ".join(toks)] if toks else []
     else:
         grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
     return np.unique(np.array(
-        [int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(),
-                        "little") >> 3 for g in grams], dtype=np.int64))
+        [md5_upper64(g.encode()) >> 3 for g in grams], dtype=np.int64))
 
 
 def minhash_signatures(sf_dir: str, seed: int = 42) -> rd.Dataset:
@@ -87,8 +101,10 @@ def minhash_signatures(sf_dir: str, seed: int = 42) -> rd.Dataset:
             sh = _shingles(s)
             if len(sh) == 0:
                 continue
-            # vectorized (a*x+b) mod M over perms x shingles
-            vals = (a[:, None] * sh[None, :] + b[:, None]) % M
+            # vectorized (a*x+b) mod 2**64 over perms x shingles (uint64
+            # wraparound — SQL twin: HUGEINT arithmetic % 2**64)
+            shu = sh.astype(np.uint64)
+            vals = a[:, None] * shu[None, :] + b[:, None]
             sig = vals.min(axis=1)
             rows = sig.reshape(_BANDS, _N_PERM // _BANDS)
             for bi in range(_BANDS):
@@ -558,10 +574,13 @@ def ngram_jaccard_dups(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
 # -------------------------------------------------------------------- simhash
 
 def simhash64(text: str) -> int:
+    """64-bit simhash over distinct whitespace tokens, token hash =
+    md5-upper64 — bit k of the output is set iff the +/-1 vote sum of bit k
+    of the token hashes is positive.  SQL twin (docs_simhash_dups oracle):
+    per-bit CASE sums over ``md5_number_upper(w)`` + ``bit_or(1<<b)``."""
     v = np.zeros(64, dtype=np.int64)
     for tok in set(TOKEN_RE.findall(text.lower())):
-        h = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(),
-                           "little")
+        h = md5_upper64(tok.encode())
         bits = np.unpackbits(np.frombuffer(h.to_bytes(8, "little"),
                                            dtype=np.uint8))
         v += bits.astype(np.int64) * 2 - 1

@@ -106,35 +106,42 @@ def fingerprint_md5(sf_dir: str) -> rd.Dataset:
     return docs(sf_dir).map_batches(kernel, batch_format="pyarrow")
 
 
+WINNOW_B = 65599          # k-gram hash base (codepoint polynomial)
+WINNOW_M = (1 << 31) - 1  # modulus: keeps k-term int64 sums overflow-free
+
+
 def fingerprint_winnow(sf_dir: str, k: int = 5, w: int = 8) -> rd.Dataset:
     """(doc_id, winnow_fp): winnowing document fingerprint (Schleimer et al.,
-    SIGMOD 2003): rolling hash over char k-grams, min hash per window of w,
-    fingerprint = 64-bit mix of selected hashes.  Non-SQL (rows-only check)."""
+    SIGMOD 2003): polynomial hash over CODEPOINT k-grams
+    (sum cp[i+j]*B^(k-1-j) mod M), min per window of w consecutive k-grams,
+    fingerprint = XOR of the distinct selected minima (order-free fold).
+
+    Every step is SQL-expressible (positions via generate_series, ``ascii``
+    codepoints, windowed ``min ... ROWS FOLLOWING``, ``bit_xor(DISTINCT)``)
+    — see the docs_winnow_fp oracle.  The kernel itself is numpy: one
+    correlate + sliding_window_view per doc, no per-char Python."""
+
+    pows = np.array([pow(WINNOW_B, k - 1 - j, WINNOW_M) for j in range(k)],
+                    dtype=np.int64)
 
     def kernel(t: pa.Table) -> pa.Table:
+        from numpy.lib.stride_tricks import sliding_window_view
         out = []
         for s in t["text"].to_pylist():
-            b = s.encode("utf-8")
-            if len(b) < k:
+            cps = np.frombuffer(s.encode("utf-32-le"), np.uint32) \
+                .astype(np.int64)
+            if len(cps) < k:
                 out.append(0)
                 continue
-            B, M = 257, (1 << 61) - 1
-            h = 0
-            power = pow(B, k - 1, M)
-            hashes = []
-            for i, ch in enumerate(b):
-                h = (h * B + ch) % M
-                if i >= k:
-                    h = (h - b[i - k] * power * B) % M
-                if i >= k - 1:
-                    hashes.append(h)
-            sel = set()
-            for i in range(max(1, len(hashes) - w + 1)):
-                sel.add(min(hashes[i:i + w]))
-            fp = 0
-            for v in sorted(sel):
-                fp = (fp * 1099511628211 + v) % (1 << 64)
-            out.append(fp)
+            # h[i] = sum_j cp[i+j] * B^(k-1-j) mod M  (cp < 2^21, pow < 2^31,
+            # k terms: sums < 2^55 — int64-safe)
+            # correlate(a, v)[i] = sum_j a[i+j]*v[j] (no kernel reversal)
+            h = np.correlate(cps, pows) % WINNOW_M
+            if len(h) <= w:
+                mins = np.array([h.min()], dtype=np.int64)
+            else:
+                mins = sliding_window_view(h, w).min(axis=1)
+            out.append(int(np.bitwise_xor.reduce(np.unique(mins))))
         return pa.table({"doc_id": t["doc_id"],
                          "winnow_fp": pa.array(out, pa.uint64())})
 

@@ -28,7 +28,10 @@ import ray
 
 from .. import extract, urlkit
 from ..dates import parse_mdy_or_zero
+from ..fastpath import FastpathMiss, fragment_tree, scan as fast_scan
 from ..flow import FEED, NONREC_LANDING, NONREC_PAGE, PROFILE, SEARCH
+
+NONREC_REGION = "not-recommended-reviews"
 
 OUT_SCHEMA = pa.schema([
     ("out_kind", pa.string()),
@@ -192,6 +195,45 @@ class ExtractStage:
             return self._btab(row["bucket"])["html"][row["html_row"]].as_py()
         return row["html"]
 
+    # ------------------------------------------------- fast-path dispatch
+    # Each HTML page kind first tries the island scanner (fastpath.scan —
+    # skips the page chrome that dominates real pages without building a
+    # DOM); any structural surprise falls back to the byte-parity minidom
+    # parse.  Equivalence on every fixture page: tests/test_fastpath.py.
+    def _doc(self, html):
+        fd, _ = fast_scan(html)
+        if fd is not None:
+            return fd
+        return self._parse(html).select_first("html")
+
+    def _profile_of(self, html) -> dict:
+        fd, _ = fast_scan(html)
+        if fd is not None:
+            try:
+                return extract.extract_profile(fd)
+            except FastpathMiss:  # pragma: no cover - fixed selectors
+                pass
+        return extract.extract_profile(self._parse(html).select_first("html"))
+
+    def _landing_of(self, html) -> dict:
+        fd, _ = fast_scan(html)
+        if fd is not None:
+            try:
+                return extract.extract_nonrec_landing(fd)
+            except FastpathMiss:  # pragma: no cover
+                pass
+        return extract.extract_nonrec_landing(
+            self._parse(html).select_first("html"))
+
+    def _nonrec_of(self, html) -> list[dict]:
+        fd, region = fast_scan(html, region_class=NONREC_REGION)
+        if fd is None:
+            return extract.extract_nonrec_page(
+                self._parse(html).select_first("html"))
+        if region is None:
+            return []  # no reviews container -> select() finds no <li>
+        return extract.extract_nonrec_page(fragment_tree(region))
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = {f.name: [] for f in OUT_SCHEMA}
         for row in batch.to_pylist():
@@ -215,7 +257,7 @@ class ExtractStage:
             seed = self.seeds[sid]
 
             if kind == SEARCH:
-                root = self._parse(html).select_first("html")
+                root = self._doc(html)
                 cands = extract.extract_serp_candidates(root) if root is not None else []
                 if not cands:
                     self._rows(out, "event", sid, page_seq, 0,
@@ -236,8 +278,7 @@ class ExtractStage:
                 continue
 
             if kind == PROFILE:
-                root = self._parse(html).select_first("html")
-                prof = extract.extract_profile(root)
+                prof = self._profile_of(html)
                 if prof["business_id"] == "":
                     self._rows(out, "retry", sid, row["parent_seq"],
                                row["emit_idx"], None, sort_ts=row["attempt"],
@@ -279,8 +320,7 @@ class ExtractStage:
                 continue
 
             if kind == NONREC_LANDING:
-                root = self._parse(html).select_first("html")
-                res = extract.extract_nonrec_landing(root)
+                res = self._landing_of(html)
                 if res["no_reviews"]:
                     self._rows(out, "event", sid, page_seq, 0,
                                {"type": "no_reviews"})
@@ -300,8 +340,7 @@ class ExtractStage:
                 continue
 
             if kind == NONREC_PAGE:
-                root = self._parse(html).select_first("html")
-                recs = extract.extract_nonrec_page(root)
+                recs = self._nonrec_of(html)
                 self._emit_records(out, sid, page_seq, recs)
                 continue
 

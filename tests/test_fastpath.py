@@ -1,0 +1,171 @@
+"""Fast-path scanner equivalence: for every fixture page (bare and
+filler-padded bench variants), the island scanner must produce EXACTLY the
+same extraction results as the full minidom parse — or decline (fall back).
+
+This is the safety net for the extraction hot-loop optimization
+(go_scrapper_ray/fastpath.py): the scanner may refuse any page, but it must
+never disagree with the parser on one it accepts."""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+import pyarrow.parquet as pq
+import pytest
+
+from go_scrapper_ray import extract
+from go_scrapper_ray.fastpath import scan
+from go_scrapper_ray.minidom import parse_html
+
+NONREC = "not-recommended-reviews"
+
+
+def _minidom_root(html):
+    return parse_html(html).select_first("html")
+
+
+def _profile_both(html):
+    fd, _ = scan(html)
+    if fd is None:
+        return None
+    return (extract.extract_profile(fd),
+            extract.extract_profile(_minidom_root(html)))
+
+
+def _corpus_pages(tmp_path, scale, env=None):
+    from fixtures.gen import generate_corpus
+    old = {}
+    for k, v in (env or {}).items():
+        old[k] = os.environ.get(k)
+        os.environ[k] = v
+    try:
+        out = tmp_path / f"corpus_{scale}"
+        generate_corpus(str(out), scale=scale, seed=42)
+    finally:
+        for k, v in old.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+    t = pq.read_table(str(out / "pages.parquet"), columns=["url", "html"])
+    return list(zip(t["url"].to_pylist(), t["html"].to_pylist()))
+
+
+@pytest.mark.parametrize("scale,env", [
+    ("med", {}),
+    ("bench", {"GSR_BENCH_BUSINESSES": "30", "GSR_FILLER_PARAS": "40"}),
+])
+def test_fastpath_equivalence_on_fixture_corpus(tmp_path, scale, env):
+    pages = _corpus_pages(tmp_path, scale, env)
+    assert pages
+    n_fast = 0
+    for url, html in pages:
+        if "review_feed" in url:
+            continue  # JSON pages never parse HTML
+        root = _minidom_root(html)
+        fd, region = scan(html, region_class=NONREC)
+        if fd is None:
+            continue  # declined -> engine falls back; nothing to compare
+        n_fast += 1
+        if root is None:
+            # scanner requires an <html> element, so this cannot happen
+            pytest.fail(f"fastpath accepted page without html root: {url}")
+        # profile extraction surface
+        assert extract.extract_profile(fd) == extract.extract_profile(root), url
+        # SERP surface
+        assert (extract.extract_serp_candidates(fd)
+                == extract.extract_serp_candidates(root)), url
+        # landing surface (h3 texts)
+        assert (extract.extract_nonrec_landing(fd)
+                == extract.extract_nonrec_landing(root)), url
+        # non-rec review extraction via the captured region
+        full = extract.extract_nonrec_page(root)
+        if region is None:
+            assert full == [], url
+        else:
+            from go_scrapper_ray.fastpath import fragment_tree
+            assert extract.extract_nonrec_page(fragment_tree(region)) == full, url
+    # the generator's pages are all within the strict grammar
+    assert n_fast > 0
+
+
+HTML = "<html><body>{}</body></html>"
+
+
+def test_fastpath_script_meta_islands():
+    h = HTML.format('<meta name="yelp-biz-id" content=" b-1\nx ">'
+                    '<script type="application/ld+json">{"reviewCount":7}'
+                    "</script><script>var business_id=[1,2]</script>")
+    fd, _ = scan(h)
+    root = _minidom_root(h)
+    assert fd.child_attr('meta[name="yelp-biz-id"]', "content") == \
+        root.child_attr('meta[name="yelp-biz-id"]', "content")
+    assert fd.child_text('script[type="application/ld+json"]') == \
+        root.child_text('script[type="application/ld+json"]')
+    assert fd.child_texts("script:contains(business_id)") == \
+        root.child_texts("script:contains(business_id)")
+
+
+def test_fastpath_h3_entities_and_nesting():
+    h = HTML.format("<h3>5 reviews &amp; <b>more</b> not recommended</h3>"
+                    "<h3>  spaced  </h3>")
+    fd, _ = scan(h)
+    root = _minidom_root(h)
+    assert fd.child_texts("h3") == root.child_texts("h3")
+
+
+def test_fastpath_declines_comments():
+    assert scan(HTML.format("<!-- c --><h3>x</h3>"))[0] is None
+
+
+def test_fastpath_declines_quoted_gt_in_attr():
+    assert scan(HTML.format('<div title="a>b"><h3>x</h3></div>'))[0] is None
+
+
+def test_fastpath_declines_missing_html_root():
+    assert scan("<body><h3>x</h3></body>")[0] is None
+
+
+def test_fastpath_declines_improper_nesting_in_capture():
+    # </ul> would pop the inner div in HTMLParser; scanner must decline
+    h = HTML.format('<div class="not-recommended-reviews">'
+                    "<ul><div></ul></div>")
+    fd, region = scan(h, region_class=NONREC)
+    assert fd is None and region is None
+
+
+def test_fastpath_uppercase_script_close():
+    h = HTML.format('<script type="application/json">{"a":1}</SCRIPT>')
+    fd, _ = scan(h)
+    root = _minidom_root(h)
+    assert fd.child_texts('script[type="application/json"]') == \
+        root.child_texts('script[type="application/json"]')
+
+
+def test_fastpath_stray_end_tag_outside_capture_ok():
+    h = "<html><body></span><h3>t</h3></body></html>"
+    fd, _ = scan(h)
+    root = _minidom_root(h)
+    assert fd.child_texts("h3") == root.child_texts("h3")
+
+
+def test_fastpath_region_matches_full_parse_on_generated_lis():
+    import random
+    from fixtures.gen import _nonrec_li
+    rng = random.Random(7)
+    lis = "".join(_nonrec_li(rng, f"nr-{i:03d}") for i in range(30))
+    h = HTML.format('<div class="page-chrome"><span>noise</span></div>'
+                    f'<div class="not-recommended-reviews">'
+                    f'<ul class="reviews">{lis}</ul></div>')
+    fd, region = scan(h, region_class=NONREC)
+    assert fd is not None and region is not None
+    from go_scrapper_ray.fastpath import fragment_tree
+    assert (extract.extract_nonrec_page(fragment_tree(region))
+            == extract.extract_nonrec_page(_minidom_root(h)))
+    # fragment_tree must agree with the HTMLParser build on the fragment
+    def flat(n):
+        return [(e.tag, sorted(e.attrs.items()), e.text())
+                for e in n.iter_elements()]
+    assert flat(fragment_tree(region)) == flat(parse_html(region))
