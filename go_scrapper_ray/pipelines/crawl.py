@@ -87,16 +87,17 @@ def _finalize_task(bundle: dict, shard: int, watermarks: dict,
     """Finalize one seed-hash shard: zero-copy filter of the per-round
     record tables (plasma refs; parquet is only the durability copy),
     per-seed sort (date desc, schedule tiebreak — main.go:984-1007),
-    watermark truncation (main.go:950-960), hash+b64+Go-JSONL render
-    (main.go:1009-1077), write one output parquet.  Returns seed_id→count.
+    watermark truncation (main.go:950-960), write one output parquet.
+    The hash+b64+Go-JSONL render (main.go:1009-1077) happened in the
+    DISTRIBUTED extract wave (the line depends only on the record), so the
+    fan-in is sort+truncate+write — the 32-wide render burst anti-scaled.
+    Returns seed_id→count.
 
     A seed's records land in exactly one shard (seed_id % N_FIN_SHARDS),
     so shards finalize independently — a hash-partitioned group-by
     expressed as one raw task per partition, no shuffle."""
     import numpy as np
     import pandas as pd
-
-    from ..gojson import encode_record_b64, record_to_jsonl
 
     tabs = []
     for ref in bundle["refs"]:
@@ -120,8 +121,6 @@ def _finalize_task(bundle: dict, shard: int, watermarks: dict,
             hit = g.index[g["review_hash"].isin(wm)]
             if len(hit):
                 g = g.iloc[:hit[0]]
-        lines = [record_to_jsonl(encode_record_b64(json.loads(pj)))
-                 for pj in g["payload"]]
         counts[int(sid)] = len(g)
         outs.append(pd.DataFrame({
             "seed_id": int(sid), "rank": range(len(g)),
@@ -130,7 +129,7 @@ def _finalize_task(bundle: dict, shard: int, watermarks: dict,
             "page_seq": g["page_seq"].to_numpy(),
             "emit_idx": g["emit_idx"].to_numpy(),
             "payload": g["payload"].to_numpy(),
-            "jsonl": lines,
+            "jsonl": g["jsonl"].to_numpy(),
         }))
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     pq.write_table(pa.Table.from_pandas(pd.concat(outs, ignore_index=True),
@@ -172,7 +171,7 @@ def _round_task(block: pa.Table, bundle: dict, nb: int,
     rec_mask = pc.equal(ex["out_kind"], "record")
     recs = ex.filter(rec_mask).select(
         ["seed_id", "page_seq", "emit_idx", "sort_ts",
-         "review_hash", "payload"])
+         "review_hash", "payload", "jsonl"])
     if recs.num_rows:
         # durability copy; the finalize path reads the returned plasma ref
         os.makedirs(rec_dir, exist_ok=True)
@@ -340,6 +339,11 @@ class CrawlEngine:
             by_fshard.setdefault(h, []).append(entry)
         ray.get([self.frontier[h].push.remote(es)
                  for h, es in by_fshard.items()])
+        # overlap the (disk-bound) page-store bucket reads for these URLs
+        # with the rest of this round / actor startup (fire-and-forget)
+        if final:
+            nb = self.cfg.num_fetch_buckets
+            self.bucket_cache.prefetch({e["url_hash"] % nb for e in final})
         return len(final)
 
     # ------------------------------------------------------------------ run
@@ -659,6 +663,9 @@ class CrawlEngine:
              "dst": kept["l_canon"].combine_chunks(),
              "rel": kept["l_rel"].combine_chunks()}))
         tt = self._t("pl_edges", tt)
+        self.bucket_cache.prefetch(np.unique(
+            kept["l_hash"].to_numpy(zero_copy_only=False)
+            % self.cfg.num_fetch_buckets).tolist())
         hh = kept["l_hosthash"].to_numpy(zero_copy_only=False)
         fshard = hh % len(self.frontier)
         futs2 = []

@@ -147,7 +147,7 @@ class BucketCache:
         self._sizes: dict[int, int] = {}
         self._lru: list[int] = []  # oldest first
 
-    def refs_for(self, buckets) -> dict[int, object]:
+    def _ensure_loader(self):
         import ray
 
         global _LOAD_REMOTE
@@ -156,25 +156,52 @@ class BucketCache:
                 t = _read_bucket(store_dir, b)
                 return t, t.nbytes
             _LOAD_REMOTE = ray.remote(num_returns=2)(_load)
+        return _LOAD_REMOTE
 
+    def prefetch(self, buckets) -> None:
+        """Fire-and-forget loads so the (disk-bound) bucket reads overlap
+        actor startup, frontier RPCs and the previous round's extract wave
+        instead of stalling the next round's dispatch.  Sizes stay
+        unresolved ObjectRefs until ``refs_for`` needs them."""
+        loader = self._ensure_loader()
+        for b in buckets:
+            b = int(b)
+            if b not in self._refs:
+                tref, szref = loader.remote(self.store_dir, b)
+                self._refs[b] = tref
+                self._sizes[b] = szref  # resolved lazily
+                self._lru.append(b)
+
+    def _resolve_ready_sizes(self) -> int:
+        """Resolve size futures that are already available WITHOUT blocking
+        (in-flight prefetches keep loading while rounds run); returns the
+        total of resolved sizes.  Unresolved buckets are freshly prefetched
+        (= MRU) so deferring their accounting one round is safe."""
+        import ray
+        total = 0
+        for b, s in list(self._sizes.items()):
+            if not isinstance(s, int):
+                ready, _ = ray.wait([s], timeout=0, fetch_local=False)
+                if not ready:
+                    continue
+                s = self._sizes[b] = int(ray.get(s))
+            total += s
+        return total
+
+    def refs_for(self, buckets) -> dict[int, object]:
         need = [int(b) for b in buckets]
-        missing = [b for b in need if b not in self._refs]
-        pending = {b: _LOAD_REMOTE.remote(self.store_dir, b)
-                   for b in missing}
-        for b, (tref, szref) in pending.items():
-            self._refs[b] = tref
-            self._sizes[b] = int(ray.get(szref))
+        self.prefetch(need)
         for b in need:
-            if b in self._lru:
-                self._lru.remove(b)
+            self._lru.remove(b)
             self._lru.append(b)
-        # evict beyond budget, never a bucket needed this round
-        total = sum(self._sizes.values())
+        # evict beyond budget, never a bucket needed this round; tasks
+        # ray.get the table refs themselves, so no driver-side wait here
+        total = self._resolve_ready_sizes()
         needset = set(need)
         i = 0
         while total > self.budget and i < len(self._lru):
             b = self._lru[i]
-            if b in needset:
+            if b in needset or not isinstance(self._sizes[b], int):
                 i += 1
                 continue
             self._lru.pop(i)

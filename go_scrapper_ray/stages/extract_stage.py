@@ -41,6 +41,11 @@ OUT_SCHEMA = pa.schema([
     ("sort_ts", pa.int64()),
     ("review_hash", pa.string()),
     ("payload", pa.string()),
+    # record rows only: the final Go-encoder JSONL line, rendered HERE in
+    # the distributed extract wave (it depends only on the payload) so the
+    # finalize fan-in is a sort+truncate+write, not a 32-wide render burst
+    # (measured: the render anti-scaled 7.4s@8cpu -> 10.1s@32cpu)
+    ("jsonl", pa.string()),
     # link rows use NATIVE columns (canonicalized + hashed + host/robots
     # filtered IN the distributed kernel) so the driver never runs per-link
     # Python kernels — at frontier scale the driver only routes hashes
@@ -127,7 +132,7 @@ class ExtractStage:
 
     # ------------------------------------------------------------------ rows
     def _rows(self, out, kind, seed_id, page_seq, emit_idx, payload,
-              sort_ts=0, review_hash="", link=None):
+              sort_ts=0, review_hash="", link=None, jsonl=""):
         out["out_kind"].append(kind)
         out["seed_id"].append(seed_id)
         out["page_seq"].append(page_seq)
@@ -136,6 +141,7 @@ class ExtractStage:
         out["review_hash"].append(review_hash)
         out["payload"].append(
             json.dumps(payload, ensure_ascii=False) if payload is not None else "")
+        out["jsonl"].append(jsonl)
         if link is None:
             link = ("", "", 0, "", 0, "", 0, "")
         (out["l_url"].append(link[0]), out["l_canon"].append(link[1]),
@@ -144,13 +150,15 @@ class ExtractStage:
          out["l_depth"].append(link[6]), out["l_rel"].append(link[7]))
 
     def _emit_records(self, out, sid, page_seq, recs):
+        from ..gojson import encode_record_b64, record_to_jsonl
         wm = self.watermarks.get(sid)
         for j, r in enumerate(recs):
             r = extract.finalize_record_identity(r)
             r["scraped_at"] = self.cfg["scraped_at"]
             self._rows(out, "record", sid, page_seq, j, r,
                        sort_ts=parse_mdy_or_zero(r["source_date"]),
-                       review_hash=r["review_hash"])
+                       review_hash=r["review_hash"],
+                       jsonl=record_to_jsonl(encode_record_b64(r)))
             if wm and r["review_hash"] in wm:
                 self._rows(out, "event", sid, page_seq, j,
                            {"type": "hash_hit"})
