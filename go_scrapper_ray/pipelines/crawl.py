@@ -97,8 +97,9 @@ def _finalize_task(bundle: dict, shard: int, watermarks: dict,
     so shards finalize independently — a hash-partitioned group-by
     expressed as one raw task per partition, no shuffle."""
     import numpy as np
-    import pandas as pd
 
+    _dbg = os.environ.get("GSR_TASK_TIMING")
+    _t0 = time.perf_counter()
     tabs = []
     for ref in bundle["refs"]:
         t = ray.get(ref)  # zero-copy plasma read
@@ -108,32 +109,50 @@ def _finalize_task(bundle: dict, shard: int, watermarks: dict,
         sub = t.filter(pa.array(sids % N_FIN_SHARDS == shard))
         if sub.num_rows:
             tabs.append(sub)
+    _t1 = time.perf_counter()
     if not tabs:
         return {}
-    df = pa.concat_tables(tabs).to_pandas()
+    # columnar finalize: one Arrow sort + numpy group slicing (the pandas
+    # groupby/object conversion of the string-heavy columns anti-scaled at
+    # 32-wide concurrency); truncation only ever cuts a group SUFFIX, so
+    # rank = position - group_start survives the keep-filter
+    big = pa.concat_tables(tabs).combine_chunks()
+    order = pc.sort_indices(big, sort_keys=[
+        ("seed_id", "ascending"), ("sort_ts", "descending"),
+        ("page_seq", "ascending"), ("emit_idx", "ascending")])
+    big = big.take(order)
+    sids = big["seed_id"].to_numpy(zero_copy_only=False)
+    n = len(sids)
+    bounds = np.flatnonzero(np.diff(sids)) + 1
+    starts = np.concatenate(([0], bounds))
+    ends = np.concatenate((bounds, [n]))
+    keep = np.ones(n, bool)
     counts: dict[int, int] = {}
-    outs = []
-    for sid, g in df.groupby("seed_id", sort=True):
-        g = g.sort_values(["sort_ts", "page_seq", "emit_idx"],
-                          ascending=[False, True, True]).reset_index(drop=True)
-        wm = watermarks.get(int(sid))
-        if wm:
-            hit = g.index[g["review_hash"].isin(wm)]
-            if len(hit):
-                g = g.iloc[:hit[0]]
-        counts[int(sid)] = len(g)
-        outs.append(pd.DataFrame({
-            "seed_id": int(sid), "rank": range(len(g)),
-            "review_hash": g["review_hash"].to_numpy(),
-            "sort_ts": g["sort_ts"].to_numpy(),
-            "page_seq": g["page_seq"].to_numpy(),
-            "emit_idx": g["emit_idx"].to_numpy(),
-            "payload": g["payload"].to_numpy(),
-            "jsonl": g["jsonl"].to_numpy(),
-        }))
+    hash_col = big["review_hash"]
+    for s, e in zip(starts.tolist(), ends.tolist()):
+        sid = int(sids[s])
+        klen = e - s
+        wm = watermarks.get(sid)
+        if wm:  # incremental seeds only: scan this group's hashes
+            for i, h in enumerate(hash_col.slice(s, e - s).to_pylist()):
+                if h in wm:
+                    klen = i
+                    keep[s + i:e] = False
+                    break
+        counts[sid] = int(klen)
+    rank = np.arange(n, dtype=np.int64) - np.repeat(starts, ends - starts)
+    out = (big.select(["seed_id", "review_hash", "sort_ts", "page_seq",
+                       "emit_idx", "jsonl"])
+           .append_column("rank", pa.array(rank))
+           .filter(pa.array(keep)))
+    _t3 = time.perf_counter()
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
-    pq.write_table(pa.Table.from_pandas(pd.concat(outs, ignore_index=True),
-                                        preserve_index=False), out_path)
+    pq.write_table(out, out_path)
+    if _dbg:
+        with open(f"{_dbg}/fin-{shard}.json", "w") as fh:
+            json.dump({"get_filter": _t1 - _t0, "sort_rank": _t3 - _t1,
+                       "write": time.perf_counter() - _t3,
+                       "rows": n, "start": _t0}, fh)
     return counts
 
 
