@@ -2,27 +2,34 @@
 
 Rebuild shape (SURVEY.md §3 "Rebuild shape"): per round
 
-    FrontierShards.release() → scheduled Dataset
-      → map_batches(FetchStage)        # fetch-as-lookup join vs page store
-      → map_batches(ExtractStage)      # records + links + control events
-      → records stream to per-round Parquet (never via the driver)
-      → links: host filter → SeenShards.add_if_new → FrontierShards.push
-      → events drive the per-seed status machine / incremental windows
+    FrontierShards.release() → scheduled blocks (bucket-sorted)
+      → _round_task: fetch-as-lookup join vs page store + extract
+      → records (+ their rendered JSONL) stream to per-round Parquet
+      → links: task → SeenShards.submit (hash-partitioned) — at round end
+        SeenShards.resolve() picks deterministic winners, pushes straight
+        to FrontierShards and emits edge tables (shard-to-shard; the
+        driver never touches a link row)
+      → events/retries (tiny) drive the driver's per-seed status machine
 
-then finalize: ``groupby(seed_id).map_groups`` imposes the reference's
-insertion-sort order (date desc, schedule-time tiebreak — main.go:984-1007),
-truncates at the incremental watermark (main.go:950-960), base64-encodes
-(main.go:1064-1077) and renders Go-encoder JSONL lines.
+then finalize: per-shard raw tasks impose the reference's insertion-sort
+order (date desc, schedule-time tiebreak — main.go:984-1007) and truncate
+at the incremental watermark (main.go:950-960); the base64 + Go-encoder
+JSONL render (main.go:1009-1077) already happened in the extract wave.
 
 Scale notes (10^10-URL design points, tested single-node):
-* records NEVER pass through the driver — only links+events (≈ O(pages/10))
-  and released frontier entries do.  ``seq`` assignment is the one inherently
-  serial step; at cluster scale it becomes (round, shard, local_idx) without
-  a driver round-trip — same total order, no central counter.
-* per-seed record groups are small (one business), so the finalize "sort" is
-  a groupby shuffle + in-group sort, NOT a global sort.
-* the page store is hash-partitioned once; each fetch actor serves a stable
-  bucket subset because the scheduled set is bucket-sorted (shuffle #1).
+* records and links NEVER pass through the driver — per round it handles
+  events + retries (O(active seeds)) plus the released-entry key sort.
+* that release sort is the one remaining driver-side O(round) step: a
+  columnar pc.sort_indices over five int columns (~1 µs/URL, so ~1 s at a
+  10^6-URL round).  Decentralizing it into a (round, shard, local_idx) seq
+  would change tie-break observables for no measured win — the frontier
+  actors' heap memory saturates far earlier; documented as a deliberate
+  non-goal.
+* per-seed record groups are small (one business), so the finalize "sort"
+  is a hash-partitioned per-shard sort, NOT a global sort.
+* the page store is hash-partitioned once; fetch tasks serve stable bucket
+  subsets because the scheduled set is bucket-sorted (shuffle #1), and the
+  BucketCache prefetches next-round buckets DURING the current round.
 * every round writes records/visit-log Parquet + actor checkpoints →
   kill-and-resume re-enters at the last complete round (test_resume.py).
 """
@@ -195,7 +202,22 @@ def _round_task(block: pa.Table, bundle: dict, nb: int,
         # durability copy; the finalize path reads the returned plasma ref
         os.makedirs(rec_dir, exist_ok=True)
         pq.write_table(recs, f"{rec_dir}/{part}")
-    return ex.filter(pc.invert(rec_mask)), recs
+    # link rows go STRAIGHT to the seen shards (partitioned on l_hash),
+    # never through the driver; winners resolve deterministically at round
+    # end (SeenShard.resolve).  Acks awaited here so the driver's barrier
+    # on this task implies all submissions landed.
+    link_mask = pc.equal(ex["out_kind"], "link")
+    links = ex.filter(link_mask)
+    if links.num_rows:
+        import numpy as np
+        seen_handles = bundle["seen_shards"]
+        shard = (links["l_hash"].to_numpy(zero_copy_only=False)
+                 % len(seen_handles))
+        ray.get([seen_handles[int(s)].submit.remote(
+                    links.take(pa.array(np.flatnonzero(shard == s))))
+                 for s in np.unique(shard)])
+    ctrl = ex.filter(pc.invert(pc.or_(rec_mask, link_mask)))
+    return ctrl.drop_columns(["jsonl", "l_src"]), recs
 
 
 SCHED_SCHEMA = pa.schema([
@@ -257,6 +279,8 @@ class CrawlEngine:
                          for i in range(self.cfg.num_frontier_shards)]
         self.seen = [SeenShard.remote(i)
                      for i in range(self.cfg.num_seen_shards)]
+        # seen shards push resolved links straight to the frontier shards
+        ray.get([s.set_frontier.remote(self.frontier) for s in self.seen])
 
         # broadcast once: seed configs + watermark hash sets
         seeds_map = {s["seed_id"]: s for s in self.seeds}
@@ -278,7 +302,8 @@ class CrawlEngine:
         # worker via the kernels' module caches); "buckets" is filled per
         # round with just the touched buckets' refs
         self._bundle = {"buckets": {}, "seeds": self.seeds_ref,
-                        "cfg": self.cfg_dict, "wm": self.wm_ref}
+                        "cfg": self.cfg_dict, "wm": self.wm_ref,
+                        "seen_shards": self.seen}
 
         # driver-held per-seed state (small, checkpointable)
         self.outcomes: dict[int, SeedOutcome] = {}
@@ -471,10 +496,6 @@ class CrawlEngine:
         order = pc.sort_indices(tbl, sort_keys=[("bucket", "ascending"),
                                                 ("seq", "ascending")])
         table = tbl.take(order).select([f.name for f in SCHED_SCHEMA])
-        # canon-by-seq for edge sources: seq is contiguous this round, so
-        # src canon = canon_by_seq[page_seq - seq_start] (O(1) arithmetic)
-        seq_start = self.seq - n_rel
-        canon_by_seq = released["canon"].combine_chunks()
         # block split by estimated WORK, not rows: DOM-parsed pages
         # (profile/landing/nonrec) cost ~20x a JSON feed page, so row-count
         # splitting starves the cluster on parse-heavy rounds (measured:
@@ -517,12 +538,14 @@ class CrawlEngine:
             _concat_tables.remote({"refs": [f[1] for f in futs]}))
         tbls = [t for t in ray.get(ctrl_refs) if t.num_rows]
         from ..stages.extract_stage import OUT_SCHEMA
+        ctrl_schema = pa.schema([f for f in OUT_SCHEMA
+                                 if f.name not in ("jsonl", "l_src")])
         ctrl_tbl = (pa.concat_tables(tbls).combine_chunks() if tbls
-                    else pa.table({f.name: [] for f in OUT_SCHEMA},
-                                  schema=OUT_SCHEMA))
+                    else pa.table({f.name: [] for f in ctrl_schema},
+                                  schema=ctrl_schema))
         t0 = self._t("round_exec", t0)
 
-        self._apply_ctrl(canon_by_seq, seq_start, ctrl_tbl)
+        self._apply_ctrl(ctrl_tbl)
         t0 = self._t("apply_ctrl", t0)
 
         if self.checkpoints:
@@ -534,19 +557,13 @@ class CrawlEngine:
                              sorted(self.timings.items())), flush=True)
 
     # ---------------------------------------------------------- control rows
-    def _apply_ctrl(self, canon_by_seq: pa.Array, seq_start: int,
-                    ctrl_tbl: pa.Table):
+    def _apply_ctrl(self, ctrl_tbl: pa.Table):
         """Events (tiny) drive the per-seed state machine as Python rows;
-        record counts aggregate columnar; links (the bulk) stay COLUMNAR
-        all the way to the shard actors — the driver's per-link Python
-        work is zero."""
+        record counts aggregate columnar; links never reach the driver at
+        all — the extract tasks submitted them to the seen shards, which
+        resolve winners and push to the frontier shards directly.  The
+        driver's per-round work is O(events + retries)."""
         tt = time.perf_counter()
-        links_tbl = ctrl_tbl.filter(pc.equal(ctrl_tbl["out_kind"], "link"))
-        if links_tbl.num_rows:
-            order = pc.sort_indices(
-                links_tbl, sort_keys=[("page_seq", "ascending"),
-                                      ("emit_idx", "ascending")])
-            links_tbl = links_tbl.take(order)
         # per-page record counts ride in sort_ts of 'rcnt' rows — columnar sum
         rcnt = ctrl_tbl.filter(pc.equal(ctrl_tbl["out_kind"], "rcnt"))
         if rcnt.num_rows:
@@ -635,67 +652,25 @@ class CrawlEngine:
                         if st is not None:
                             out.status = st
         tt = self._t("ac_retries", tt)
-        self.pushed_seeds = ({e["seed_id"] for e in to_push}
-                             | set(pc.unique(links_tbl["seed_id"]).to_pylist()
-                                   if links_tbl.num_rows else []))
-        self._push_links(links_tbl, canon_by_seq, seq_start)
+        # round-end link resolution on the seen shards (parallel), then
+        # retries (tiny, driver-side) — same seen-check ordering as before
+        # (fresh links first, retries bypass the check anyway)
+        nb = self.cfg.num_fetch_buckets
+        res = ray.get([s.resolve.remote(nb) for s in self.seen])
+        link_seeds: set[int] = set()
+        next_buckets: set[int] = set()
+        for edges, cand_seeds, buckets in res:
+            link_seeds.update(cand_seeds)
+            next_buckets.update(buckets)
+            if edges is not None and edges.num_rows:
+                self.edge_tables.append(edges)
+        if next_buckets:  # overlap next round's bucket reads with this round
+            self.bucket_cache.prefetch(next_buckets)
+        tt = self._t("pl_resolve", tt)
+        self.pushed_seeds = {e["seed_id"] for e in to_push} | link_seeds
         tt = time.perf_counter()
         self._push_entries(to_push)
         self._t("ac_push_entries", tt)
-
-    def _push_links(self, links_tbl: pa.Table, canon_by_seq: pa.Array,
-                    seq_start: int):
-        """Columnar link routing: numpy shard masks → batched seen-shard
-        check-and-insert → edge table append → batched frontier push_table.
-        All per-link Python runs on the shard actors, not the driver."""
-        import numpy as np
-
-        n = links_tbl.num_rows
-        if n == 0:
-            return
-        tt = time.perf_counter()
-        hashes = links_tbl["l_hash"].to_numpy(zero_copy_only=False)
-        shard = hashes % len(self.seen)
-        futs, idxs = {}, {}
-        for s in range(len(self.seen)):
-            sel = np.nonzero(shard == s)[0]
-            if not len(sel):
-                continue
-            sub = links_tbl.take(pa.array(sel))
-            futs[s] = self.seen[s].add_if_new.remote(
-                sub["l_hash"].to_pylist(), sub["l_canon"].to_pylist())
-            idxs[s] = sel
-        tt = self._t("pl_seen_send", tt)
-        new_mask = np.zeros(n, dtype=bool)
-        for s, f in futs.items():
-            new_mask[idxs[s]] = ray.get(f)
-        tt = self._t("pl_seen_wait", tt)
-        kept = links_tbl.filter(pa.array(new_mask))
-        if kept.num_rows == 0:
-            return
-        src_idx = pc.subtract(kept["page_seq"],
-                              pa.scalar(seq_start, pa.int64()))
-        srcs = canon_by_seq.take(src_idx.combine_chunks())
-        self.edge_tables.append(pa.table(
-            {"src": srcs.combine_chunks()
-             if isinstance(srcs, pa.ChunkedArray) else srcs,
-             "dst": kept["l_canon"].combine_chunks(),
-             "rel": kept["l_rel"].combine_chunks()}))
-        tt = self._t("pl_edges", tt)
-        self.bucket_cache.prefetch(np.unique(
-            kept["l_hash"].to_numpy(zero_copy_only=False)
-            % self.cfg.num_fetch_buckets).tolist())
-        hh = kept["l_hosthash"].to_numpy(zero_copy_only=False)
-        fshard = hh % len(self.frontier)
-        futs2 = []
-        for s in range(len(self.frontier)):
-            sel = np.nonzero(fshard == s)[0]
-            if len(sel):
-                futs2.append(self.frontier[s].push_table.remote(
-                    kept.take(pa.array(sel))))
-        tt = self._t("pl_front_send", tt)
-        ray.get(futs2)
-        self._t("pl_front_wait", tt)
 
     def _grow_windows(self) -> bool:
         """Flow 3 window growth for drained incremental seeds

@@ -57,6 +57,10 @@ OUT_SCHEMA = pa.schema([
     ("l_kind", pa.string()),
     ("l_depth", pa.int32()),
     ("l_rel", pa.string()),
+    # emitting page's canon URL — lets the SEEN SHARDS build edge rows at
+    # resolve() so links never pass through the driver (shard-to-shard
+    # routing; crawl.py round-loop docstring)
+    ("l_src", pa.string()),
 ])
 
 
@@ -143,11 +147,12 @@ class ExtractStage:
             json.dumps(payload, ensure_ascii=False) if payload is not None else "")
         out["jsonl"].append(jsonl)
         if link is None:
-            link = ("", "", 0, "", 0, "", 0, "")
+            link = ("", "", 0, "", 0, "", 0, "", "")
         (out["l_url"].append(link[0]), out["l_canon"].append(link[1]),
          out["l_hash"].append(link[2]), out["l_host"].append(link[3]),
          out["l_hosthash"].append(link[4]), out["l_kind"].append(link[5]),
-         out["l_depth"].append(link[6]), out["l_rel"].append(link[7]))
+         out["l_depth"].append(link[6]), out["l_rel"].append(link[7]),
+         out["l_src"].append(link[8] if len(link) > 8 else ""))
 
     def _emit_records(self, out, sid, page_seq, recs):
         from ..gojson import encode_record_b64, record_to_jsonl
@@ -168,9 +173,10 @@ class ExtractStage:
             self._rows(out, "rcnt", sid, page_seq, len(recs), None,
                        sort_ts=len(recs))
 
-    def _emit_links(self, out, sid, page_seq, links, emit_start: int = 0):
+    def _emit_links(self, out, sid, page_seq, links, emit_start: int = 0,
+                    src: str = ""):
         """Canonicalize + hash + host/robots-filter links IN the kernel
-        (distributed); the driver only routes the precomputed hashes."""
+        (distributed); the seen shards route the precomputed hashes."""
         for j, (url, kind, depth, rel) in enumerate(links, start=emit_start):
             canon = urlkit.canonicalize(url)
             host = urlkit.host_of(canon)
@@ -178,7 +184,8 @@ class ExtractStage:
                 continue
             self._rows(out, "link", sid, page_seq, j, None,
                        link=(url, canon, urlkit.url_hash64(canon), host,
-                             urlkit.host_hash64(host), kind, depth, rel))
+                             urlkit.host_hash64(host), kind, depth, rel,
+                             src))
 
     # ------------------------------------------------------------------ main
     def set_bucket_refs(self, bucket_refs) -> None:
@@ -282,7 +289,8 @@ class ExtractStage:
                             "rejected": rejected})
                 if not rejected:
                     self._emit_links(out, sid, page_seq,
-                                     [(canon_key, PROFILE, 1, "search_result")])
+                                     [(canon_key, PROFILE, 1, "search_result")],
+                                     src=row["canon"])
                 continue
 
             if kind == PROFILE:
@@ -316,10 +324,12 @@ class ExtractStage:
                             "review_count": prof["review_count"]})
                 # non-rec landing is emitted LAST with a high emit_idx so the
                 # canonical order puts it after the feed pages (oracle parity)
-                self._emit_links(out, sid, page_seq, links)
+                self._emit_links(out, sid, page_seq, links,
+                                 src=row["canon"])
                 self._emit_links(out, sid, page_seq,
                                  [(nonrec, NONREC_LANDING, row["depth"] + 1,
-                                   "non_rec")], emit_start=10_000)
+                                   "non_rec")], emit_start=10_000,
+                                 src=row["canon"])
                 continue
 
             if kind == FEED:
@@ -344,7 +354,7 @@ class ExtractStage:
                             "nonrec_url": row["canon"]})
                 self._emit_links(out, sid, page_seq,
                                  [(u, NONREC_PAGE, row["depth"] + 1, "pagination")
-                                  for u in urls])
+                                  for u in urls], src=row["canon"])
                 continue
 
             if kind == NONREC_PAGE:

@@ -30,6 +30,8 @@ class SeenShard:
         self.shard_id = shard_id
         self.exact: dict[int, str] = {}
         self.filter = CuckooFilter(capacity)
+        self._pending: list[pa.Table] = []  # link candidates this round
+        self._frontier: list = []           # frontier shard handles
 
     def _filter_add(self, h: int) -> None:
         """Insert into the cuckoo fast path; on over-full failure (which can
@@ -61,6 +63,69 @@ class SeenShard:
 
     def contains(self, hashes: list[int]) -> list[bool]:
         return [h in self.exact for h in hashes]
+
+    # ------------------------------------------- shard-to-shard link routing
+    # Extract tasks submit their link rows directly (partitioned on
+    # l_hash % num_seen_shards); at round end the driver triggers resolve(),
+    # which picks the canonically-first candidate per hash, inserts it, and
+    # pushes the kept rows straight to the frontier shards — the driver
+    # never touches a link row.  Determinism: winner per hash = min
+    # (page_seq, emit_idx), exactly the order the old driver-side sorted
+    # routing produced; (page_seq, emit_idx) pairs are unique per link so
+    # arrival order is irrelevant.
+
+    def set_frontier(self, handles: list) -> None:
+        self._frontier = handles
+
+    def submit(self, t: pa.Table) -> int:
+        self._pending.append(t)
+        return t.num_rows
+
+    def resolve(self, num_fetch_buckets: int = 0):
+        """Returns (edge_table | None, candidate_seed_ids, kept_buckets):
+        edges for the KEPT links (src canon rides on the link rows), seed
+        ids for ALL candidates (window-growth gating counts attempted
+        pushes, kept or not — parity with the old driver path), and the
+        page-store buckets the kept URLs hash into (driver prefetch)."""
+        import numpy as np
+        import pyarrow.compute as pc
+
+        if not self._pending:
+            return None, [], []
+        t = pa.concat_tables(self._pending)
+        self._pending = []
+        order = pc.sort_indices(t, sort_keys=[("page_seq", "ascending"),
+                                              ("emit_idx", "ascending")])
+        t = t.take(order)
+        cand_seeds = pc.unique(t["seed_id"]).to_pylist()
+        exact = self.exact
+        keep = []
+        for i, (h, c) in enumerate(zip(t["l_hash"].to_pylist(),
+                                       t["l_canon"].to_pylist())):
+            if h in exact:
+                continue
+            exact[h] = c
+            self._filter_add(h)
+            keep.append(i)
+        if not keep:
+            return None, cand_seeds, []
+        kept = t.take(pa.array(keep, pa.int64()))
+        hh = kept["l_hosthash"].to_numpy(zero_copy_only=False)
+        fshard = hh % len(self._frontier)
+        futs = [self._frontier[int(s)].push_table.remote(
+                    kept.take(pa.array(np.flatnonzero(fshard == s))))
+                for s in np.unique(fshard)]
+        ray.get(futs)
+        edges = pa.table({
+            "src": kept["l_src"].combine_chunks(),
+            "dst": kept["l_canon"].combine_chunks(),
+            "rel": kept["l_rel"].combine_chunks()})
+        buckets = []
+        if num_fetch_buckets:
+            buckets = np.unique(
+                kept["l_hash"].to_numpy(zero_copy_only=False)
+                % num_fetch_buckets).tolist()
+        return edges, cand_seeds, buckets
 
     def dump(self) -> list[tuple[int, str]]:
         return sorted(self.exact.items())
