@@ -71,28 +71,43 @@ N_FIN_SHARDS = 32  # records hash-partition fan-in (fixed: file layout is
 #                    part of the checkpoint contract, independent of cluster)
 
 
-@ray.remote
-def _load_table(path: str) -> pa.Table:
-    """Parquet file → plasma (used to rebuild record refs on resume)."""
-    return pq.read_table(path)
+REC_SCHEMA = pa.schema([
+    ("seed_id", pa.int64()), ("page_seq", pa.int64()),
+    ("emit_idx", pa.int32()), ("sort_ts", pa.int64()),
+    ("review_hash", pa.string()), ("jsonl", pa.string()),
+])
 
 
-@ray.remote
-def _concat_tables(bundle: dict) -> pa.Table:
-    """Per-round record consolidation: many per-task tables → ONE plasma
-    object, so finalize shards fetch O(rounds) refs instead of
-    O(rounds × tasks) (the per-ref fixed cost dominated at 32 CPUs)."""
-    tabs = [t for t in (ray.get(r) for r in bundle["refs"]) if t.num_rows]
-    if not tabs:
-        return pa.table({"seed_id": pa.array([], pa.int64())})
-    return pa.concat_tables(tabs).combine_chunks()
+def _split_fin_shards(recs: pa.Table):
+    """Partition a record table by finalize shard (seed_id % N_FIN_SHARDS),
+    returned as N_FIN_SHARDS slices of one shard-sorted table.  Runs INSIDE
+    each round task (its records are already in memory, a few MB), so the
+    finalize fan-in needs no consolidation stage at all: finalize shard s
+    just fetches slice s of every round task — O(tasks) tiny zero-copy
+    gets, no 32-wide re-scan (the previous consolidation designs measured
+    600 core-s of redundant filtering / end-clustered copy contention)."""
+    import numpy as np
+
+    shard = recs["seed_id"].to_numpy(zero_copy_only=False) % N_FIN_SHARDS
+    order = np.argsort(shard, kind="stable")
+    t = recs.take(pa.array(order))
+    ss = shard[order]
+    bounds = np.searchsorted(ss, np.arange(N_FIN_SHARDS + 1))
+    return tuple(t.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i]))
+                 for i in range(N_FIN_SHARDS))
+
+
+@ray.remote(num_returns=N_FIN_SHARDS)
+def _load_split(path: str):
+    """Resume path: per-round durability parquet → finalize-shard slices."""
+    return _split_fin_shards(pq.read_table(path))
 
 
 @ray.remote
 def _finalize_task(bundle: dict, shard: int, watermarks: dict,
                    out_path: str, scraped_at: int) -> dict:
-    """Finalize one seed-hash shard: zero-copy filter of the per-round
-    record tables (plasma refs; parquet is only the durability copy),
+    """Finalize one seed-hash shard from its pre-partitioned per-round
+    slices (plasma refs; parquet is only the durability copy):
     per-seed sort (date desc, schedule tiebreak — main.go:984-1007),
     watermark truncation (main.go:950-960), write one output parquet.
     The hash+b64+Go-JSONL render (main.go:1009-1077) happened in the
@@ -107,15 +122,8 @@ def _finalize_task(bundle: dict, shard: int, watermarks: dict,
 
     _dbg = os.environ.get("GSR_TASK_TIMING")
     _t0 = time.perf_counter()
-    tabs = []
-    for ref in bundle["refs"]:
-        t = ray.get(ref)  # zero-copy plasma read
-        if not t.num_rows:
-            continue
-        sids = t["seed_id"].to_numpy(zero_copy_only=False)
-        sub = t.filter(pa.array(sids % N_FIN_SHARDS == shard))
-        if sub.num_rows:
-            tabs.append(sub)
+    # each ref is THIS shard's pre-partitioned slice of one round
+    tabs = [t for t in ray.get(bundle["refs"]) if t.num_rows]
     _t1 = time.perf_counter()
     if not tabs:
         return {}
@@ -163,7 +171,7 @@ def _finalize_task(bundle: dict, shard: int, watermarks: dict,
     return counts
 
 
-@ray.remote(num_returns=2)
+@ray.remote(num_returns=1 + N_FIN_SHARDS)
 def _round_task(block: pa.Table, bundle: dict, nb: int,
                 visit_dir: str, rec_dir: str):
     """One fetch+extract+write task over one scheduled block.
@@ -197,7 +205,7 @@ def _round_task(block: pa.Table, bundle: dict, nb: int,
     rec_mask = pc.equal(ex["out_kind"], "record")
     recs = ex.filter(rec_mask).select(
         ["seed_id", "page_seq", "emit_idx", "sort_ts",
-         "review_hash", "payload", "jsonl"])
+         "review_hash", "jsonl"])
     if recs.num_rows:
         # durability copy; the finalize path reads the returned plasma ref
         os.makedirs(rec_dir, exist_ok=True)
@@ -217,7 +225,7 @@ def _round_task(block: pa.Table, bundle: dict, nb: int,
                     links.take(pa.array(np.flatnonzero(shard == s))))
                  for s in np.unique(shard)])
     ctrl = ex.filter(pc.invert(pc.or_(rec_mask, link_mask)))
-    return ctrl.drop_columns(["jsonl", "l_src"]), recs
+    return (ctrl.drop_columns(["jsonl", "l_src"]), *_split_fin_shards(recs))
 
 
 SCHED_SCHEMA = pa.schema([
@@ -318,7 +326,10 @@ class CrawlEngine:
         self.edge_tables: list[pa.Table] = []
         # plasma refs of per-task record tables (finalize input; the parquet
         # copies under records/ are durability only, re-loaded on resume)
-        self.rec_refs: list = []
+        # finalize-shard → [record-slice refs] (one per round task); the
+        # parquet copies under records/ are durability only, re-split on
+        # resume via _load_split
+        self.rec_shard_refs: list[list] = [[] for _ in range(N_FIN_SHARDS)]
         self.timings: dict[str, float] = defaultdict(float)
         self._trace = bool(os.environ.get("GSR_TIMING"))
 
@@ -503,9 +514,12 @@ class CrawlEngine:
         # bucket-sorted table at equal cumulative-weight boundaries.
         ncpu = int(os.environ.get("GSR_MAX_BLOCKS", 0)) or \
             int(ray.cluster_resources().get("CPU", 8))
-        feed_mask = pc.equal(table["kind"], FEED).to_numpy(
-            zero_copy_only=False)
-        weights = np.where(feed_mask, 1.0, 16.0)
+        kinds = table["kind"].to_numpy(zero_copy_only=False)
+        # per-kind cost ratios re-measured AFTER the fastpath scanners
+        # (fastpath.py): feed ~0.55ms, profile/search/landing ~1.5-1.8ms,
+        # nonrec (region DOM parse + selectors) ~5ms
+        weights = np.select([kinds == FEED, kinds == NONREC_PAGE],
+                            [1.0, 10.0], default=3.0)
         cum = np.cumsum(weights)
         total_w = float(cum[-1]) if len(cum) else 0.0
         nblocks = max(1, min(2 * ncpu, int(total_w // 256) + 1))
@@ -534,8 +548,9 @@ class CrawlEngine:
                                    str(visit_dir), str(rec_dir))
                 for s in slices]
         ctrl_refs = [f[0] for f in futs]
-        self.rec_refs.append(
-            _concat_tables.remote({"refs": [f[1] for f in futs]}))
+        for f in futs:
+            for sh in range(N_FIN_SHARDS):
+                self.rec_shard_refs[sh].append(f[1 + sh])
         tbls = [t for t in ray.get(ctrl_refs) if t.num_rows]
         from ..stages.extract_stage import OUT_SCHEMA
         ctrl_schema = pa.schema([f for f in OUT_SCHEMA
@@ -764,15 +779,14 @@ class CrawlEngine:
                         shutil.rmtree(p)
         # rebuild record plasma refs from the durability parquet copies
         # (parallel load tasks)
-        self.rec_refs = []
+        self.rec_shard_refs = [[] for _ in range(N_FIN_SHARDS)]
         rec_base = self.workdir / "records"
         if rec_base.exists():
             for rdir in sorted(rec_base.iterdir()):
-                refs = [_load_table.remote(str(p))
-                        for p in sorted(rdir.glob("part-*.parquet"))]
-                if refs:
-                    self.rec_refs.append(
-                        _concat_tables.remote({"refs": refs}))
+                for pth in sorted(rdir.glob("part-*.parquet")):
+                    refs = _load_split.remote(str(pth))
+                    for sh in range(N_FIN_SHARDS):
+                        self.rec_shard_refs[sh].append(refs[sh])
 
     def resume_run(self) -> "CrawlResult":
         """Continue the round loop after resume_from()."""
@@ -797,13 +811,14 @@ class CrawlEngine:
         # to the control-stream tally
         final_counts: dict[int, int] = dict(self.record_counts)
         fin = None
-        if self.rec_refs:
+        if any(self.rec_shard_refs):
             # one raw task per seed-hash shard over the plasma record refs —
             # a group-by with zero shuffle and zero disk reads; replaces a
             # Ray Data repartition+groupby+map_groups that anti-scaled on
             # this workload (measured 23.6s@8cpu / 48.6s@32cpu -> ~3s)
-            ref_bundle = {"refs": list(self.rec_refs)}
-            futs = [_finalize_task.remote(ref_bundle, s, watermarks,
+            futs = [_finalize_task.remote(
+                        {"refs": list(self.rec_shard_refs[s])},
+                        s, watermarks,
                                           str(out_dir / "records" /
                                               f"shard-{s:02d}.parquet"),
                                           self.cfg.scraped_at)

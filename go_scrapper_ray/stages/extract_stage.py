@@ -160,7 +160,10 @@ class ExtractStage:
         for j, r in enumerate(recs):
             r = extract.finalize_record_identity(r)
             r["scraped_at"] = self.cfg["scraped_at"]
-            self._rows(out, "record", sid, page_seq, j, r,
+            # payload=None: the rendered jsonl IS the record deliverable —
+            # a per-record json.dumps doubled the string churn and the
+            # parquet volume for a column nothing consumed
+            self._rows(out, "record", sid, page_seq, j, None,
                        sort_ts=parse_mdy_or_zero(r["source_date"]),
                        review_hash=r["review_hash"],
                        jsonl=record_to_jsonl(encode_record_b64(r)))
