@@ -188,7 +188,10 @@ def main() -> None:
         _scaling_worker(args.scaling_worker, args.businesses)
         return
     if args.scaling:
-        print(json.dumps(scaling(args.businesses, lo=args.scale_lo,
+        # the scaling criterion needs a workload where round compute
+        # dominates fixed costs — bump the corpus unless explicitly set
+        n_biz = args.businesses if args.businesses != 400 else 24000
+        print(json.dumps(scaling(n_biz, lo=args.scale_lo,
                                  hi=args.scale_hi)))
         return
 

@@ -22,25 +22,29 @@ from __future__ import annotations
 
 import base64
 import hashlib
+import re
 
 _SHORT = {"\n": "\\n", "\r": "\\r", "\t": "\\t", '"': '\\"', "\\": "\\\\"}
+# every char Go's escaper touches (EscapeHTML off): the five short escapes,
+# other C0 controls (\u00xx), and U+2028/U+2029
+_ESC_RE = re.compile(r'[\x00-\x1f"\\\u2028\u2029]')
+
+
+def _esc_one(m: re.Match) -> str:
+    ch = m.group(0)
+    esc = _SHORT.get(ch)
+    return esc if esc is not None else f"\\u{ord(ch):04x}"
 
 
 def go_json_string(s: str) -> str:
-    """Marshal one string exactly like Go json.Marshal with EscapeHTML(false)."""
-    out = ['"']
-    for ch in s:
-        esc = _SHORT.get(ch)
-        if esc is not None:
-            out.append(esc)
-        elif ch < " ":
-            out.append(f"\\u{ord(ch):04x}")
-        elif ch in ("\u2028", "\u2029"):
-            out.append(f"\\u{ord(ch):04x}")
-        else:
-            out.append(ch)
-    out.append('"')
-    return "".join(out)
+    """Marshal one string exactly like Go json.Marshal with EscapeHTML(false).
+
+    Regex fast path: strings with nothing to escape (the common case \u2014 b64
+    fields are pure [A-Za-z0-9+/=]) return in one C-level scan; the per-char
+    Python loop this replaces was 54 % of the record-render profile."""
+    if _ESC_RE.search(s) is None:
+        return f'"{s}"'
+    return '"' + _ESC_RE.sub(_esc_one, s) + '"'
 
 
 def go_marshal_string_list(lst: list[str]) -> bytes:
