@@ -9,8 +9,16 @@ here calls ray.init()/ray.shutdown().
 ``queries()`` — one entry per implemented operator (SURVEY.md §2 + the
                 training-data ops); each takes sf_dir.
 ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query
-                (same column names!).  Crawl-engine + sketch/LSH/multimodal
-                queries are non-SQL-expressible → rows-only checks.
+                (same column names!).  18 queries are SQL-checked, including
+                the sketch ops (simhash / minhash LSH dedup / winnowing /
+                langid — their kernels use md5-upper64 token hashes and
+                mod-2**64 permutations precisely so DuckDB can reproduce
+                them exactly).  Rows-only remainder, structurally non-SQL:
+                the 5 crawl outputs (stateful iterative engine),
+                url_canonicalize (RFC-canonicalization string kernel),
+                knn_lsh / knn_ivf (approximate ANN — correctness is recall
+                vs the SQL-checked brute-force, tested in pytest), and the
+                2 media queries (codecs stubbed in-sandbox).
 """
 
 from __future__ import annotations

@@ -477,13 +477,18 @@ class CrawlEngine:
                 schema=RELEASE_SCHEMA).append_column(
                 "seq", pa.array([], pa.int64()))
         tbl = pa.concat_tables(parts).combine_chunks()
+        # seq = rank under the canonical key, attached WITHOUT reordering
+        # the rows — _run_round's (bucket, seq) sort is the single full
+        # gather per round (a second string-column take here measured ~1s
+        # per crawl at 220k URLs)
+        import numpy as np
         order = pc.sort_indices(tbl, sort_keys=[
             ("seed_id", "ascending"), ("depth", "ascending"),
             ("parent_seq", "ascending"), ("emit_idx", "ascending"),
-            ("attempt", "ascending")])
-        tbl = tbl.take(order)
-        tbl = tbl.append_column("seq", pa.array(
-            range(self.seq, self.seq + tbl.num_rows), pa.int64()))
+            ("attempt", "ascending")]).to_numpy(zero_copy_only=False)
+        rank = np.empty(len(order), np.int64)
+        rank[order] = np.arange(len(order), dtype=np.int64)
+        tbl = tbl.append_column("seq", pa.array(self.seq + rank))
         self.seq += tbl.num_rows
         return tbl
 

@@ -71,15 +71,17 @@ class FrontierShard:
         """Batched push of frontier entries (already seen-filtered).  Robots
         check happens here — the per-host cache lives with the host's queue."""
         n = 0
+        check_robots = not self.cfg.get("ignore_robots", True)
+        heaps = self.heaps
         for e in entries:
             host = e.get("host") or host_of(e["canon"])
-            if not self.cfg.get("ignore_robots", True):
+            if check_robots:
                 rules = self.robots.get(host)
                 if rules is not None and not rules.allowed(e["canon"]):
                     self.robots_blocked += 1
                     continue
             self._push_n += 1
-            heapq.heappush(self.heaps.setdefault(host, []),
+            heapq.heappush(heaps.setdefault(host, []),
                            (_order_key(e), self._push_n, e))
             n += 1
         return n

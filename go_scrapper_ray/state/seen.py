@@ -99,17 +99,20 @@ class SeenShard:
         t = t.take(order)
         cand_seeds = pc.unique(t["seed_id"]).to_pylist()
         exact = self.exact
-        keep = []
-        for i, (h, c) in enumerate(zip(t["l_hash"].to_pylist(),
-                                       t["l_canon"].to_pylist())):
-            if h in exact:
-                continue
+        # vectorized winner pick: rows are canonically sorted, so the first
+        # occurrence of each hash IS the deterministic winner; only winner
+        # rows' canons ever materialize to Python
+        hashes = t["l_hash"].to_numpy(zero_copy_only=False)
+        _, first_idx = np.unique(hashes, return_index=True)
+        new_pos = sorted(int(i) for i in first_idx
+                         if int(hashes[i]) not in exact)
+        if not new_pos:
+            return None, cand_seeds, []
+        kept = t.take(pa.array(new_pos, pa.int64()))
+        for h, c in zip(kept["l_hash"].to_pylist(),
+                        kept["l_canon"].to_pylist()):
             exact[h] = c
             self._filter_add(h)
-            keep.append(i)
-        if not keep:
-            return None, cand_seeds, []
-        kept = t.take(pa.array(keep, pa.int64()))
         hh = kept["l_hosthash"].to_numpy(zero_copy_only=False)
         fshard = hh % len(self._frontier)
         futs = [self._frontier[int(s)].push_table.remote(
