@@ -170,6 +170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_minhash_dups": dedup.minhash_dups,          # rows-only (LSH)
         "docs_simhash_dups": dedup.simhash_dups,          # rows-only (LSH)
         "docs_jaccard_dups": dedup.ngram_jaccard_dups,    # exact, SQL-checked
+        "docs_dup_clusters": dedup.dup_clusters,          # CC over minhash pairs
         "emb_cosine_dups": lambda sf: dedup.embedding_dups(sf, threshold=0.45),
         # --- similarity search ---
         "knn_bruteforce": similarity.knn_bruteforce,
@@ -304,10 +305,25 @@ _SIMHASH_SQL = """
     WHERE bit_count(xor(a.sh, b.sh)) <= 3"""
 
 
+def _dup_clusters_sql(threshold: float = 0.8) -> str:
+    """DuckDB twin of dedup.dup_clusters: recursive-CTE reachability over
+    the minhash near-dup pairs, cluster_id = min reachable doc_id."""
+    return f"""
+        WITH RECURSIVE mh AS ({_minhash_sql(threshold)}),
+        e AS (SELECT doc_a AS a, doc_b AS b FROM mh
+              UNION ALL SELECT doc_b, doc_a FROM mh),
+        r AS (
+          SELECT doc_id AS d, doc_id AS m FROM documents
+          UNION
+          SELECT e.b AS d, r.m FROM r JOIN e ON e.a = r.d)
+        SELECT d AS doc_id, min(m) AS cluster_id FROM r GROUP BY d"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "docs_langid": _langid_sql(),
         "docs_minhash_dups": _minhash_sql(0.8),
+        "docs_dup_clusters": _dup_clusters_sql(0.8),
         "docs_simhash_dups": _SIMHASH_SQL,
         "docs_winnow_fp": _winnow_sql(),
         "docs_lang_dist":

@@ -256,6 +256,86 @@ def minhash_dups(sf_dir: str, threshold: float = 0.8, seed: int = 42) -> rd.Data
     return joined.map_batches(verify, batch_format="pyarrow")
 
 
+def dup_clusters(sf_dir: str, threshold: float = 0.8,
+                 seed: int = 42) -> rd.Dataset:
+    """(doc_id, cluster_id): connected components over the minhash near-dup
+    pair graph; cluster_id = min doc_id in the component (singletons map to
+    themselves).  This is the keep-one-per-cluster assignment a fuzzy-dedup
+    pipeline applies to a training corpus.
+
+    Scale shape — the hash-to-min CC algorithm (Rastogi et al., "Finding
+    Connected Components in Map-Reduce in Logarithmic Rounds", ICDE 2013),
+    expressed as pure groupby/map_groups rounds (join-free):
+      * state: (node, member) rows — node's current cluster-candidate set,
+        initialized to itself + its pair-graph neighbors;
+      * round: each node's group emits its min to every member AND all
+        members to the min (map_groups), then a (node, member) distinct
+        groupby bounds the row count;
+      * O(log n) rounds, run to the paper's deterministic bound; at the
+        fixpoint every node's min member is its component min.
+    All state is output-sized (pair graph + component membership), shuffled
+    on the node key — never the corpus text.
+    DuckDB twin: recursive CTE reachability + min per node."""
+    import math
+
+    from ray.data.aggregate import Min
+
+    pairs = minhash_dups(sf_dir, threshold, seed).materialize()
+    ids = docs(sf_dir, columns=("doc_id",))
+    n_docs = ids.count()
+
+    def self_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["doc_id"], "member": t["doc_id"]})
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].combine_chunks()
+        b = t["doc_b"].combine_chunks()
+        return pa.table({"node": pa.concat_arrays([a, b]),
+                         "member": pa.concat_arrays([b, a])})
+
+    state = (ids.map_batches(self_rows, batch_format="pyarrow")
+             .union(pairs.map_batches(edge_rows, batch_format="pyarrow")))
+    if pairs.count() == 0:
+        return state.map_batches(
+            lambda t: t.rename_columns(["doc_id", "cluster_id"]),
+            batch_format="pyarrow")
+
+    def hash_to_min(g: pd.DataFrame) -> pd.DataFrame:
+        members = np.unique(g["member"].to_numpy())  # global distinct here
+        node = int(g["node"].iloc[0])
+        m = min(int(members[0]), node)
+        # send the min to every member; send every member (and the node)
+        # to the min
+        out_node = np.concatenate([members, np.full(len(members) + 1, m)])
+        out_memb = np.concatenate([np.full(len(members), m), members,
+                                   [node]])
+        return pd.DataFrame({"node": out_node, "member": out_memb})
+
+    def distinct(t: pa.Table) -> pa.Table:
+        return t.group_by(["node", "member"]).aggregate([])
+
+    rounds = max(3, 2 * math.ceil(math.log2(max(n_docs, 2))) + 2)
+    prev_fp = None
+    for _ in range(rounds):
+        state = (state.groupby("node")
+                 .map_groups(hash_to_min, batch_format="pandas")
+                 .map_batches(distinct, batch_format="pyarrow")
+                 .materialize())
+        # early exit at the deterministic fixpoint (near-dup clusters are
+        # tiny, so this usually fires after ~3-4 rounds); the oracle-
+        # checked correctness does not depend on it, the round cap does
+        fp = (state.count(),
+              state.sum("member", ignore_nulls=True),
+              state.sum("node", ignore_nulls=True))
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    return (state.groupby("node")
+            .aggregate(Min("member", alias_name="cluster_id"))
+            .map_batches(lambda t: t.rename_columns(["doc_id", "cluster_id"]),
+                         batch_format="pyarrow"))
+
+
 # ------------------------------------------------------------ n-gram jaccard
 
 def ngram_jaccard_dups(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:

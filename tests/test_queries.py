@@ -192,3 +192,54 @@ def test_langid_predicts_marker_langs(ray_session, tmp_path):
     preds = {r["doc_id"]: r["pred_lang"]
              for r in textstats.langid(str(d), concurrency=1).take_all()}
     assert preds[0] == "en" and preds[1] == "de" and preds[2] == "zh"
+
+
+def test_dup_clusters_assigns_components(ray_session, tmp_path):
+    """Near-dup cluster assignment: docs connected through the minhash pair
+    graph share a cluster_id = min doc_id of the component; singletons map
+    to themselves — including TRANSITIVE closure (0~1 and 1~2 => one
+    cluster even if 0~2 alone is borderline)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from go_scrapper_ray.pipelines import dedup
+
+    base = ("the quick brown fox jumps over the lazy dog and runs far away "
+            "into the deep green forest near the old stone bridge")
+    texts = [base,
+             base + " tonight",
+             base.replace("quick", "slow"),
+             "completely different words entirely unrelated content here "
+             "nothing shared with anything else at all in this one",
+             base,
+             "second island of unique text with its own private vocabulary "
+             "spoken by nobody else in the corpus whatsoever today"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    d = tmp_path / "cc"
+    d.mkdir()
+    pq.write_table(t, d / "documents.parquet")
+
+    labels = {r["doc_id"]: r["cluster_id"]
+              for r in dedup.dup_clusters(str(d), threshold=0.7).take_all()}
+    assert len(labels) == len(texts)
+    # union-find ground truth from the pair list
+    pairs = [(r["doc_a"], r["doc_b"])
+             for r in dedup.minhash_dups(str(d), threshold=0.7).take_all()]
+    parent = list(range(len(texts)))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    want = {}
+    for i in range(len(texts)):
+        root = find(i)
+        want.setdefault(root, []).append(i)
+    expect = {i: min(members) for members in want.values() for i in members}
+    assert labels == expect
+    assert labels[3] == 3 and labels[5] == 5  # singletons
+    assert labels[0] == labels[1] == labels[2] == labels[4] == 0
