@@ -124,24 +124,32 @@ def _q_crawl_meta(sf_dir: str):
 
 
 def _q_canonicalize(sf_dir: str):
-    """URL canonicalization kernel over the corpus pages table."""
+    """URL canonicalization kernel, SQL-checked: deterministic MESSY URLs
+    (uppercase scheme+host, explicit default port, unsorted query params, a
+    fragment) are derived from doc_id, canonicalized by the engine kernel,
+    and compared against the ORACLE's closed-form expected canon + DuckDB
+    ``md5_number_upper`` hash — validating scheme/host lowering, default-
+    port strip, query-param sort, fragment strip and the 64-bit URL hash
+    cell-by-cell."""
     import pyarrow as pa
     import ray.data as rd
     from go_scrapper_ray import urlkit
 
-    corpus = _corpus(sf_dir)
-
     def kernel(t: pa.Table) -> pa.Table:
-        urls = t["url"].to_pylist()
-        canons = urlkit.canonicalize_batch(urls)
+        ids = t["doc_id"].to_pylist()
+        messy = [f"HTTPS://EXAMPLE-{i % 97}.COM:443/doc/{i}"
+                 f"?b={i % 7}&a={i % 3}#frag{i}" for i in ids]
+        canons = urlkit.canonicalize_batch(messy)
         return pa.table({
-            "url": t["url"],
+            "doc_id": t["doc_id"],
+            "url": pa.array(messy, pa.string()),
             "canon_url": pa.array(canons, pa.string()),
             "url_hash": pa.array(urlkit.url_hash_batch(canons), pa.uint64()),
             "host": pa.array(urlkit.host_batch(canons), pa.string()),
         })
 
-    return rd.read_parquet(f"{corpus}/pages.parquet", columns=["url"]) \
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"]) \
         .map_batches(kernel, batch_format="pyarrow")
 
 
@@ -321,6 +329,20 @@ def _dup_clusters_sql(threshold: float = 0.8) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "url_canonicalize": """
+            WITH c AS (
+              SELECT doc_id,
+                'HTTPS://EXAMPLE-' || (doc_id % 97) || '.COM:443/doc/'
+                  || doc_id || '?b=' || (doc_id % 7) || '&a='
+                  || (doc_id % 3) || '#frag' || doc_id AS url,
+                'https://example-' || (doc_id % 97) || '.com/doc/' || doc_id
+                  || '?a=' || (doc_id % 3) || '&b=' || (doc_id % 7)
+                  AS canon_url,
+                'example-' || (doc_id % 97) || '.com' AS host
+              FROM documents)
+            SELECT doc_id, url, canon_url,
+                   md5_number_upper(canon_url) AS url_hash, host
+            FROM c""",
         "docs_langid": _langid_sql(),
         "docs_minhash_dups": _minhash_sql(0.8),
         "docs_dup_clusters": _dup_clusters_sql(0.8),

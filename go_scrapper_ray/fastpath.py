@@ -109,13 +109,22 @@ class FastDoc:
     """Answers exactly the selector patterns the extraction kernels use,
     from a single scan — raises FastpathMiss on anything else."""
 
-    __slots__ = ("scripts", "metas", "_h3_frags", "_h3_texts")
+    __slots__ = ("scripts", "metas", "_h3_frags", "_h3_texts", "_complete")
 
-    def __init__(self, scripts, metas, h3_frags):
+    def __init__(self, scripts, metas, h3_frags, complete=True):
         self.scripts = scripts      # [(attrs, raw_body)]
         self.metas = metas          # [attrs]
         self._h3_frags = h3_frags   # raw inner HTML per h3, document order
         self._h3_texts = None
+        # False when a region capture swallowed part of the document: the
+        # island lists may then be missing in-region members, so selector
+        # access must fall back to the full parse (caught by the fuzz
+        # suite: an <h3> inside the region div)
+        self._complete = complete
+
+    def _require_complete(self):
+        if not self._complete:
+            raise FastpathMiss("islands incomplete (region capture)")
 
     # -- selector answers (minidom-equivalent for these patterns) ----------
     def _script_texts(self, pred):
@@ -123,11 +132,18 @@ class FastDoc:
 
     def h3_texts(self) -> list[str]:
         if self._h3_texts is None:
-            self._h3_texts = [fragment_tree(f).text()
-                              for f in self._h3_frags]
+            out = []
+            for f in self._h3_frags:
+                t = fragment_tree(f)
+                out.append(t.text())
+                # nested h3s live inside the outer capture; document order
+                # is outer-first then descendants (fuzz-found case)
+                out.extend(e.text() for e in t.select("h3"))
+            self._h3_texts = out
         return self._h3_texts
 
     def child_texts(self, selector: str) -> list[str]:
+        self._require_complete()
         if selector == "h3":
             return [t.strip() for t in self.h3_texts()]
         if selector.startswith("script:contains(") and selector.endswith(")"):
@@ -141,6 +157,7 @@ class FastDoc:
         raise FastpathMiss(selector)
 
     def child_text(self, selector: str) -> str:
+        self._require_complete()
         m = re.fullmatch(r'script\[type="([^"]*)"\]', selector)
         if m:
             typ = m.group(1)
@@ -149,6 +166,7 @@ class FastDoc:
         raise FastpathMiss(selector)
 
     def child_attr(self, selector: str, name: str) -> str:
+        self._require_complete()
         m = re.fullmatch(r'meta\[name="([^"]*)"\]', selector)
         if m:
             want = m.group(1)
@@ -355,4 +373,5 @@ def _scan(html: str, region_class: str | None):
         raise _ScanFail("no html element")
     if region_class is not None and region_seen == 0:
         region = None
-    return FastDoc(scripts, metas, h3_frags), region
+    return FastDoc(scripts, metas, h3_frags,
+                   complete=(region_seen == 0)), region

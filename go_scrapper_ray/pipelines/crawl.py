@@ -130,7 +130,10 @@ def _finalize_task(bundle: dict, shard: int, watermarks: dict,
     # columnar finalize: one Arrow sort + numpy group slicing (the pandas
     # groupby/object conversion of the string-heavy columns anti-scaled at
     # 32-wide concurrency); truncation only ever cuts a group SUFFIX, so
-    # rank = position - group_start survives the keep-filter
+    # rank = position - group_start survives the keep-filter.
+    # combine_chunks BEFORE take: gathering from a many-hundred-chunk table
+    # (one chunk per round task) measured ~2x slower than the extra
+    # contiguous copy
     big = pa.concat_tables(tabs).combine_chunks()
     order = pc.sort_indices(big, sort_keys=[
         ("seed_id", "ascending"), ("sort_ts", "descending"),

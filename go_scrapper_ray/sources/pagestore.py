@@ -34,10 +34,20 @@ def build_page_store(pages_parquet: str, status_parquet: str, store_dir: str,
     import ray
     import ray.data as rd
 
+    from ..urlkit import URL_HASH_VERSION
+
     out = Path(store_dir)
     if (out / "_built.json").exists():
         import json
-        return json.loads((out / "_built.json").read_text())["rows"]
+        meta = json.loads((out / "_built.json").read_text())
+        # stale-store guard: the bucket layout is a function of the URL
+        # hash — a store partitioned under a different hash silently
+        # resolves every lookup to the wrong bucket (= 404s)
+        if (meta.get("hash") == URL_HASH_VERSION
+                and meta.get("buckets") == num_buckets):
+            return meta["rows"]
+        import shutil
+        shutil.rmtree(out)
     out.mkdir(parents=True, exist_ok=True)
 
     status = pq.read_table(status_parquet)
@@ -96,7 +106,8 @@ def build_page_store(pages_parquet: str, status_parquet: str, store_dir: str,
 
     import json
     n = pads.dataset(str(out), partitioning="hive").count_rows()
-    (out / "_built.json").write_text(json.dumps({"rows": n, "buckets": num_buckets}))
+    (out / "_built.json").write_text(json.dumps(
+        {"rows": n, "buckets": num_buckets, "hash": URL_HASH_VERSION}))
     return n
 
 

@@ -13,10 +13,14 @@ vectorization entry points used inside ``map_batches`` kernels.
 
 from __future__ import annotations
 
-from hashlib import blake2b
+from hashlib import blake2b, md5
 from urllib.parse import urlsplit, urlunsplit
 
 _DEFAULT_PORTS = {"http": "80", "https": "443"}
+
+# bump when url_hash64 changes: the bucketed page-store layout derives from
+# it, and a store built under a different hash must be rebuilt
+URL_HASH_VERSION = "md5u64"
 
 
 def canonicalize(url: str) -> str:
@@ -96,12 +100,15 @@ def canonicalize_seed(url: str, force_hosts: tuple[str, ...] = ("yelp.com", "www
 
 
 def url_hash64(url: str) -> int:
-    """Stable 64-bit URL hash (blake2b-8; xxhash is not in the sandbox).
+    """Stable 64-bit URL hash: first 8 md5 bytes, little-endian — exactly
+    DuckDB ``md5_number_upper``, which keeps the url_canonicalize query
+    SQL-checkable (xxhash is not in the sandbox; md5 and blake2b-8 bench
+    within noise of each other on URL-length inputs).
 
     Feeds the sharded seen-set (key ``url_hash % num_seen_shards``) and the
     fetch-as-lookup bucket (``url_hash % num_buckets``).
     """
-    return int.from_bytes(blake2b(url.encode("utf-8"), digest_size=8).digest(), "little")
+    return int.from_bytes(md5(url.encode("utf-8")).digest()[:8], "little")
 
 
 def host_of(url: str) -> str:

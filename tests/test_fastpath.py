@@ -65,22 +65,21 @@ def test_fastpath_equivalence_on_fixture_corpus(tmp_path, scale, env):
         if "review_feed" in url:
             continue  # JSON pages never parse HTML
         root = _minidom_root(html)
+        # island surfaces: the engine scans WITHOUT a region for these
+        fd, _ = scan(html)
+        if fd is not None:
+            n_fast += 1
+            if root is None:
+                pytest.fail(f"fastpath accepted page without html root: {url}")
+            assert extract.extract_profile(fd) == extract.extract_profile(root), url
+            assert (extract.extract_serp_candidates(fd)
+                    == extract.extract_serp_candidates(root)), url
+            assert (extract.extract_nonrec_landing(fd)
+                    == extract.extract_nonrec_landing(root)), url
+        # non-rec review extraction via the captured region
         fd, region = scan(html, region_class=NONREC)
         if fd is None:
-            continue  # declined -> engine falls back; nothing to compare
-        n_fast += 1
-        if root is None:
-            # scanner requires an <html> element, so this cannot happen
-            pytest.fail(f"fastpath accepted page without html root: {url}")
-        # profile extraction surface
-        assert extract.extract_profile(fd) == extract.extract_profile(root), url
-        # SERP surface
-        assert (extract.extract_serp_candidates(fd)
-                == extract.extract_serp_candidates(root)), url
-        # landing surface (h3 texts)
-        assert (extract.extract_nonrec_landing(fd)
-                == extract.extract_nonrec_landing(root)), url
-        # non-rec review extraction via the captured region
+            continue
         full = extract.extract_nonrec_page(root)
         if region is None:
             assert full == [], url
@@ -169,3 +168,55 @@ def test_fastpath_region_matches_full_parse_on_generated_lis():
         return [(e.tag, sorted(e.attrs.items()), e.text())
                 for e in n.iter_elements()]
     assert flat(fragment_tree(region)) == flat(parse_html(region))
+
+
+# ------------------------------------------------------------- fuzz (hypothesis)
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _tag = st.sampled_from(["div", "span", "p", "h3", "b", "ul", "li"])
+    _word = st.text(alphabet="ab &<>é \"'", min_size=0, max_size=8)
+
+    @st.composite
+    def _frag(draw, depth=0):
+        n = draw(st.integers(0, 3 if depth < 2 else 0))
+        parts = []
+        for _ in range(n):
+            if draw(st.booleans()) and depth < 2:
+                t = draw(_tag)
+                attrs = ""
+                if draw(st.booleans()):
+                    attrs = f' class="{draw(st.sampled_from(["x", "y z", "not-recommended-reviews"]))}"'
+                parts.append(f"<{t}{attrs}>{draw(_frag(depth + 1))}</{t}>")
+            else:
+                parts.append(draw(_word))
+        return "".join(parts)
+
+    @given(_frag())
+    @settings(max_examples=300, deadline=None)
+    def test_fastpath_fuzz_equivalence(frag):
+        """Random (possibly entity-laden) well-nested markup: wherever the
+        scanner ACCEPTS a page, its h3 texts and captured region must agree
+        with the full minidom parse; declining is always allowed."""
+        html = f"<html><body>{frag}</body></html>"
+        root = _minidom_root(html)
+        fd, region = scan(html, region_class=NONREC)
+        if fd is None:
+            return  # declined -> engine falls back; nothing to check
+        from go_scrapper_ray.fastpath import FastpathMiss
+        try:
+            got_h3 = fd.child_texts("h3")
+        except FastpathMiss:
+            got_h3 = None  # incomplete (region swallowed islands) -> fallback
+        if got_h3 is not None:
+            assert got_h3 == root.child_texts("h3")
+        want = root.select(f"div.{NONREC}")
+        if region is not None:
+            from go_scrapper_ray.fastpath import fragment_tree
+            got_lis = fragment_tree(region).select("li")
+            # compare the region subtree's text against the full parse
+            assert want, "region captured but selector finds none"
+            assert fragment_tree(region).text() == want[0].text()
+except ImportError:  # pragma: no cover
+    pass
