@@ -287,18 +287,41 @@ def dup_clusters(sf_dir: str, threshold: float = 0.8,
     def self_rows(t: pa.Table) -> pa.Table:
         return pa.table({"node": t["doc_id"], "member": t["doc_id"]})
 
+    identity = ids.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"], "cluster_id": t["doc_id"]}),
+        batch_format="pyarrow")
+    if pairs.count() == 0:
+        return identity
+
     def edge_rows(t: pa.Table) -> pa.Table:
         a = t["doc_a"].combine_chunks()
         b = t["doc_b"].combine_chunks()
         return pa.table({"node": pa.concat_arrays([a, b]),
                          "member": pa.concat_arrays([b, a])})
 
-    state = (ids.map_batches(self_rows, batch_format="pyarrow")
+    # ONLY pair-graph nodes iterate (output-sized); the corpus's singleton
+    # majority maps to itself without ever entering a shuffle round (5k
+    # one-row map_groups groups per round measured 6x the whole algorithm)
+    graph_nodes: set[int] = set()
+    for t in pairs.iter_batches(batch_format="pyarrow"):
+        graph_nodes.update(t["doc_a"].to_pylist())
+        graph_nodes.update(t["doc_b"].to_pylist())
+    gn_ref = ray.put(graph_nodes)
+
+    def graph_self_rows(t: pa.Table) -> pa.Table:
+        gn = ray.get(gn_ref)
+        keep = [i for i in t["doc_id"].to_pylist() if i in gn]
+        return pa.table({"node": pa.array(keep, pa.int64()),
+                         "member": pa.array(keep, pa.int64())})
+
+    def singleton_rows(t: pa.Table) -> pa.Table:
+        gn = ray.get(gn_ref)
+        keep = [i for i in t["doc_id"].to_pylist() if i not in gn]
+        return pa.table({"doc_id": pa.array(keep, pa.int64()),
+                         "cluster_id": pa.array(keep, pa.int64())})
+
+    state = (ids.map_batches(graph_self_rows, batch_format="pyarrow")
              .union(pairs.map_batches(edge_rows, batch_format="pyarrow")))
-    if pairs.count() == 0:
-        return state.map_batches(
-            lambda t: t.rename_columns(["doc_id", "cluster_id"]),
-            batch_format="pyarrow")
 
     def hash_to_min(g: pd.DataFrame) -> pd.DataFrame:
         members = np.unique(g["member"].to_numpy())  # global distinct here
@@ -311,29 +334,39 @@ def dup_clusters(sf_dir: str, threshold: float = 0.8,
                                    [node]])
         return pd.DataFrame({"node": out_node, "member": out_memb})
 
-    def distinct(t: pa.Table) -> pa.Table:
-        return t.group_by(["node", "member"]).aggregate([])
+    from ray.data.aggregate import Count, Sum
+
+    def drop_count(t: pa.Table) -> pa.Table:
+        return t.select(["node", "member"])
 
     rounds = max(3, 2 * math.ceil(math.log2(max(n_docs, 2))) + 2)
     prev_fp = None
     for _ in range(rounds):
+        # GLOBAL distinct via the (node, member) groupby — different source
+        # groups emit the same row, and per-batch dedup left duplicates
+        # that made the convergence fingerprint wobble (no early exit).
+        # Count() is a vectorized sort-shuffle aggregate; map_groups here
+        # would spin up one pandas group per distinct row.
         state = (state.groupby("node")
                  .map_groups(hash_to_min, batch_format="pandas")
-                 .map_batches(distinct, batch_format="pyarrow")
+                 .groupby(["node", "member"])
+                 .aggregate(Count())
+                 .map_batches(drop_count, batch_format="pyarrow")
                  .materialize())
         # early exit at the deterministic fixpoint (near-dup clusters are
         # tiny, so this usually fires after ~3-4 rounds); the oracle-
         # checked correctness does not depend on it, the round cap does
-        fp = (state.count(),
-              state.sum("member", ignore_nulls=True),
-              state.sum("node", ignore_nulls=True))
+        agg = state.aggregate(Count(), Sum("member"), Sum("node"))
+        fp = (agg["count()"], agg["sum(member)"], agg["sum(node)"])
         if fp == prev_fp:
             break
         prev_fp = fp
-    return (state.groupby("node")
-            .aggregate(Min("member", alias_name="cluster_id"))
-            .map_batches(lambda t: t.rename_columns(["doc_id", "cluster_id"]),
-                         batch_format="pyarrow"))
+    clustered = (state.groupby("node")
+                 .aggregate(Min("member", alias_name="cluster_id"))
+                 .map_batches(lambda t: t.rename_columns(
+                     ["doc_id", "cluster_id"]), batch_format="pyarrow"))
+    return clustered.union(
+        ids.map_batches(singleton_rows, batch_format="pyarrow"))
 
 
 # ------------------------------------------------------------ n-gram jaccard

@@ -55,11 +55,14 @@ def qmap(ray_session):
     return e.queries(), e.oracle_sql()
 
 
-SQL_CHECKED = ["docs_lang_dist", "docs_token_count", "docs_quality",
-               "docs_fingerprint", "docs_exact_dedup", "docs_jaccard_dups",
-               "emb_cosine_dups", "knn_bruteforce", "events_windowed",
-               "events_sessionize", "events_top_users", "top_suppliers",
-               "order_priorities", "nation_revenue"]
+def _oracle_keys() -> list[str]:
+    # parametrize over the live oracle_sql() keys so a new SQL-checked
+    # query can never silently skip the parity gate
+    import __ray_entry__ as e
+    return sorted(e.oracle_sql())
+
+
+SQL_CHECKED = _oracle_keys()
 
 
 @pytest.mark.parametrize("name", SQL_CHECKED)
