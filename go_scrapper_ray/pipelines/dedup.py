@@ -257,7 +257,8 @@ def minhash_dups(sf_dir: str, threshold: float = 0.8, seed: int = 42) -> rd.Data
 
 
 def dup_clusters(sf_dir: str, threshold: float = 0.8,
-                 seed: int = 42) -> rd.Dataset:
+                 seed: int = 42, small_graph_limit: int = 2_000_000
+                 ) -> rd.Dataset:
     """(doc_id, cluster_id): connected components over the minhash near-dup
     pair graph; cluster_id = min doc_id in the component (singletons map to
     themselves).  This is the keep-one-per-cluster assignment a fuzzy-dedup
@@ -275,6 +276,12 @@ def dup_clusters(sf_dir: str, threshold: float = 0.8,
         fixpoint every node's min member is its component min.
     All state is output-sized (pair graph + component membership), shuffled
     on the node key — never the corpus text.
+
+    Size gate (the hybrid Rastogi et al. §6 recommend): the pair graph is
+    OUTPUT-sized — near-dup edges, not corpus rows — so when it fits the
+    small-side bound (same gate class as the broadcast joins) a driver
+    union-find finishes in one pass and the cluster map broadcasts to a
+    single map_batches; only past the bound do the log-round shuffles run.
     DuckDB twin: recursive CTE reachability + min per node."""
     import math
 
@@ -290,8 +297,47 @@ def dup_clusters(sf_dir: str, threshold: float = 0.8,
     identity = ids.map_batches(
         lambda t: pa.table({"doc_id": t["doc_id"], "cluster_id": t["doc_id"]}),
         batch_format="pyarrow")
-    if pairs.count() == 0:
+    n_pairs = pairs.count()
+    if n_pairs == 0:
         return identity
+
+    # ---- small-graph fast path: union-find on the driver (edge list only,
+    # never text), cluster map broadcast once.  2M edges ≈ 32 MB — the same
+    # order as the broadcast-join small-side bound used elsewhere.
+    if n_pairs <= small_graph_limit:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for t in pairs.iter_batches(batch_format="pyarrow"):
+            for a, b in zip(t["doc_a"].to_pylist(), t["doc_b"].to_pylist()):
+                if a not in parent:
+                    parent[a] = a
+                if b not in parent:
+                    parent[b] = b
+                ra, rb = find(a), find(b)
+                if ra != rb:  # min-root union → cluster_id = component min
+                    if ra < rb:
+                        parent[rb] = ra
+                    else:
+                        parent[ra] = rb
+        cmap = {x: find(x) for x in parent}
+        cmap_ref = ray.put(cmap)
+
+        def assign(t: pa.Table) -> pa.Table:
+            m = ray.get(cmap_ref)
+            d = t["doc_id"].to_pylist()
+            return pa.table({
+                "doc_id": pa.array(d, pa.int64()),
+                "cluster_id": pa.array([m.get(i, i) for i in d], pa.int64())})
+
+        return ids.map_batches(assign, batch_format="pyarrow")
 
     def edge_rows(t: pa.Table) -> pa.Table:
         a = t["doc_a"].combine_chunks()

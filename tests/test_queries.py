@@ -197,11 +197,15 @@ def test_langid_predicts_marker_langs(ray_session, tmp_path):
     assert preds[0] == "en" and preds[1] == "de" and preds[2] == "zh"
 
 
-def test_dup_clusters_assigns_components(ray_session, tmp_path):
+@pytest.mark.parametrize("small_graph_limit", [2_000_000, 0],
+                         ids=["union-find", "distributed-cc"])
+def test_dup_clusters_assigns_components(ray_session, tmp_path,
+                                         small_graph_limit):
     """Near-dup cluster assignment: docs connected through the minhash pair
     graph share a cluster_id = min doc_id of the component; singletons map
     to themselves — including TRANSITIVE closure (0~1 and 1~2 => one
-    cluster even if 0~2 alone is borderline)."""
+    cluster even if 0~2 alone is borderline).  Both the small-graph
+    union-find gate and the log-round distributed CC must agree."""
     import pyarrow as pa
     import pyarrow.parquet as pq
     from go_scrapper_ray.pipelines import dedup
@@ -223,7 +227,9 @@ def test_dup_clusters_assigns_components(ray_session, tmp_path):
     pq.write_table(t, d / "documents.parquet")
 
     labels = {r["doc_id"]: r["cluster_id"]
-              for r in dedup.dup_clusters(str(d), threshold=0.7).take_all()}
+              for r in dedup.dup_clusters(
+                  str(d), threshold=0.7,
+                  small_graph_limit=small_graph_limit).take_all()}
     assert len(labels) == len(texts)
     # union-find ground truth from the pair list
     pairs = [(r["doc_a"], r["doc_b"])
