@@ -95,14 +95,20 @@ def encode_record_b64(rec: dict) -> dict:
 
 
 # JSONL record serialization: ReviewFomate struct order (main.go:110-124), all
-# fields omitempty except review_hash.
+# fields omitempty except review_hash.  Field NAMES are constants — their
+# escaped ``"name":`` prefixes are rendered once at import (the per-record
+# go_json_string(name) calls were ~60% of the escaper's call count).
 _FIELDS = [
-    ("parent_id", "str"), ("author_name", "str"), ("text", "str"),
-    ("source_date", "str"), ("review_id", "str"), ("author_id", "str"),
-    ("photos", "list_str"), ("not_recommended", "bool"), ("rating", "int"),
-    ("scraped_at", "int"), ("posted_at", "int"), ("responses", "replies"),
+    (name, kind, go_json_string(name) + ":") for name, kind in [
+        ("parent_id", "str"), ("author_name", "str"), ("text", "str"),
+        ("source_date", "str"), ("review_id", "str"), ("author_id", "str"),
+        ("photos", "list_str"), ("not_recommended", "bool"), ("rating", "int"),
+        ("scraped_at", "int"), ("posted_at", "int"), ("responses", "replies"),
+    ]
 ]
-_REPLY_FIELDS = ["author_name", "text", "posted_at"]  # OwnerReply main.go:103-107
+# OwnerReply main.go:103-107
+_REPLY_FIELDS = [(f, go_json_string(f) + ":")
+                 for f in ("author_name", "text", "posted_at")]
 
 
 def record_to_jsonl(rec: dict) -> str:
@@ -112,29 +118,29 @@ def record_to_jsonl(rec: dict) -> str:
     OwnerReply, each field is itself omitempty (main.go:104-106).
     """
     parts = []
-    for name, kind in _FIELDS:
+    for name, kind, pfx in _FIELDS:
         v = rec.get(name)
         if kind == "str":
             if v:
-                parts.append(f"{go_json_string(name)}:{go_json_string(v)}")
+                parts.append(pfx + go_json_string(v))
         elif kind == "list_str":
             if v:
-                parts.append(go_json_string(name) + ":[" + ",".join(go_json_string(x) for x in v) + "]")
+                parts.append(pfx + "[" + ",".join(go_json_string(x) for x in v) + "]")
         elif kind == "bool":
             if v:
-                parts.append(f"{go_json_string(name)}:true")
+                parts.append(pfx + "true")
         elif kind == "int":
             if v:
-                parts.append(f"{go_json_string(name)}:{int(v)}")
+                parts.append(pfx + str(int(v)))
         elif kind == "replies":
             if v:
                 objs = []
                 for r in v:
                     fields = [
-                        f"{go_json_string(f)}:{go_json_string(r[f])}"
-                        for f in _REPLY_FIELDS if r.get(f)
+                        rpfx + go_json_string(r[f])
+                        for f, rpfx in _REPLY_FIELDS if r.get(f)
                     ]
                     objs.append("{" + ",".join(fields) + "}")
-                parts.append(go_json_string(name) + ":[" + ",".join(objs) + "]")
+                parts.append(pfx + "[" + ",".join(objs) + "]")
     parts.append(f"\"review_hash\":{go_json_string(rec.get('review_hash', ''))}")
     return "{" + ",".join(parts) + "}"

@@ -27,7 +27,6 @@ import pyarrow as pa
 import ray
 
 from .. import extract, urlkit
-from ..dates import parse_mdy_or_zero
 from ..fastpath import FastpathMiss, fragment_tree, scan as fast_scan
 from ..flow import FEED, NONREC_LANDING, NONREC_PAGE, PROFILE, SEARCH
 
@@ -163,8 +162,10 @@ class ExtractStage:
             # payload=None: the rendered jsonl IS the record deliverable —
             # a per-record json.dumps doubled the string churn and the
             # parquet volume for a column nothing consumed
+            # posted_at IS parse_mdy(source_date) (extractors raise on
+            # unparseable dates) — reuse it instead of re-parsing
             self._rows(out, "record", sid, page_seq, j, None,
-                       sort_ts=parse_mdy_or_zero(r["source_date"]),
+                       sort_ts=r["posted_at"],
                        review_hash=r["review_hash"],
                        jsonl=record_to_jsonl(encode_record_b64(r)))
             if wm and r["review_hash"] in wm:
