@@ -170,6 +170,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_token_count": textstats.token_count,
         "docs_quality": textstats.quality,
         "docs_fingerprint": textstats.fingerprint_md5,
+        "docs_repetition": textstats.repetition,
+        "docs_source_rollup": textstats.source_rollup,
         # --- text analysis (rows-only) ---
         "docs_winnow_fp": textstats.fingerprint_winnow,
         "docs_langid": textstats.langid,
@@ -368,6 +370,26 @@ def oracle_sql() -> dict[str, str]:
             FROM documents""",
         "docs_fingerprint":
             "SELECT doc_id, md5(text) AS fp FROM documents",
+        "docs_repetition": """
+            WITH lines AS (
+              SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+              FROM documents),
+            nz AS (SELECT doc_id, line FROM lines WHERE line <> ''),
+            per AS (SELECT doc_id, line, count(*)::BIGINT AS c
+                    FROM nz GROUP BY doc_id, line),
+            agg AS (SELECT doc_id, sum(c)::BIGINT AS n_lines,
+                           (sum(c) - count(*))::BIGINT AS n_dup_lines,
+                           max(c)::BIGINT AS top_line_n
+                    FROM per GROUP BY doc_id)
+            SELECT d.doc_id,
+                   COALESCE(a.n_lines, 0)::BIGINT AS n_lines,
+                   COALESCE(a.n_dup_lines, 0)::BIGINT AS n_dup_lines,
+                   COALESCE(a.top_line_n, 0)::BIGINT AS top_line_n
+            FROM documents d LEFT JOIN agg a USING (doc_id)""",
+        "docs_source_rollup": """
+            SELECT source, count(*)::BIGINT AS n_docs,
+                   sum(n_chars)::BIGINT AS total_chars
+            FROM documents GROUP BY source""",
         "docs_exact_dedup":
             "SELECT md5(text) AS text_hash, min(doc_id) AS doc_id "
             "FROM documents GROUP BY md5(text)",

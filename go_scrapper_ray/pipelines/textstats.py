@@ -106,6 +106,54 @@ def fingerprint_md5(sf_dir: str) -> rd.Dataset:
     return docs(sf_dir).map_batches(kernel, batch_format="pyarrow")
 
 
+# ----------------------------------------------------------------- repetition
+
+def repetition(sf_dir: str) -> rd.Dataset:
+    """(doc_id, n_lines, n_dup_lines, top_line_n): Gopher-style repetition
+    features (Rae et al. 2021 §A1.1 "repetitious text" filters) over
+    NON-EMPTY lines — integer numerators so the DuckDB oracle comparison is
+    exact (a dedup pipeline thresholds n_dup_lines/n_lines)."""
+    from collections import Counter
+
+    def kernel(t: pa.Table) -> pa.Table:
+        n_lines, n_dup, top = [], [], []
+        for s in t["text"].to_pylist():
+            c = Counter(l for l in s.split("\n") if l)
+            n = sum(c.values())
+            n_lines.append(n)
+            n_dup.append(n - len(c))
+            top.append(max(c.values()) if c else 0)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_lines": pa.array(n_lines, pa.int64()),
+            "n_dup_lines": pa.array(n_dup, pa.int64()),
+            "top_line_n": pa.array(top, pa.int64()),
+        })
+
+    return docs(sf_dir).map_batches(kernel, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------- source rollup
+
+def source_rollup(sf_dir: str) -> rd.Dataset:
+    """(source, n_docs, total_chars): per-domain corpus rollup (the C4 /
+    RefinedWeb per-domain accounting step) — combiner-before-shuffle: each
+    batch pre-aggregates, the groupby shuffles only source-cardinality
+    rows."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("source").aggregate(
+            [("source", "count"), ("n_chars", "sum")])
+        return g.rename_columns(["source", "p_docs", "p_chars"])
+
+    return (docs(sf_dir, columns=("source", "n_chars"))
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("source")
+            .aggregate(Sum("p_docs", alias_name="n_docs"),
+                       Sum("p_chars", alias_name="total_chars")))
+
+
 WINNOW_B = 65599          # k-gram hash base (codepoint polynomial)
 WINNOW_M = (1 << 31) - 1  # modulus: keeps k-term int64 sums overflow-free
 
