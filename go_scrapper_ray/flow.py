@@ -20,7 +20,6 @@ reference's goroutine-nondeterministic arrival order — SURVEY.md §2.8 W2):
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from hashlib import blake2b
 
 # Species of frontier entries (what extraction to run on the fetched page).
 SEARCH = "search"
@@ -121,15 +120,50 @@ class WindowCursors:
         return feed_starts, non_starts
 
 
+_M64 = (1 << 64) - 1
+
+
+def _splitmix64(x: int) -> int:
+    """splitmix64 finalizer (Steele et al., public domain) — bit-identical
+    to the numpy path in politeness_gaps_vec."""
+    x = (x + 0x9E3779B97F4A7C15) & _M64
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & _M64
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & _M64
+    return (x ^ (x >> 31)) & _M64
+
+
 def politeness_gap_ms(jitter_seed: int, delay_ms: int, jitter_ms: int,
                       host: str, k: int) -> int:
     """Virtual-clock inter-request gap for the k-th request to a host:
     Delay + U(0, RandomDelay) (collyfunc.go:115-119) with deterministic,
-    seeded jitter so scheduling is reproducible."""
+    seeded jitter so scheduling is reproducible.  The jitter is
+    splitmix64(seed ^ host_hash ^ k) — chosen over a cryptographic hash so
+    a hot host's release (politeness is per-host SERIAL by design) can
+    stamp a whole k-range in one numpy pass (politeness_gaps_vec)."""
     if jitter_ms <= 0:
         return delay_ms
-    h = blake2b(f"{jitter_seed}|{host}|{k}".encode(), digest_size=8)
-    return delay_ms + int.from_bytes(h.digest(), "little") % jitter_ms
+    from .urlkit import host_hash64
+    base = (jitter_seed & _M64) ^ host_hash64(host)
+    return delay_ms + _splitmix64(base ^ (k & _M64)) % jitter_ms
+
+
+def politeness_gaps_vec(jitter_seed: int, delay_ms: int, jitter_ms: int,
+                        host_hash: int, k0: int, n: int):
+    """Vectorized twin of politeness_gap_ms for k in [k0, k0+n) — one numpy
+    pass, bit-identical to the scalar path (the parity suite compares the
+    engine's release stamps against the oracle's scalar loop)."""
+    import numpy as np
+
+    if jitter_ms <= 0:
+        return np.full(n, delay_ms, np.int64)
+    base = np.uint64((jitter_seed & _M64) ^ host_hash)
+    x = base ^ np.arange(k0, k0 + n, dtype=np.uint64)
+    x = x + np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    x = x ^ (x >> np.uint64(31))
+    return (np.int64(delay_ms)
+            + (x % np.uint64(jitter_ms)).astype(np.int64))
 
 
 @dataclass

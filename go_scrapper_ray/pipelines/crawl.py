@@ -393,7 +393,8 @@ class CrawlEngine:
             entry = {k: e[k] for k in ("seed_id", "url", "canon", "kind",
                                        "depth", "parent_seq", "emit_idx",
                                        "attempt", "url_hash")}
-            entry["priority"] = e.get("priority", 0)
+            entry["host"] = e["host"]
+            entry["host_hash"] = hh
             by_fshard.setdefault(h, []).append(entry)
         ray.get([self.frontier[h].push.remote(es)
                  for h, es in by_fshard.items()])

@@ -31,8 +31,9 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from ..flow import politeness_gap_ms
-from ..urlkit import host_of, url_hash64 as _url_hash64
+from ..flow import politeness_gaps_vec
+from ..urlkit import (host_hash64 as _host_hash64, host_of,
+                      url_hash64 as _url_hash64)
 from .robots import RobotsRules
 
 # canonical per-host release order (flow.py docstring) + arrival tiebreak
@@ -44,6 +45,7 @@ ORDER_KEYS = [("host", "ascending"), ("seed_id", "ascending"),
 PEND_SCHEMA = pa.schema([
     ("seed_id", pa.int64()), ("url", pa.string()), ("canon", pa.string()),
     ("url_hash", pa.uint64()), ("host", pa.string()),
+    ("host_hash", pa.uint64()),
     ("kind", pa.string()), ("depth", pa.int32()),
     ("parent_seq", pa.int64()), ("emit_idx", pa.int32()),
     ("attempt", pa.int32()), ("arrival", pa.int64()),
@@ -93,12 +95,15 @@ class FrontierShard:
                     continue
             self._push_n += 1
             uh = e.get("url_hash")
+            hh = e.get("host_hash")
             cols["seed_id"].append(e["seed_id"])
             cols["url"].append(e["url"])
             cols["canon"].append(e["canon"])
             cols["url_hash"].append(uh if uh is not None
                                     else _url_hash64(e["canon"]))
             cols["host"].append(host)
+            cols["host_hash"].append(hh if hh is not None
+                                     else _host_hash64(host))
             cols["kind"].append(e["kind"])
             cols["depth"].append(e["depth"])
             cols["parent_seq"].append(e["parent_seq"])
@@ -121,7 +126,8 @@ class FrontierShard:
         pend = pa.table({
             "seed_id": t["seed_id"], "url": t["l_url"],
             "canon": t["l_canon"], "url_hash": t["l_hash"],
-            "host": t["l_host"], "kind": t["l_kind"],
+            "host": t["l_host"], "host_hash": t["l_hosthash"],
+            "kind": t["l_kind"],
             "depth": t["l_depth"], "parent_seq": t["page_seq"],
             "emit_idx": t["emit_idx"],
             "attempt": pa.array(np.ones(n, np.int32), pa.int32()),
@@ -164,32 +170,30 @@ class FrontierShard:
                             schema=RELEASE_SCHEMA)
         t = t.take(pc.sort_indices(t, sort_keys=ORDER_KEYS))
         n = t.num_rows
-        hosts = t["host"].to_pylist()
+        hh = t["host_hash"].to_numpy(zero_copy_only=False)
         cap = self.cfg.get("max_per_host_per_round", 0)
         jitter_seed = self.cfg["jitter_seed"]
         delay_ms = self.cfg["delay_ms"]
         jitter_ms = self.cfg["jitter_ms"]
         vts = np.empty(n, np.int64)
         keep = np.ones(n, bool) if cap > 0 else None
-        # host runs over the sorted column
-        run_starts = [0] + [i for i in range(1, n) if hosts[i] != hosts[i - 1]]
-        run_ends = run_starts[1:] + [n]
-        for s, e in zip(run_starts, run_ends):
-            host = hosts[s]
+        # host runs over the sorted column: clocks key on host_hash so a hot
+        # host's (deliberately serial — politeness) release is one numpy
+        # gap+cumsum pass, not a per-entry hash loop
+        bounds = np.flatnonzero(np.diff(hh)) + 1
+        run_starts = np.concatenate(([0], bounds))
+        run_ends = np.concatenate((bounds, [n]))
+        for s, e in zip(run_starts.tolist(), run_ends.tolist()):
+            host_hash = int(hh[s])
             klim = e - s if cap <= 0 else min(cap, e - s)
-            k0 = self.host_k.get(host, 0)
-            if jitter_ms <= 0:
-                gaps = np.full(klim, delay_ms, np.int64)
-            else:
-                gaps = np.fromiter(
-                    (politeness_gap_ms(jitter_seed, delay_ms, jitter_ms,
-                                       host, k0 + j) for j in range(klim)),
-                    np.int64, count=klim)
-            csum = np.cumsum(gaps) + self.host_ts.get(host, 0)
+            k0 = self.host_k.get(host_hash, 0)
+            gaps = politeness_gaps_vec(jitter_seed, delay_ms, jitter_ms,
+                                       host_hash, k0, klim)
+            csum = np.cumsum(gaps) + self.host_ts.get(host_hash, 0)
             vts[s:s + klim] = csum
-            self.host_k[host] = k0 + klim
+            self.host_k[host_hash] = k0 + klim
             if klim:
-                self.host_ts[host] = int(csum[-1])
+                self.host_ts[host_hash] = int(csum[-1])
             if keep is not None and klim < e - s:
                 keep[s + klim:e] = False
         rel = t.append_column("virtual_ts_ms", pa.array(vts))
@@ -223,7 +227,7 @@ class FrontierShard:
             self.pending_tables = [t]  # keep the gathered copy
         pq.write_table(t, path)
         clocks = {"host_k": self.host_k, "host_ts": self.host_ts,
-                  "push_n": self._push_n}
+                  "push_n": self._push_n}  # int keys → json strings
         with open(path + ".clocks.json", "w") as f:
             json.dump(clocks, f)
         return t.num_rows
@@ -233,8 +237,8 @@ class FrontierShard:
         self.pending_tables = [t] if t.num_rows else []
         with open(path + ".clocks.json") as f:
             clocks = json.load(f)
-        self.host_k = clocks["host_k"]
-        self.host_ts = clocks["host_ts"]
+        self.host_k = {int(k): v for k, v in clocks["host_k"].items()}
+        self.host_ts = {int(k): v for k, v in clocks["host_ts"].items()}
         self._push_n = clocks.get("push_n", 0)
         if t.num_rows:
             self._push_n = max(self._push_n,
