@@ -227,6 +227,38 @@ class BucketCache:
 FETCH_TIMING = {"get": 0.0, "kernel": 0.0}  # per-process debug accumulators
 _LOAD_REMOTE = None  # lazily-created remote loader (BucketCache)
 
+# Per-WORKER-PROCESS LRU of deserialized bucket tables, shared by the fetch
+# and extract kernels.  ray.get re-deserializes on every call (Arrow buffers
+# are zero-copy but table reconstruction is not free: measured 16.6 core-s
+# across one 388-task crawl at 32-wide vs 1.7 s at 8-wide); workers are
+# reused across tasks, so caching on the ObjectRef hex cuts that to
+# once-per-worker-per-bucket.  Keying on the REF (not the bucket id) drops
+# stale pins when the driver's BucketCache rotates refs, letting plasma
+# free evicted buckets.
+from collections import OrderedDict as _ODict
+
+_BTAB_LRU: _ODict = _ODict()  # ref_hex -> pa.Table
+_BTAB_CAP = 16
+
+
+def get_bucket_table(ref) -> pa.Table:
+    """Resolve a bucket-table ObjectRef through the per-process LRU."""
+    import ray
+
+    key = ref.hex()
+    t = _BTAB_LRU.get(key)
+    if t is None:
+        import time as _time
+        _a = _time.perf_counter()
+        t = ray.get(ref)  # zero-copy plasma read
+        FETCH_TIMING["get"] += _time.perf_counter() - _a
+        _BTAB_LRU[key] = t
+        if len(_BTAB_LRU) > _BTAB_CAP:
+            _BTAB_LRU.popitem(last=False)
+    else:
+        _BTAB_LRU.move_to_end(key)
+    return t
+
 
 def fetch_batch_refs(batch: pa.Table, refs: list, num_buckets: int) -> pa.Table:
     """map_batches kernel: scheduled rows in → +status +html out, fully
@@ -239,18 +271,13 @@ def fetch_batch_refs(batch: pa.Table, refs: list, num_buckets: int) -> pa.Table:
     absent from the store are 404."""
     import numpy as np
     import pyarrow.compute as pc
-    import ray
 
-    import time as _time
     buckets = batch["bucket"].to_numpy(zero_copy_only=False)
     # contiguous run boundaries (batch sorted by bucket)
     cuts = [0] + (np.flatnonzero(np.diff(buckets)) + 1).tolist() + [len(buckets)]
     status_parts, idx_parts = [], []
     for s, e in zip(cuts[:-1], cuts[1:]):
-        _a = _time.perf_counter()
-        bt = ray.get(refs[int(buckets[s])])  # zero-copy plasma read
-        FETCH_TIMING["get"] += _time.perf_counter() - _a
-        _a = _time.perf_counter()
+        bt = get_bucket_table(refs[int(buckets[s])])
         sub = batch.slice(s, e - s)
         idx = pc.index_in(sub["canon"], value_set=bt["url"])
         st = pc.take(bt["status"], idx)

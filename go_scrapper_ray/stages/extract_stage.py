@@ -97,15 +97,11 @@ class ExtractStage:
         self.cfg = cfg_dict
         self.watermarks = ray.get(watermarks_ref)  # seed_id -> set(hashes)
         # zero-copy page-store bucket tables, resolved LAZILY per bucket
-        # with a small per-worker LRU; rows reference html via
+        # through the per-worker LRU shared with the fetch kernel
+        # (pagestore.get_bucket_table); rows reference html via
         # (bucket, html_row) so no html column is ever materialized between
-        # fetch and extract.  Refs may rotate between rounds (driver-side
-        # BucketCache evicts past its budget) — the LRU keys on the ref so
-        # stale pins are dropped and plasma can free evicted buckets.
-        from collections import OrderedDict
+        # fetch and extract.
         self.bucket_refs = bucket_refs
-        self._btab_lru: OrderedDict = OrderedDict()  # ref_hex -> table
-        self._btab_cap = 16
         from ..minidom import parse_html  # bind once
         self._parse = parse_html
         # link-filter state, built once per worker: allowed-host set
@@ -197,17 +193,8 @@ class ExtractStage:
             self.bucket_refs = bucket_refs
 
     def _btab(self, bucket: int) -> pa.Table:
-        ref = self.bucket_refs[bucket]
-        key = ref.hex()
-        t = self._btab_lru.get(key)
-        if t is None:
-            t = ray.get(ref)  # zero-copy plasma read
-            self._btab_lru[key] = t
-            if len(self._btab_lru) > self._btab_cap:
-                self._btab_lru.popitem(last=False)
-        else:
-            self._btab_lru.move_to_end(key)
-        return t
+        from ..sources.pagestore import get_bucket_table
+        return get_bucket_table(self.bucket_refs[bucket])
 
     def _html_of(self, row) -> bytes:
         if self.bucket_refs is not None and "html_row" in row:
