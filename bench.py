@@ -12,6 +12,16 @@ when unset), run the headline pipelines over ``$GRAFT_SF_DIR`` (default
 (num_cpus=8 then num_cpus=32) on the same input and report both
 throughputs + scaling efficiency (sandbox stand-in for N vs 4N nodes,
 per BASELINE.json north_rule).
+
+``--scaling-control``: the per-core-conditions control for the same
+criterion.  On one shared box the idle 8-CPU leg runs at higher clocks
+with the whole LLC to itself, which no node of a real N-vs-4N cluster
+ever sees.  This mode runs FOUR fully-independent 8-CPU crawls
+CONCURRENTLY (separate Ray clusters, same input) so the box is exactly
+as busy as the 32-CPU leg, and compares their aggregate throughput to
+the single 32-CPU engine run: a ratio >= 1.0 means the engine's
+coordination adds nothing over perfectly-independent scaling under
+identical hardware conditions.
 """
 
 from __future__ import annotations
@@ -173,9 +183,62 @@ def scaling(n_businesses: int, reps: int = 2, lo: int = 8,
             "urls": thr[hi]["urls"]}
 
 
+def _conc_worker(idx: int, n_businesses: int) -> None:
+    import ray
+    ray.init(num_cpus=8, include_dashboard=False, logging_level="ERROR",
+             object_store_memory=6_000_000_000)
+    ray.get([_noop.remote() for _ in range(16)])
+    r = run_crawl(n_businesses, f"/tmp/gsr_bench_conc_{idx}")
+    ray.shutdown()
+    print("RESULT " + json.dumps(r))
+
+
+def scaling_control(n_businesses: int, ways: int = 4) -> dict:
+    """4 concurrent independent 8-CPU crawls vs one 32-CPU engine run.
+
+    Per-core hardware conditions (clock, LLC, allocator pressure) are then
+    identical between the two sides, which is what a real N-vs-4N cluster
+    of same-spec nodes sees; efficiency >= 1.0 means zero coordination
+    overhead relative to perfectly-independent instances."""
+    env = dict(os.environ)
+    env.pop("RAY_ADDRESS", None)  # each worker owns a private cluster
+    procs = [subprocess.Popen(
+        [sys.executable, __file__, "--conc-worker", str(i),
+         "--businesses", str(n_businesses)],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        env=env, cwd=str(_REPO)) for i in range(ways)]
+    per = []
+    for p in procs:
+        out, _ = p.communicate()
+        line = [l for l in out.splitlines() if l.startswith("RESULT ")]
+        if not line:
+            raise RuntimeError("concurrent control worker failed")
+        per.append(json.loads(line[-1][len("RESULT "):]))
+    agg = sum(r["urls_per_sec"] for r in per)
+    # the 32-CPU engine leg, alone on the box (fresh process)
+    p = subprocess.run(
+        [sys.executable, __file__, "--scaling-worker", "32",
+         "--businesses", str(n_businesses)],
+        capture_output=True, text=True, cwd=str(_REPO))
+    line = [l for l in p.stdout.splitlines() if l.startswith("RESULT ")]
+    if not line:
+        raise RuntimeError("32-cpu engine leg failed")
+    hi = json.loads(line[-1][len("RESULT "):])
+    return {"metric": "crawl_scaling_control_concurrent",
+            "value": round(hi["urls_per_sec"] / agg, 3), "unit": "ratio",
+            "ways": ways,
+            "urls_per_sec_concurrent_8cpu": [
+                round(r["urls_per_sec"], 1) for r in per],
+            "aggregate_urls_per_sec": round(agg, 1),
+            "engine_32cpu_urls_per_sec": round(hi["urls_per_sec"], 1),
+            "urls": hi["urls"]}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scaling-control", action="store_true")
+    ap.add_argument("--conc-worker", type=int, default=-1)
     ap.add_argument("--scaling-worker", type=int, default=0)
     ap.add_argument("--businesses", type=int,
                     default=int(os.environ.get("GSR_BENCH_BUSINESSES", "400")))
@@ -186,6 +249,13 @@ def main() -> None:
 
     if args.scaling_worker:
         _scaling_worker(args.scaling_worker, args.businesses)
+        return
+    if args.conc_worker >= 0:
+        _conc_worker(args.conc_worker, args.businesses)
+        return
+    if args.scaling_control:
+        n_biz = args.businesses if args.businesses != 400 else 24000
+        print(json.dumps(scaling_control(n_biz)))
         return
     if args.scaling:
         # the scaling criterion needs a workload where round compute
