@@ -154,7 +154,7 @@ def _q_canonicalize(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from go_scrapper_ray.pipelines import (dedup, events, multimodal,
+    from go_scrapper_ray.pipelines import (clean, dedup, events, multimodal,
                                            relational, similarity, textstats)
 
     return {
@@ -181,6 +181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_simhash_dups": dedup.simhash_dups,          # rows-only (LSH)
         "docs_jaccard_dups": dedup.ngram_jaccard_dups,    # exact, SQL-checked
         "docs_dup_clusters": dedup.dup_clusters,          # CC over minhash pairs
+        "docs_clean_corpus": clean.clean_corpus,          # composed pipeline
         "emb_cosine_dups": lambda sf: dedup.embedding_dups(sf, threshold=0.45),
         # --- similarity search ---
         "knn_bruteforce": similarity.knn_bruteforce,
@@ -329,6 +330,33 @@ def _dup_clusters_sql(threshold: float = 0.8) -> str:
         SELECT d AS doc_id, min(m) AS cluster_id FROM r GROUP BY d"""
 
 
+def _clean_corpus_sql(min_words: int = 20, lang: str = "en",
+                      threshold: float = 0.8) -> str:
+    """DuckDB twin of clean.clean_corpus: quality + langid filter, exact
+    md5 dedup among the filtered set, MinHash near-dup clusters over the
+    full corpus, min surviving doc per cluster."""
+    return f"""
+        WITH RECURSIVE
+        lid AS ({_langid_sql()}),
+        mh AS ({_minhash_sql(threshold)}),
+        e AS (SELECT doc_a AS a, doc_b AS b FROM mh
+              UNION ALL SELECT doc_b, doc_a FROM mh),
+        r AS (
+          SELECT doc_id AS d, doc_id AS m FROM documents
+          UNION
+          SELECT e.b AS d, r.m FROM r JOIN e ON e.a = r.d),
+        cl AS (SELECT d AS doc_id, min(m) AS cluster_id FROM r GROUP BY d),
+        filt AS (
+          SELECT d.doc_id, d.text
+          FROM documents d JOIN lid USING (doc_id)
+          WHERE length(regexp_extract_all(d.text, '\\S+')) >= {min_words}
+            AND lid.pred_lang = '{lang}'),
+        ex AS (SELECT min(doc_id) AS doc_id FROM filt GROUP BY md5(text))
+        SELECT c.cluster_id AS cluster_id, min(x.doc_id) AS doc_id
+        FROM ex x JOIN cl c USING (doc_id)
+        GROUP BY c.cluster_id"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "url_canonicalize": """
@@ -348,6 +376,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_langid": _langid_sql(),
         "docs_minhash_dups": _minhash_sql(0.8),
         "docs_dup_clusters": _dup_clusters_sql(0.8),
+        "docs_clean_corpus": _clean_corpus_sql(),
         "docs_simhash_dups": _SIMHASH_SQL,
         "docs_winnow_fp": _winnow_sql(),
         "docs_lang_dist":

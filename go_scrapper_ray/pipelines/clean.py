@@ -1,0 +1,132 @@
+"""Composed corpus-cleaning pipeline over ``documents`` — the end-to-end
+"raw crawl → training corpus" flow a 100 TB webtext pipeline runs, built
+entirely from this repo's staged operators:
+
+    quality filter (min token count)            textstats token kernel
+      → language filter (pred_lang == lang)     textstats.LangIdStage
+      → exact dedup (md5, keep min doc_id)      dedup.exact_dedup shape
+      → near-dup dedup (MinHash-LSH clusters,   dedup.dup_clusters
+        keep min SURVIVING doc per cluster)
+      → resumable partitioned Parquet sink
+
+Scale shape: the filter pass is one streaming ``map_batches`` over the
+corpus (text never crosses a shuffle); exact dedup shuffles 16-byte
+hashes; the near-dup cluster map is output-sized (pair-graph nodes);
+the final join/groupby runs on id-sized tables only.  Every stage's
+semantics are SQL-expressible, so the WHOLE composition has a DuckDB
+oracle twin (``__ray_entry__._clean_corpus_sql``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import shutil
+from pathlib import Path
+
+import pyarrow as pa
+
+import ray.data as rd
+
+from .dedup import dup_clusters
+from .textstats import TOKEN_RE, LangIdStage, docs
+
+
+class CleanFilter:
+    """Actor-pool stage: language-ID marker tables built once per actor;
+    per batch computes token counts + predicted language, keeps rows that
+    pass both gates, and emits (doc_id, text_hash) — the text itself never
+    leaves the filter stage."""
+
+    def __init__(self, min_words: int, lang: str):
+        self.lid = LangIdStage()
+        self.min_words = min_words
+        self.lang = lang
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        preds = self.lid(t)["pred_lang"].to_pylist()
+        ids, hashes = [], []
+        for did, s, pl in zip(t["doc_id"].to_pylist(),
+                              t["text"].to_pylist(), preds):
+            if pl != self.lang:
+                continue
+            if len(TOKEN_RE.findall(s)) < self.min_words:
+                continue
+            ids.append(did)
+            hashes.append(hashlib.md5(s.encode("utf-8")).hexdigest())
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text_hash": pa.array(hashes, pa.string())})
+
+
+def clean_corpus(sf_dir: str, min_words: int = 20, lang: str = "en",
+                 threshold: float = 0.8) -> rd.Dataset:
+    """(cluster_id, doc_id): the surviving document per near-dup cluster
+    after quality + language + exact-dedup gates.
+
+    A doc survives iff it passes the quality/language filter, is the min
+    doc_id of its exact-text group among the filtered set, and is the min
+    such winner inside its MinHash near-dup cluster."""
+    from ray.data.aggregate import Min
+
+    kept = docs(sf_dir).map_batches(
+        CleanFilter, fn_constructor_args=(min_words, lang),
+        batch_format="pyarrow", concurrency=(1, 8), num_cpus=1)
+    exact_winners = (kept.groupby("text_hash")
+                     .aggregate(Min("doc_id", alias_name="doc_id"))
+                     .select_columns(["doc_id"]))
+    clusters = dup_clusters(sf_dir, threshold)  # (doc_id, cluster_id)
+    joined = exact_winners.join(clusters, "inner", num_partitions=16,
+                                on=("doc_id",))
+    return joined.groupby("cluster_id").aggregate(
+        Min("doc_id", alias_name="doc_id"))
+
+
+# ------------------------------------------------------------ resumable sink
+
+def write_partitioned_resumable(ds: rd.Dataset, out_dir: str,
+                                key_col: str = "doc_id",
+                                num_buckets: int = 8) -> list[int]:
+    """Partitioned Parquet sink with per-bucket resume.
+
+    Rows land in ``out_dir/bucket=K/`` (K = key % num_buckets) with a
+    ``_done`` marker per completed bucket.  On re-run, buckets with a
+    marker are SKIPPED (their rows are filtered out before the write);
+    buckets without one are DELETED first (a crashed ``write_parquet``
+    appends uniquely-named files, so stale partials would silently
+    duplicate rows — same hazard the crawl's fresh-run rmtree guards,
+    crawl.py:410-416).  At 100 TB the same scheme applies per input
+    shard: one marker per (shard, bucket) output directory.
+
+    Returns the bucket ids written by THIS call."""
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    done = {k for k in range(num_buckets)
+            if (out / f"bucket={k}" / "_done").exists()}
+    todo = [k for k in range(num_buckets) if k not in done]
+    if not todo:
+        return []
+    for k in todo:  # clear partials from a crashed previous run
+        shutil.rmtree(out / f"bucket={k}", ignore_errors=True)
+
+    import numpy as np
+
+    todo_arr = np.array(todo, dtype=np.int64)
+
+    def bucket_and_filter(t: pa.Table) -> pa.Table:
+        b = (t[key_col].to_numpy(zero_copy_only=False)
+             .astype(np.int64) % num_buckets)
+        t = t.append_column("bucket", pa.array(b.astype(np.int32)))
+        return t.filter(pa.array(np.isin(b, todo_arr)))
+
+    pending = ds.map_batches(bucket_and_filter, batch_format="pyarrow")
+    pending.write_parquet(str(out), partition_cols=["bucket"])
+    for k in todo:
+        d = out / f"bucket={k}"
+        d.mkdir(exist_ok=True)  # bucket may be empty at this scale
+        (d / "_done").touch()
+    return todo
+
+
+def read_partitioned(out_dir: str) -> rd.Dataset:
+    """Read a ``write_partitioned_resumable`` output back (all buckets)."""
+    paths = sorted(str(p) for p in Path(out_dir).glob("bucket=*/*.parquet"))
+    return rd.read_parquet(paths)

@@ -1,0 +1,88 @@
+"""Resumable partitioned sink: per-bucket skip on re-run, partial cleanup,
+read-back equivalence."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pandas as pd
+import pyarrow as pa
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+SF = "/root/testdata/sf0.001"
+
+
+def _survivors_df(ds) -> pd.DataFrame:
+    df = ds.to_pandas()[["cluster_id", "doc_id"]]
+    return df.sort_values(["cluster_id", "doc_id"]).reset_index(drop=True)
+
+
+def test_resumable_partitioned_write(ray_session, tmp_path):
+    from go_scrapper_ray.pipelines import clean
+
+    out = tmp_path / "clean_out"
+    res = clean.clean_corpus(SF).materialize()
+    want = _survivors_df(res)
+
+    written = clean.write_partitioned_resumable(res, str(out), num_buckets=4)
+    assert sorted(written) == [0, 1, 2, 3]
+    assert all((out / f"bucket={k}" / "_done").exists() for k in range(4))
+
+    # read-back equals the in-memory result (bucket column rides along)
+    back = clean.read_partitioned(str(out)).to_pandas()
+    got = back[["cluster_id", "doc_id"]] \
+        .sort_values(["cluster_id", "doc_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # re-run: everything done → nothing written, files untouched
+    mtimes = {p: p.stat().st_mtime_ns for p in out.rglob("*.parquet")}
+    assert clean.write_partitioned_resumable(res, str(out),
+                                             num_buckets=4) == []
+    assert {p: p.stat().st_mtime_ns for p in out.rglob("*.parquet")} == mtimes
+
+    # crash-sim: bucket 2 loses its marker (partial write) → only bucket 2
+    # is rebuilt; other buckets' files untouched
+    import shutil
+    shutil.rmtree(out / "bucket=2")
+    others = {p: p.stat().st_mtime_ns for p in out.rglob("*.parquet")}
+    assert clean.write_partitioned_resumable(res, str(out),
+                                             num_buckets=4) == [2]
+    for p, m in others.items():
+        assert p.stat().st_mtime_ns == m, f"{p} was rewritten"
+    back2 = clean.read_partitioned(str(out)).to_pandas()
+    got2 = back2[["cluster_id", "doc_id"]] \
+        .sort_values(["cluster_id", "doc_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got2, want, check_dtype=False)
+
+
+def test_clean_corpus_gates_are_real(ray_session):
+    """Survivors must pass every gate: no near-dup pair among survivors,
+    no exact-hash dup, all predicted-en, all >= min_words tokens."""
+    import duckdb
+
+    from go_scrapper_ray.pipelines import clean, dedup, textstats
+
+    surv = set(clean.clean_corpus(SF).to_pandas()["doc_id"])
+    assert surv, "clean corpus is empty"
+
+    pairs = dedup.minhash_dups(SF).to_pandas()
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        assert not (a in surv and b in surv), (a, b)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    hashes = con.execute(
+        "SELECT md5(text) FROM documents WHERE doc_id IN "
+        f"({','.join(map(str, surv))})").fetchall()
+    assert len({h[0] for h in hashes}) == len(hashes)
+
+    lang = textstats.langid(SF).to_pandas()
+    lang_of = dict(zip(lang["doc_id"], lang["pred_lang"]))
+    toks = textstats.token_count(SF).to_pandas()
+    ntok = dict(zip(toks["doc_id"], toks["n_tokens"]))
+    for d in surv:
+        assert lang_of[d] == "en"
+        assert ntok[d] >= 20
