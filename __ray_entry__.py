@@ -9,11 +9,11 @@ here calls ray.init()/ray.shutdown().
 ``queries()`` — one entry per implemented operator (SURVEY.md §2 + the
                 training-data ops); each takes sf_dir.
 ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query
-                (same column names!).  18 queries are SQL-checked, including
+                (same column names!).  23 queries are SQL-checked, including
                 the sketch ops (simhash / minhash LSH dedup / winnowing /
                 langid — their kernels use md5-upper64 token hashes and
                 mod-2**64 permutations precisely so DuckDB can reproduce
-                them exactly).  Rows-only remainder, structurally non-SQL:
+                them exactly) and the composed clean-corpus pipeline.  Rows-only remainder, structurally non-SQL:
                 the 5 crawl outputs (stateful iterative engine),
                 url_canonicalize (RFC-canonicalization string kernel),
                 knn_lsh / knn_ivf (approximate ANN — correctness is recall

@@ -90,12 +90,17 @@ def run_crawl(n_businesses: int, workdir: str) -> dict:
     cfg = CrawlConfig.from_json(
         (Path(corpus) / "crawl_config.json").read_text())
     # shard counts are pure performance knobs (membership routing and
-    # per-host politeness are key-stable under any shard count); scale them
-    # with the cluster so shard-actor Python isn't a 4-way bottleneck
+    # per-host politeness are key-stable under any shard count).  Measured
+    # on this box: ncpu//2 shards CONTEND with the task wave (16+16 actors
+    # on 32 cores cost ~20% wall: 20.9s vs 17.5s at 4+4); 4 shards keep
+    # actor-side release/resolve parallel enough while leaving the cores
+    # to the fetch/extract tasks.  ncpu//8 ≈ one shard pair per 8-core
+    # node-slice scales the same knob to real clusters.
     import ray
     ncpu = int(ray.cluster_resources().get("CPU", 8))
-    cfg.num_frontier_shards = max(4, min(16, ncpu // 2))
-    cfg.num_seen_shards = max(4, min(16, ncpu // 2))
+    nsh = int(os.environ.get("GSR_SHARDS", 0)) or max(4, ncpu // 8)
+    cfg.num_frontier_shards = nsh
+    cfg.num_seen_shards = nsh
     store = f"{corpus}/.pagestore"
     build_page_store(f"{corpus}/pages.parquet",
                      f"{corpus}/page_status.parquet",
