@@ -205,8 +205,16 @@ def _attrs_of(span: str) -> dict:
 
 
 def scan(html: str | bytes, region_class: str | None = None):
-    """One pass over the document. Returns (FastDoc, region_fragment) or
-    (None, None) when the page needs the full parse.
+    """Returns (FastDoc, region_fragment) or (None, None) when the page
+    needs the full parse.
+
+    Two tiers, strictly fallback-chained: ``_scan_fast`` jumps directly
+    between the island tags with C-level regex searches (no per-tag Python
+    for the filler DOM that dominates real pages); any construct whose
+    tokenization it cannot prove equivalent to the per-tag walk raises and
+    ``_scan`` — the vetted per-tag scanner — runs instead; if that also
+    fails the caller full-parses with minidom.  The fuzz suite asserts
+    fast==slow on every input where both succeed (test_fastpath.py).
 
     region_class: when set, also capture the subtree of the unique
     ``<div class="... region_class ...">`` (the non-rec reviews container);
@@ -215,9 +223,268 @@ def scan(html: str | bytes, region_class: str | None = None):
     if isinstance(html, bytes):
         html = html.decode("utf-8", errors="replace")
     try:
+        return _scan_fast(html, region_class)
+    except _ScanFail:
+        pass
+    try:
         return _scan(html, region_class)
     except _ScanFail:
         return None, None
+
+
+# ---------------------------------------------------------- island-jump tier
+
+# global disqualifiers (one C-level search each).  Any hit means naive
+# find()-based tag boundaries might differ from HTMLParser tokenization
+# (or, for comments, that _scan would fail anyway) — fall back.
+_BAD_SPAN_LT = re.compile(r"<[a-zA-Z][^>]*<")     # '<' inside a naive span
+_BAD_QUOT_GT = re.compile(r'=\s*"[^">]*>')        # '>' inside a quoted value
+_BAD_DECL_LT = re.compile(r"<[!?][^>]*<")         # '<' inside a decl/PI span
+_ISLAND_RE = re.compile(r"<(script|style|meta|h3|html)(?![a-zA-Z0-9-])")
+_H3_TAG_RE = re.compile(r"</?h3(?![a-zA-Z0-9-])")
+_DIV_TAG_RE = re.compile(r"</?div(?![a-zA-Z0-9-])")
+_FIRST_TAG_RE = re.compile(r"<[a-zA-Z]")
+
+
+def _verify_capture(frag: str, region_class: str | None = None,
+                    forbid_meta: bool = False):
+    """Prove the per-tag walk (_scan) would give a capture exactly this
+    extent: strict nesting (every end tag matches the top of the local
+    stack), no comments/decls/CDATA/html inside, stack empty at the end.
+    Any unmatched end tag is conservatively a failure (it might pop an
+    element OUTSIDE the fragment, changing the extent).  For h3 fragments
+    (``forbid_meta``/``region_class`` set) a meta or region-class div
+    inside would be invisible to the selectors — also a failure."""
+    stack: list[str] = []
+    find = frag.find
+    n = len(frag)
+    i = 0
+    while True:
+        lt = find("<", i)
+        if lt < 0:
+            break
+        c = frag[lt + 1] if lt + 1 < n else ""
+        if c == "!" or c == "?":
+            raise _ScanFail("decl inside capture")
+        if c == "/":
+            m = _NAME_RE.match(frag, lt + 2)
+            if m is None:
+                raise _ScanFail("bad endtag in capture")
+            name = m.group(0).lower()
+            gt = find(">", m.end())
+            if gt < 0:
+                raise _ScanFail("unterminated endtag in capture")
+            if not stack or stack[-1] != name:
+                raise _ScanFail("improper nesting in capture")
+            stack.pop()
+            i = gt + 1
+            continue
+        m = _NAME_RE.match(frag, lt + 1)
+        if m is None:
+            i = lt + 1  # literal '<' in text — same skip as _scan
+            continue
+        name = m.group(0).lower()
+        gt = find(">", m.end())
+        if gt < 0:
+            raise _ScanFail("unterminated tag in capture")
+        if name == "html":
+            raise _ScanFail("html inside capture")
+        if name == "script" or name == "style":
+            raise _ScanFail("cdata inside capture")
+        if forbid_meta and name == "meta":
+            raise _ScanFail("meta inside h3 capture")
+        span = frag[m.end():gt]
+        if (region_class is not None and name == "div"
+                and region_class in span
+                and region_class
+                in (_attrs_of(span).get("class") or "").split()):
+            raise _ScanFail("region inside h3 capture")
+        if not span.rstrip().endswith("/") and name not in VOID:
+            stack.append(name)
+        i = gt + 1
+    if stack:
+        raise _ScanFail("unclosed tag in capture")
+
+
+def _match_close(lowered: str, start: int, tag_re: re.Pattern,
+                 html: str) -> int:
+    """Position of the end tag that closes the element opened just before
+    ``start``, counting nested same-name opens (self-closed ones don't
+    push).  Returns the index of its '<'."""
+    depth = 1
+    pos = start
+    while True:
+        m = tag_re.search(lowered, pos)
+        if m is None:
+            raise _ScanFail("unterminated capture")
+        if lowered[m.start() + 1] == "/":
+            depth -= 1
+            if depth == 0:
+                return m.start()
+        else:
+            gt = html.find(">", m.end())
+            if gt < 0:
+                raise _ScanFail("unterminated tag")
+            if not html[m.end():gt].rstrip().endswith("/"):
+                depth += 1
+        pos = m.end()
+
+
+def _scan_fast(html: str, region_class: str | None):
+    """Island-jump scan: locate only the tags the extraction needs (script/
+    style CDATA, meta, h3, the region div, the html scope) with C-level
+    regex searches, and prove — or fall back — that the per-tag walk would
+    produce the same islands.  ~10x less per-page Python than _scan on
+    filler-dominated pages (the per-tag loop visited every <p>/<div> of
+    chrome; this visits none)."""
+    n = len(html)
+    if (_BAD_SPAN_LT.search(html) or _BAD_QUOT_GT.search(html)
+            or _BAD_DECL_LT.search(html) or "<!--" in html):
+        raise _ScanFail("needs per-tag walk")
+    lowered = html.lower()
+
+    # html scope: the FIRST real tag must be <html ...> (then it is the
+    # stack bottom and only </html> can end the scope); exactly one <html>
+    m = _FIRST_TAG_RE.search(lowered)
+    if m is None or not lowered.startswith("<html", m.start()) \
+            or _NAME_RE.match(lowered, m.start() + 1).group(0) != "html":
+        raise _ScanFail("html not first tag")
+    hstart = m.start()
+    hgt = html.find(">", hstart)
+    if hgt < 0:
+        raise _ScanFail("unterminated html tag")
+    if html[hstart + 1:hgt].rstrip().endswith("/"):
+        raise _ScanFail("self-closed html")
+    if lowered.find("<html", hgt) >= 0:
+        raise _ScanFail("multiple html elements")
+    hend = lowered.find("</html", hgt)
+    if hend < 0:
+        hend = n  # never closed: scope runs to EOF (same as the walk)
+
+    scripts: list = []
+    metas: list = []
+    h3_frags: list = []
+    # sequential island sweep inside the html scope.  A single ordered
+    # pass mirrors _scan exactly: islands inside script/style CDATA are
+    # consumed with it, islands inside an h3 capture belong to the
+    # fragment.  Filler chrome (every <p>/<div>/<span> of it) is never
+    # visited — that's the whole point of this tier.
+    cdata_iv: list = []  # [start, end) spans the walk treats as text
+    h3_iv: list = []
+    pos = hgt + 1
+    while True:
+        m = _ISLAND_RE.search(lowered, pos, hend)
+        if m is None:
+            break
+        name = m.group(1)
+        gt = html.find(">", m.end())
+        if gt < 0:
+            break  # truncated tag at EOF: the walk just stops collecting
+        span = html[m.end():gt]
+        selfclose = span.rstrip().endswith("/")
+        if name == "meta":
+            metas.append(_attrs_of(span))
+            pos = gt + 1
+            continue
+        if name == "script" or name == "style":
+            if selfclose:
+                if name == "script":
+                    scripts.append((_attrs_of(span), ""))
+                pos = gt + 1
+                continue
+            close = lowered.find(f"</{name}", gt + 1)
+            if close < 0:
+                raise _ScanFail("unterminated cdata")
+            if name == "script":
+                scripts.append((_attrs_of(span), html[gt + 1:close]))
+            cgt = html.find(">", close)
+            if cgt < 0:
+                break
+            if gt < hend <= cgt:  # the '</html' we keyed the scope on was
+                # CDATA text, not a tag — the walk would keep the scope open
+                hend = lowered.find("</html", cgt + 1)
+                if hend < 0:
+                    hend = n
+            cdata_iv.append((gt + 1, close))
+            pos = cgt + 1
+            continue
+        if name == "html":
+            raise _ScanFail("multiple html elements")
+        # h3
+        if selfclose:
+            h3_frags.append("")
+            pos = gt + 1
+            continue
+        close = _match_close(lowered, gt + 1, _H3_TAG_RE, html)
+        frag = html[gt + 1:close]
+        _verify_capture(frag, region_class, forbid_meta=True)
+        h3_frags.append(frag)
+        cgt = html.find(">", close)
+        if cgt < 0:
+            raise _ScanFail("unterminated capture")
+        h3_iv.append((gt + 1, close))
+        pos = cgt + 1
+
+    region = None
+    region_seen = 0
+    if region_class is not None:
+        region, region_seen = _find_region(html, lowered, region_class,
+                                           hgt + 1, hend, cdata_iv, h3_iv)
+    return FastDoc(scripts, metas, h3_frags,
+                   complete=(region_seen == 0)), region
+
+
+def _find_region(html: str, lowered: str, region_class: str,
+                 lo: int, hi: int, cdata_iv: list, h3_iv: list):
+    """Locate the unique region container by direct search for the CLASS
+    STRING (the filler's divs are never visited): each occurrence inside a
+    ``<div`` tag span is a candidate; occurrences in CDATA are script text
+    (skipped), inside an h3 capture the walk declines (invisible to the
+    region selector), nested inside an accepted region are swallowed by
+    it.  Extent and interior are proven exactly as the walk would."""
+    region = None
+    region_seen = 0
+    region_end = -1
+    p = lowered.find(region_class, lo, hi)
+    while p >= 0:
+        if any(s <= p < e for s, e in cdata_iv):
+            p = lowered.find(region_class, p + 1, hi)
+            continue
+        if any(s <= p < e for s, e in h3_iv):
+            raise _ScanFail("region inside h3 capture")
+        if p < region_end:  # inside the accepted region: swallowed
+            p = lowered.find(region_class, p + 1, hi)
+            continue
+        lt = lowered.rfind("<", 0, p)
+        nxt = lowered[lt + 4:lt + 5]
+        if (lt < 0 or not lowered.startswith("<div", lt)
+                or nxt.isalnum() or nxt == "-"):
+            p = lowered.find(region_class, p + 1, hi)
+            continue  # class string in text or on a non-div: not a region
+        tag_gt = html.find(">", lt)
+        if tag_gt < 0 or tag_gt < p:  # string is in text after the tag
+            p = lowered.find(region_class, p + 1, hi)
+            continue
+        span = html[lt + 4:tag_gt]
+        if region_class not in (_attrs_of(span).get("class") or "").split():
+            p = lowered.find(region_class, p + 1, hi)
+            continue
+        if span.rstrip().endswith("/"):
+            raise _ScanFail("self-closed region")
+        region_seen += 1
+        if region_seen > 1:
+            raise _ScanFail("ambiguous region")
+        close = _match_close(lowered, tag_gt + 1, _DIV_TAG_RE, html)
+        if any(s < close and e > tag_gt + 1 for s, e in cdata_iv):
+            raise _ScanFail("cdata inside capture")
+        _verify_capture(html[tag_gt + 1:close])
+        cgt = html.find(">", close)
+        if cgt < 0:
+            raise _ScanFail("unterminated capture")
+        region = html[lt:cgt + 1]
+        region_end = cgt + 1
+        p = lowered.find(region_class, p + 1, hi)
+    return region, region_seen
 
 
 def _scan(html: str, region_class: str | None):
@@ -308,7 +575,12 @@ def _scan(html: str, region_class: str | None):
         selfclose = span.rstrip().endswith("/")
 
         if name == "meta":
-            if in_html and rg_start < 0 and h3_start < 0:
+            if h3_start >= 0:
+                # a meta inside an h3 capture would be invisible to the
+                # meta selectors (the region capture case is covered by
+                # complete=False) — full-parse instead
+                raise _ScanFail("meta inside h3 capture")
+            if in_html and rg_start < 0:
                 metas.append(_attrs_of(span))
             i = gt + 1
             continue
@@ -356,6 +628,13 @@ def _scan(html: str, region_class: str | None):
         elif in_html and name == "h3" and h3_start < 0 and rg_start < 0:
             h3_start = gt + 1
             h3_depth = len(stack)
+        elif (region_class is not None and name == "div"
+              and h3_start >= 0 and region_class in span
+              and region_class
+              in (_attrs_of(span).get("class") or "").split()):
+            # region container inside an h3 capture would be invisible to
+            # the region selector — full-parse instead
+            raise _ScanFail("region inside h3 capture")
         elif (region_class is not None and name == "div" and in_html
               and rg_start < 0 and h3_start < 0 and region_class in span
               and region_class

@@ -220,3 +220,69 @@ try:
             assert fragment_tree(region).text() == want[0].text()
 except ImportError:  # pragma: no cover
     pass
+
+
+# ------------------------------------------- island-jump tier differentials
+
+_ADVERSARIAL = [
+    # </html inside script CDATA must not truncate the scope
+    ('<html><script>var a = "</html>";</script>'
+     '<meta name="m" content="after-cdata-close"><h3>keep</h3></html>'),
+    # island lookalikes inside CDATA are script text, not tags
+    ('<html><script type="application/json">{"x": "<h3>no</h3>'
+     '<meta name=\'fake\'>"}</script><h3>real</h3></html>'),
+    # islands after </html> are out of scope
+    ('<html><h3>in</h3></html><h3>out</h3>'
+     '<meta name="late" content="x">'),
+    # meta/script inside an h3 capture belong to the fragment
+    ('<html><h3>t <b>x</b><meta name="inner" content="1"></h3>'
+     '<meta name="outer" content="2"></html>'),
+    # nested h3s: one outer fragment (inner stays inside it)
+    ('<html><h3>a<h3>b</h3>c</h3><h3>d</h3></html>'),
+    # region div: h3 + meta inside are swallowed (complete=False)
+    ('<html><h3>before</h3><div class="not-recommended-reviews">'
+     '<ul><li>r1</li></ul><h3>inside</h3></div></html>'),
+    # self-closed script and style noise
+    ('<html><script src="x"/><style>.a{color:red}</style>'
+     '<script type="t">body</script></html>'),
+    # literal < in text and stray end tags the walk tolerates
+    ('<html><p>a < b</p></span><h3>ok</h3></html>'),
+    # bogus end tag grammar outside captures (walk fails, fast may accept;
+    # both must match minidom on the islands)
+    ('<html></123><h3>still</h3></html>'),
+    # unterminated capture at EOF must decline, not mis-capture
+    ('<html><h3>never closed'),
+    # uppercase tag names
+    ('<HTML><SCRIPT TYPE="t">B</SCRIPT><H3>Up</H3></HTML>'),
+]
+
+
+@pytest.mark.parametrize("html", _ADVERSARIAL)
+def test_fastpath_adversarial_vs_minidom(html):
+    """scan() (fast tier first, per-tag walk fallback) must agree with the
+    full parse on every island-observable output — or decline."""
+    from go_scrapper_ray.fastpath import FastpathMiss
+
+    fd, region = scan(html, region_class=NONREC)
+    root = _minidom_root(html)
+    if fd is None:
+        return  # declined -> engine full-parses; nothing to check
+    try:
+        assert fd.child_texts("h3") == root.child_texts("h3")
+    except FastpathMiss:
+        pass
+    try:
+        assert fd.child_text('script[type="t"]') == \
+            root.child_text('script[type="t"]')
+    except FastpathMiss:
+        pass
+    for name in ("m", "inner", "outer", "late"):
+        try:
+            assert fd.child_attr(f'meta[name="{name}"]', "content") == \
+                root.child_attr(f'meta[name="{name}"]', "content"), name
+        except FastpathMiss:
+            break
+    if region is not None:
+        from go_scrapper_ray.fastpath import fragment_tree
+        want = root.select(f"div.{NONREC}")
+        assert want and fragment_tree(region).text() == want[0].text()
