@@ -249,6 +249,62 @@ SCHED_SCHEMA = pa.schema([
 ])
 
 
+@ray.remote
+def _intake_task(seeds_tbl: pa.Table, start: int, length: int,
+                 site_base: str, force_hosts: tuple, force_to: str,
+                 seen_handles: list, nseen: int) -> list[int]:
+    """Build one chunk of the seed wave's frontier entries (canonicalize +
+    hash — the O(seeds) Python the driver used to run serially) and submit
+    them to the seen shards on the SAME deterministic submit→resolve path
+    links use (winner per url_hash = min (page_seq, emit_idx), so chunk
+    parallelism cannot change which of two same-URL seeds wins).  Returns
+    the REJECTED seed ids (driver applies their statuses)."""
+    import numpy as np
+
+    chunk = seeds_tbl.slice(start, length).to_pylist()
+    rejected: list[int] = []
+    sids, urls, canons, kinds = [], [], [], []
+    for s in chunk:
+        sid = s["seed_id"]
+        if s["url"] == "":
+            u = extract.search_url(s["business_name"], s["addr_street"],
+                                   s["addr_city"], s["addr_state"],
+                                   s["addr_zip"], site_base)
+            kinds.append(SEARCH)
+        else:
+            u, rej = urlkit.canonicalize_seed(s["url"], force_hosts,
+                                              force_to)
+            if rej:
+                rejected.append(sid)
+                continue
+            kinds.append(PROFILE)
+        sids.append(sid)
+        urls.append(u)
+        canons.append(urlkit.canonicalize(u))
+    hosts = urlkit.host_batch(canons)
+    n = len(sids)
+    t = pa.table({
+        "seed_id": pa.array(sids, pa.int64()),
+        "page_seq": pa.array(np.full(n, -1, np.int64)),
+        "emit_idx": pa.array(sids, pa.int32()),
+        "l_url": pa.array(urls, pa.string()),
+        "l_canon": pa.array(canons, pa.string()),
+        "l_hash": pa.array(urlkit.url_hash_batch(canons), pa.uint64()),
+        "l_host": pa.array(hosts, pa.string()),
+        "l_hosthash": pa.array(urlkit.host_hash_batch(hosts), pa.uint64()),
+        "l_kind": pa.array(kinds, pa.string()),
+        "l_depth": pa.array(np.zeros(n, np.int32)),
+        "l_rel": pa.array(["seed"] * n, pa.string()),
+        "l_src": pa.array([""] * n, pa.string()),
+    })
+    if n:
+        shard = t["l_hash"].to_numpy(zero_copy_only=False) % nseen
+        ray.get([seen_handles[int(s)].submit.remote(
+                    t.take(pa.array(np.flatnonzero(shard == s))))
+                 for s in np.unique(shard)])
+    return rejected
+
+
 class CrawlEngine:
     def __init__(self, corpus_dir: str, workdir: str,
                  cfg: CrawlConfig | None = None,
@@ -269,6 +325,26 @@ class CrawlEngine:
         self.batch_size = batch_size
         self.checkpoints = checkpoints
 
+        # shard actors FIRST: their cold start (process spawn + package
+        # import) overlaps the page-store build/check, seeds read, and
+        # broadcast puts below — nothing blocks on them until intake
+        fcfg_dict = {"delay_ms": self.cfg.delay_ms,
+                     "jitter_ms": self.cfg.jitter_ms,
+                     "jitter_seed": self.cfg.jitter_seed,
+                     "ignore_robots": self.cfg.ignore_robots,
+                     "max_per_host_per_round": max_per_host_per_round}
+        self.frontier = [FrontierShard.remote(i, fcfg_dict,
+                                              str(self.corpus / "robots.parquet"))
+                         for i in range(self.cfg.num_frontier_shards)]
+        self.seen = [SeenShard.remote(i)
+                     for i in range(self.cfg.num_seen_shards)]
+        # seen shards push resolved links straight to the frontier shards.
+        # No ray.get: actor mailboxes are FIFO per sender, so the driver's
+        # later resolve() calls are guaranteed to run after this lands
+        # (worker-sent submit() never touches the frontier handles)
+        for s in self.seen:
+            s.set_frontier.remote(self.frontier)
+
         # store_dir may be shared across runs over the same corpus (the
         # build is idempotent via _built.json) — the bucketed store is a
         # property of the corpus, not of one crawl
@@ -288,18 +364,6 @@ class CrawlEngine:
         rb = pq.read_table(self.corpus / "robots.parquet")
         self.robots = {h: RobotsRules.parse(t) for h, t in
                        zip(rb["host"].to_pylist(), rb["robots_txt"].to_pylist())}
-
-        cfg_dict = {"delay_ms": self.cfg.delay_ms, "jitter_ms": self.cfg.jitter_ms,
-                    "jitter_seed": self.cfg.jitter_seed,
-                    "ignore_robots": self.cfg.ignore_robots,
-                    "max_per_host_per_round": max_per_host_per_round}
-        self.frontier = [FrontierShard.remote(i, cfg_dict,
-                                              str(self.corpus / "robots.parquet"))
-                         for i in range(self.cfg.num_frontier_shards)]
-        self.seen = [SeenShard.remote(i)
-                     for i in range(self.cfg.num_seen_shards)]
-        # seen shards push resolved links straight to the frontier shards
-        ray.get([s.set_frontier.remote(self.frontier) for s in self.seen])
 
         # broadcast once: seed configs + watermark hash sets
         seeds_map = {s["seed_id"]: s for s in self.seeds}
@@ -447,15 +511,57 @@ class CrawlEngine:
         return res
 
     def _intake(self):
-        entries = []
         for s in self.seeds:
             sid = s["seed_id"]
-            out = SeedOutcome(seed_id=sid, profile_key=s["url"])
-            self.outcomes[sid] = out
+            self.outcomes[sid] = SeedOutcome(seed_id=sid,
+                                             profile_key=s["url"])
             self.cursors[sid] = WindowCursors()
             self.biz[sid] = {"business_id": "", "minimal": 0, "nonrec_url": "",
                              "profile_seq": -1, "landing_seq": -1}
             self.record_counts[sid] = 0
+        if self.cfg.ignore_robots and self.cfg.allowed_hosts is None:
+            return self._intake_parallel()
+        self._intake_serial()
+
+    def _intake_parallel(self):
+        """Unrestricted config: the O(seeds) canonicalize/hash Python runs
+        in chunked Ray tasks through the deterministic seen-shard
+        submit→resolve path (measured ~0.9 s of serial driver time at 24k
+        seeds).  Intake resolve output is discarded except the bucket
+        prefetch: no edges for seed entries, and window gating only reads
+        pushed_seeds during the round loop."""
+        tbl = pq.read_table(self.corpus / "seeds.parquet")
+        nseen = len(self.seen)
+        nchunks = max(1, min(16, tbl.num_rows // 1500 + 1))
+        import numpy as np
+        edges = np.linspace(0, tbl.num_rows, nchunks + 1).astype(int)
+        tref = ray.put(tbl)
+        futs = [_intake_task.remote(tref, int(s), int(e - s),
+                                    self.cfg.site_base,
+                                    tuple(self.cfg.force_hosts),
+                                    self.cfg.force_to, self.seen, nseen)
+                for s, e in zip(edges[:-1], edges[1:]) if e > s]
+        for rej in ray.get(futs):
+            for sid in rej:
+                out = self.outcomes[sid]
+                out.status = NO_BUSINESS_PAGE
+                out.rejected = True
+                out.no_meta = True
+        nb = self.cfg.num_fetch_buckets
+        res = ray.get([s.resolve.remote(nb) for s in self.seen])
+        buckets: set[int] = set()
+        for _edges, _cand, bks in res:  # seed entries produce NO edge rows
+            buckets.update(bks)
+        if buckets:
+            self.bucket_cache.prefetch(buckets)
+
+    def _intake_serial(self):
+        """Driver-side path for restricted configs (robots enforcement /
+        allowed-hosts filtering happens in _push_entries)."""
+        entries = []
+        for s in self.seeds:
+            sid = s["seed_id"]
+            out = self.outcomes[sid]
             if s["url"] == "":
                 u = extract.search_url(s["business_name"], s["addr_street"],
                                        s["addr_city"], s["addr_state"],
