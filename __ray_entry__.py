@@ -172,11 +172,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_fingerprint": textstats.fingerprint_md5,
         "docs_repetition": textstats.repetition,
         "docs_source_rollup": textstats.source_rollup,
+        "docs_pii_scrub": textstats.pii_scrub,
+        "docs_gopher_quality": textstats.gopher_quality,
+        "docs_topk_ngrams": textstats.topk_ngrams,
         # --- text analysis (rows-only) ---
         "docs_winnow_fp": textstats.fingerprint_winnow,
         "docs_langid": textstats.langid,
         # --- dedup ---
         "docs_exact_dedup": dedup.exact_dedup,
+        "docs_chunk_dedup": dedup.chunk_dedup,
         "docs_minhash_dups": dedup.minhash_dups,          # rows-only (LSH)
         "docs_simhash_dups": dedup.simhash_dups,          # rows-only (LSH)
         "docs_jaccard_dups": dedup.ngram_jaccard_dups,    # exact, SQL-checked
@@ -191,6 +195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_windowed": events.windowed_counts,
         "events_sessionize": events.sessionize,
         "events_top_users": events.top_users_by_value,
+        "events_asof_join": events.asof_join,
         # --- multimodal plumbing (rows-only; codecs stubbed) ---
         "media_features": multimodal.media_features,
         "media_frame_sample": multimodal.frame_sample,
@@ -357,6 +362,104 @@ def _clean_corpus_sql(min_words: int = 20, lang: str = "en",
         GROUP BY c.cluster_id"""
 
 
+def _gopher_sql() -> str:
+    """DuckDB twin of textstats.gopher_quality (stopword list shared with
+    the engine kernel so the two can't drift)."""
+    from go_scrapper_ray.pipelines.textstats import STOPWORDS
+
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+        WITH d AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks
+                   FROM documents),
+        m AS (SELECT doc_id,
+                len(toks)::BIGINT AS n_words,
+                COALESCE(list_aggregate(
+                    list_transform(toks, x -> length(x)), 'sum'),
+                  0)::BIGINT AS sum_word_len,
+                len(list_filter(toks,
+                    x -> regexp_matches(x, '[A-Za-z]')))::BIGINT
+                  AS n_alpha_words,
+                len(list_filter(toks,
+                    x -> lower(x) IN ({sw})))::BIGINT AS n_stop_hits
+              FROM d)
+        SELECT doc_id, n_words, sum_word_len, n_alpha_words, n_stop_hits,
+               (n_words BETWEEN 50 AND 100000
+                AND 3 * n_words <= sum_word_len
+                AND sum_word_len <= 10 * n_words
+                AND 5 * n_alpha_words >= 4 * n_words
+                AND n_stop_hits >= 2) AS keep
+        FROM m"""
+
+
+_PII_SQL = r"""
+    WITH a AS (SELECT doc_id,
+        text || ' Contact u' || doc_id || '@mail-' || (doc_id % 7)
+             || '.example.com or https://host-' || (doc_id % 13)
+             || '.example.org/p/' || doc_id || '?s=1 at 10.'
+             || (doc_id % 200) || '.' || (doc_id % 100) || '.'
+             || (doc_id % 50) || ' now' AS t0
+      FROM documents),
+    u AS (SELECT doc_id,
+            length(regexp_extract_all(t0, 'https?://[^\s]+'))::BIGINT
+              AS n_urls,
+            regexp_replace(t0, 'https?://[^\s]+', '<URL>', 'g') AS t1
+          FROM a),
+    e AS (SELECT doc_id, n_urls,
+            length(regexp_extract_all(t1,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT
+              AS n_emails,
+            regexp_replace(t1,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+              '<EMAIL>', 'g') AS t2
+          FROM u)
+    SELECT doc_id,
+           regexp_replace(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                          '<IP>', 'g') AS clean_text,
+           n_urls, n_emails,
+           length(regexp_extract_all(t2,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ips
+    FROM e"""
+
+
+_TOPK_NGRAMS_SQL = r"""
+    WITH d AS (SELECT regexp_extract_all(lower(text), '\S+') AS toks
+               FROM documents),
+    pos AS (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+            FROM d WHERE len(toks) >= 2),
+    g AS (SELECT toks[i] || ' ' || toks[i + 1] AS gram FROM pos),
+    c AS (SELECT gram, count(*)::BIGINT AS n FROM g GROUP BY gram)
+    SELECT gram, n FROM c ORDER BY n DESC, gram LIMIT 100"""
+
+
+_CHUNK_DEDUP_SQL = r"""
+    WITH d AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+               FROM documents),
+    pos AS (SELECT doc_id, toks,
+              unnest(generate_series(0, (len(toks) + 9) // 10 - 1)) AS j
+            FROM d WHERE len(toks) >= 1),
+    ch AS (SELECT doc_id,
+             md5(array_to_string(toks[10*j + 1 : 10*j + 10], ' '))
+               AS chunk_hash
+           FROM pos)
+    SELECT chunk_hash, min(doc_id) AS doc_id, count(*)::BIGINT AS n_copies
+    FROM ch GROUP BY chunk_hash"""
+
+
+_ASOF_SQL = """
+    WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+               WHERE event_type = 'purchase'),
+    c AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+          WHERE event_type = 'click'),
+    j AS (SELECT p.event_id, p.user_id, p.ts_us,
+            c.event_id AS prior_event_id, c.ts_us AS prior_ts_us,
+            row_number() OVER (PARTITION BY p.event_id
+                               ORDER BY c.ts_us DESC, c.event_id DESC) AS rn
+          FROM p JOIN c ON c.user_id = p.user_id AND c.ts_us <= p.ts_us)
+    SELECT event_id, user_id, ts_us, prior_event_id, prior_ts_us,
+           (ts_us - prior_ts_us)::BIGINT AS gap_us
+    FROM j WHERE rn = 1"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "url_canonicalize": """
@@ -422,6 +525,11 @@ def oracle_sql() -> dict[str, str]:
         "docs_exact_dedup":
             "SELECT md5(text) AS text_hash, min(doc_id) AS doc_id "
             "FROM documents GROUP BY md5(text)",
+        "docs_chunk_dedup": _CHUNK_DEDUP_SQL,
+        "docs_pii_scrub": _PII_SQL,
+        "docs_gopher_quality": _gopher_sql(),
+        "docs_topk_ngrams": _TOPK_NGRAMS_SQL,
+        "events_asof_join": _ASOF_SQL,
         "docs_jaccard_dups": r"""
             WITH ts AS (
               SELECT DISTINCT doc_id,

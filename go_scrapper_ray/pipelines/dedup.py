@@ -52,6 +52,46 @@ def exact_dedup(sf_dir: str) -> rd.Dataset:
             .groupby("text_hash").aggregate(Min("doc_id", alias_name="doc_id")))
 
 
+# -------------------------------------------------------------- chunk dedup
+
+def chunk_dedup(sf_dir: str, chunk_tokens: int = 10) -> rd.Dataset:
+    """(chunk_hash, doc_id, n_copies): corpus-wide exact dedup at sub-doc
+    granularity — the C4/RefinedWeb line-dedup step.  Documents are split
+    into fixed ``chunk_tokens``-token chunks (the synthetic corpus is
+    single-line, so fixed token windows stand in for lines; a real corpus
+    would split on newlines), each chunk md5-hashed, and per hash the
+    winner (min doc_id) plus the corpus-wide copy count are kept.
+
+    Scale shape: the chunk TEXT never leaves the batch kernel — only
+    (16-byte-hash, doc_id, partial count) rows shuffle, pre-combined per
+    batch (combiner-before-shuffle), then one groupby on the hash."""
+
+    def hash_chunks(t: pa.Table) -> pa.Table:
+        agg: dict[str, list] = {}
+        for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = TOKEN_RE.findall(s)
+            for j in range(0, len(toks), chunk_tokens):
+                h = hashlib.md5(
+                    " ".join(toks[j:j + chunk_tokens]).encode()).hexdigest()
+                cur = agg.get(h)
+                if cur is None:
+                    agg[h] = [did, 1]
+                else:
+                    cur[0] = min(cur[0], did)
+                    cur[1] += 1
+        return pa.table({
+            "chunk_hash": pa.array(list(agg.keys()), pa.string()),
+            "p_doc": pa.array([v[0] for v in agg.values()], pa.int64()),
+            "p_n": pa.array([v[1] for v in agg.values()], pa.int64()),
+        })
+
+    from ray.data.aggregate import Min, Sum
+    return (docs(sf_dir).map_batches(hash_chunks, batch_format="pyarrow")
+            .groupby("chunk_hash")
+            .aggregate(Min("p_doc", alias_name="doc_id"),
+                       Sum("p_n", alias_name="n_copies")))
+
+
 # ------------------------------------------------------------------- minhash
 
 _N_PERM = 64

@@ -76,6 +76,65 @@ def sessionize(sf_dir: str, gap_s: int = 1800) -> rd.Dataset:
             .map_groups(per_user, batch_format="pandas"))
 
 
+def asof_join(sf_dir: str, left_type: str = "purchase",
+              right_type: str = "click") -> rd.Dataset:
+    """(event_id, user_id, ts_us, prior_event_id, prior_ts_us, gap_us):
+    per-user AS-OF join — each `left_type` event matched to the latest
+    `right_type` event at-or-before it (ties on ts broken by max event_id).
+    Lefts with no prior right are dropped (inner as-of).
+
+    Ray Data has no as-of join primitive; this is the documented
+    composition: filter both sides in one pass, groupby(user_id), and a
+    vectorized sorted-searchsorted merge inside map_groups.  Partitioning
+    assumption: one user's events fit one group (true for user-keyed web
+    logs; a hot user would need ts-range sub-splitting)."""
+
+    def prep(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["event_type"],
+                        value_set=pa.array([left_type, right_type]))
+        t = t.filter(keep)
+        return pa.table({
+            "event_id": t["event_id"],
+            "user_id": t["user_id"],
+            "ts_us": t["ts"].cast(pa.int64()),
+            "is_left": pc.equal(t["event_type"], left_type),
+        })
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["is_left"]].sort_values(["ts_us", "event_id"])
+        right = g[~g["is_left"]].sort_values(["ts_us", "event_id"])
+        if not len(left) or not len(right):
+            return pd.DataFrame({
+                "event_id": pd.Series([], dtype=np.int64),
+                "user_id": pd.Series([], dtype=np.int64),
+                "ts_us": pd.Series([], dtype=np.int64),
+                "prior_event_id": pd.Series([], dtype=np.int64),
+                "prior_ts_us": pd.Series([], dtype=np.int64),
+                "gap_us": pd.Series([], dtype=np.int64),
+            })
+        r_ts = right["ts_us"].to_numpy()
+        # last right with ts <= left ts; rights sorted by (ts, event_id) so
+        # that element is also the max event_id among equal-ts candidates
+        idx = np.searchsorted(r_ts, left["ts_us"].to_numpy(),
+                              side="right") - 1
+        hit = idx >= 0
+        left = left[hit]
+        idx = idx[hit]
+        return pd.DataFrame({
+            "event_id": left["event_id"].to_numpy(),
+            "user_id": left["user_id"].to_numpy(),
+            "ts_us": left["ts_us"].to_numpy(),
+            "prior_event_id": right["event_id"].to_numpy()[idx],
+            "prior_ts_us": r_ts[idx],
+            "gap_us": left["ts_us"].to_numpy() - r_ts[idx],
+        })
+
+    return (_events(sf_dir, ("ts", "user_id", "event_id", "event_type"))
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby("user_id")
+            .map_groups(per_user, batch_format="pandas"))
+
+
 def top_users_by_value(sf_dir: str, n: int = 10) -> rd.Dataset:
     """(user_id, cents): top-N users by total value — partial per batch,
     groupby sum, global top-N (sort on the tiny aggregate)."""
@@ -92,3 +151,92 @@ def top_users_by_value(sf_dir: str, n: int = 10) -> rd.Dataset:
            .map_batches(partial, batch_format="pyarrow")
            .groupby("user_id").aggregate(Sum("p_cents", alias_name="cents")))
     return agg.sort(["cents", "user_id"], descending=[True, False]).limit(n)
+
+def funnel(sf_dir: str) -> rd.Dataset:
+    """(user_id, n_views, n_clicks, n_purchases, first_view_us,
+    first_click_after_view_us, first_purchase_us): per-user conversion
+    funnel view -> click -> purchase.  Stage k's timestamp is the earliest
+    event of that type at-or-after stage k-1's timestamp; unreached stages
+    are null.  Same groupby(user_id) partitioning contract as sessionize
+    (one user's events fit one group)."""
+
+    TYPES = ("view", "click", "purchase")
+
+    def prep(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["event_type"], value_set=pa.array(list(TYPES)))
+        t = t.filter(keep)
+        return pa.table({"user_id": t["user_id"],
+                         "event_type": t["event_type"],
+                         "ts_us": t["ts"].cast(pa.int64())})
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        ts = {k: g.loc[g["event_type"] == k, "ts_us"].to_numpy()
+              for k in TYPES}
+        first_view = int(ts["view"].min()) if len(ts["view"]) else None
+        first_click = None
+        if first_view is not None:
+            c = ts["click"][ts["click"] >= first_view]
+            first_click = int(c.min()) if len(c) else None
+        first_purchase = None
+        if first_click is not None:
+            p = ts["purchase"][ts["purchase"] >= first_click]
+            first_purchase = int(p.min()) if len(p) else None
+        return pd.DataFrame({
+            "user_id": [g["user_id"].iloc[0]],
+            "n_views": pd.array([len(ts["view"])], dtype="int64"),
+            "n_clicks": pd.array([len(ts["click"])], dtype="int64"),
+            "n_purchases": pd.array([len(ts["purchase"])], dtype="int64"),
+            "first_view_us": pd.array([first_view], dtype="Int64"),
+            "first_click_after_view_us": pd.array([first_click],
+                                                  dtype="Int64"),
+            "first_purchase_us": pd.array([first_purchase], dtype="Int64"),
+        })
+
+    return (_events(sf_dir, ("ts", "user_id", "event_type"))
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby("user_id")
+            .map_groups(per_user, batch_format="pandas"))
+
+
+def range_join(sf_dir: str, window_s: int = 3600) -> rd.Dataset:
+    """(event_id, user_id, ts_us, n_clicks_1h, click_cents_1h): per-user
+    RANGE JOIN — each purchase joined to the clicks in the preceding
+    ``window_s`` half-open window [ts - window_s, ts).  Ray Data has no
+    range-join primitive; composition: one filtered pass over both sides,
+    groupby(user_id), and an in-group vectorized prefix-sum + two
+    searchsorted probes (O((n+m) log m) per user, no pairwise blow-up).
+    Partitioning assumption: one user's events fit one group."""
+
+    def prep(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["event_type"],
+                        value_set=pa.array(["purchase", "click"]))
+        t = t.filter(keep)
+        cents = pc.round(pc.multiply(t["value"], 100),
+                         round_mode="half_towards_infinity").cast(pa.int64())
+        return pa.table({"event_id": t["event_id"],
+                         "user_id": t["user_id"],
+                         "ts_us": t["ts"].cast(pa.int64()),
+                         "is_left": pc.equal(t["event_type"], "purchase"),
+                         "cents": cents})
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["is_left"]]
+        right = g[~g["is_left"]].sort_values(["ts_us", "event_id"])
+        l_ts = left["ts_us"].to_numpy()
+        r_ts = right["ts_us"].to_numpy()
+        pref = np.concatenate(([0], np.cumsum(right["cents"].to_numpy())))
+        lo = np.searchsorted(r_ts, l_ts - window_s * 1_000_000, side="left")
+        hi = np.searchsorted(r_ts, l_ts, side="left")
+        return pd.DataFrame({
+            "event_id": left["event_id"].to_numpy(),
+            "user_id": left["user_id"].to_numpy(),
+            "ts_us": l_ts,
+            "n_clicks_1h": (hi - lo).astype(np.int64),
+            "click_cents_1h": pref[hi] - pref[lo],
+        })
+
+    return (_events(sf_dir, ("ts", "user_id", "event_id", "event_type",
+                             "value"))
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby("user_id")
+            .map_groups(per_user, batch_format="pandas"))

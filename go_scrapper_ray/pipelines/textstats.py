@@ -236,6 +236,123 @@ class LangIdStage:
                          "pred_lang": pa.array(preds, pa.string())})
 
 
+# ------------------------------------------------------------------ PII scrub
+
+# RE2-compatible patterns (identical leftmost non-overlapping semantics in
+# Python `re` and DuckDB's RE2, which the oracle relies on)
+URL_RE = re.compile(r"https?://[^\s]+")
+EMAIL_RE = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+IPV4_RE = re.compile(r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b")
+
+
+def pii_suffix(doc_id: int) -> str:
+    """Deterministic doc_id-derived PII text appended before scrubbing (the
+    synthetic corpus has no organic PII; this makes the kernel non-trivially
+    checkable, same device as the url_canonicalize query)."""
+    return (f" Contact u{doc_id}@mail-{doc_id % 7}.example.com or"
+            f" https://host-{doc_id % 13}.example.org/p/{doc_id}?s=1"
+            f" at 10.{doc_id % 200}.{doc_id % 100}.{doc_id % 50} now")
+
+
+def pii_scrub(sf_dir: str) -> rd.Dataset:
+    """(doc_id, clean_text, n_urls, n_emails, n_ips): redaction pass a
+    training corpus runs before tokenization — URLs, then emails, then bare
+    IPv4s replaced by placeholder tokens, with per-doc match counts.
+    Replacement ORDER is part of the contract (a URL may contain an
+    email-shaped userinfo part; scrubbing URLs first prevents double counts)
+    and is replicated in the SQL oracle by nested regexp_replace."""
+
+    def kernel(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        n_urls, n_emails, n_ips, out = [], [], [], []
+        for i, s in zip(ids, t["text"].to_pylist()):
+            s = s + pii_suffix(i)
+            s, nu = URL_RE.subn("<URL>", s)
+            s, ne = EMAIL_RE.subn("<EMAIL>", s)
+            s, ni = IPV4_RE.subn("<IP>", s)
+            n_urls.append(nu)
+            n_emails.append(ne)
+            n_ips.append(ni)
+            out.append(s)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "clean_text": pa.array(out, pa.string()),
+            "n_urls": pa.array(n_urls, pa.int64()),
+            "n_emails": pa.array(n_emails, pa.int64()),
+            "n_ips": pa.array(n_ips, pa.int64()),
+        })
+
+    return docs(sf_dir).map_batches(kernel, batch_format="pyarrow")
+
+
+# -------------------------------------------------------------- Gopher rules
+
+ALPHA_RE = re.compile(r"[A-Za-z]")
+
+
+def gopher_quality(sf_dir: str) -> rd.Dataset:
+    """(doc_id, n_words, sum_word_len, n_alpha_words, n_stop_hits, keep):
+    Gopher quality rules (Rae et al. 2021, Table A1) with INTEGER numerators
+    so the DuckDB comparison is exact — keep =
+      50 <= n_words <= 100000
+      AND 3*n_words <= sum_word_len <= 10*n_words   (mean word length 3..10)
+      AND 5*n_alpha_words >= 4*n_words              (>=80% words alphabetic)
+      AND n_stop_hits >= 2                          (stopword presence)
+    """
+    sw = frozenset(STOPWORDS)
+
+    def kernel(t: pa.Table) -> pa.Table:
+        n_words, sum_len, n_alpha, n_stop = [], [], [], []
+        for s in t["text"].to_pylist():
+            toks = TOKEN_RE.findall(s)
+            n_words.append(len(toks))
+            sum_len.append(sum(len(w) for w in toks))
+            n_alpha.append(sum(1 for w in toks if ALPHA_RE.search(w)))
+            n_stop.append(sum(1 for w in toks if w.lower() in sw))
+        nw = np.asarray(n_words, dtype=np.int64)
+        sl = np.asarray(sum_len, dtype=np.int64)
+        na = np.asarray(n_alpha, dtype=np.int64)
+        ns = np.asarray(n_stop, dtype=np.int64)
+        keep = ((nw >= 50) & (nw <= 100_000)
+                & (3 * nw <= sl) & (sl <= 10 * nw)
+                & (5 * na >= 4 * nw) & (ns >= 2))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_words": pa.array(nw, pa.int64()),
+            "sum_word_len": pa.array(sl, pa.int64()),
+            "n_alpha_words": pa.array(na, pa.int64()),
+            "n_stop_hits": pa.array(ns, pa.int64()),
+            "keep": pa.array(keep, pa.bool_()),
+        })
+
+    return docs(sf_dir).map_batches(kernel, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------- top-k n-grams
+
+def topk_ngrams(sf_dir: str, k: int = 100) -> rd.Dataset:
+    """(gram, n): corpus-wide top-k token bigrams — the vocabulary/contamin-
+    ation audit step of a training pipeline.  Per-batch Counter partials
+    (combiner-before-shuffle: at 100 TB the shuffle carries only
+    vocab²-bounded partial rows per batch, not one row per token), then a
+    gram-keyed groupby sum and a global (n desc, gram asc) top-k on the
+    small aggregate."""
+    from collections import Counter
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for s in t["text"].to_pylist():
+            toks = s.lower().split()
+            c.update(map(" ".join, zip(toks, toks[1:])))
+        return pa.table({"gram": pa.array(list(c.keys()), pa.string()),
+                         "p_n": pa.array(list(c.values()), pa.int64())})
+
+    from ray.data.aggregate import Sum
+    agg = (docs(sf_dir).map_batches(partial, batch_format="pyarrow")
+           .groupby("gram").aggregate(Sum("p_n", alias_name="n")))
+    return agg.sort(["n", "gram"], descending=[True, False]).limit(k)
+
+
 def langid(sf_dir: str, concurrency: int = 4) -> rd.Dataset:
     # autoscaling pool (min 1): a FIXED pool of `concurrency` 1-CPU actors
     # can reserve every cluster CPU and starve the upstream read task
