@@ -175,6 +175,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pii_scrub": textstats.pii_scrub,
         "docs_gopher_quality": textstats.gopher_quality,
         "docs_topk_ngrams": textstats.topk_ngrams,
+        "docs_normalize": textstats.normalize,
+        "docs_sample": textstats.sample_stratified,
+        "docs_length_quantiles": textstats.length_quantiles,
         # --- text analysis (rows-only) ---
         "docs_winnow_fp": textstats.fingerprint_winnow,
         "docs_langid": textstats.langid,
@@ -191,11 +194,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": similarity.knn_bruteforce,
         "knn_lsh": similarity.knn_lsh,                    # rows-only (ANN)
         "knn_ivf": similarity.knn_ivf,                    # rows-only (ANN)
+        "emb_norm_stats": similarity.emb_norm_stats,
         # --- events / streaming-shaped ---
         "events_windowed": events.windowed_counts,
         "events_sessionize": events.sessionize,
         "events_top_users": events.top_users_by_value,
         "events_asof_join": events.asof_join,
+        "events_funnel": events.funnel,
+        "events_range_join": events.range_join,
         # --- multimodal plumbing (rows-only; codecs stubbed) ---
         "media_features": multimodal.media_features,
         "media_frame_sample": multimodal.frame_sample,
@@ -203,6 +209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_suppliers": relational.top_suppliers_by_revenue,
         "order_priorities": relational.order_priority_counts,
         "nation_revenue": relational.nation_customer_revenue,
+        "lineitem_pricing": relational.pricing_summary,
     }
 
 
@@ -460,6 +467,97 @@ _ASOF_SQL = """
     FROM j WHERE rn = 1"""
 
 
+_FUNNEL_SQL = """
+    WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+               WHERE event_type IN ('view', 'click', 'purchase')),
+    u AS (SELECT user_id,
+            (count(*) FILTER (WHERE event_type = 'view'))::BIGINT AS n_views,
+            (count(*) FILTER (WHERE event_type = 'click'))::BIGINT
+              AS n_clicks,
+            (count(*) FILTER (WHERE event_type = 'purchase'))::BIGINT
+              AS n_purchases,
+            min(ts_us) FILTER (WHERE event_type = 'view') AS first_view_us
+          FROM e GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts_us) AS first_click_after_view_us
+          FROM e JOIN u USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts_us >= u.first_view_us
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts_us) AS first_purchase_us
+          FROM e JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase'
+            AND e.ts_us >= c.first_click_after_view_us
+          GROUP BY e.user_id)
+    SELECT u.user_id, u.n_views, u.n_clicks, u.n_purchases,
+           COALESCE(u.first_view_us, -1)::BIGINT AS first_view_us,
+           COALESCE(c.first_click_after_view_us, -1)::BIGINT
+             AS first_click_after_view_us,
+           COALESCE(p.first_purchase_us, -1)::BIGINT AS first_purchase_us
+    FROM u LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)"""
+
+
+_RANGE_JOIN_SQL = """
+    WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+               WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, epoch_us(ts) AS ts_us,
+            CAST(round(value * 100) AS BIGINT) AS cents FROM events
+          WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id, p.ts_us,
+           count(c.ts_us)::BIGINT AS n_clicks_1h,
+           COALESCE(sum(c.cents), 0)::BIGINT AS click_cents_1h
+    FROM p LEFT JOIN c ON c.user_id = p.user_id
+      AND c.ts_us >= p.ts_us - 3600000000 AND c.ts_us < p.ts_us
+    GROUP BY p.event_id, p.user_id, p.ts_us"""
+
+
+_PRICING_SQL = """
+    SELECT l_returnflag, l_linestatus,
+      sum(CAST(round(l_quantity * 100) AS BIGINT))::BIGINT AS sum_qty_c,
+      sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT
+        AS sum_base_c,
+      sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+          )::BIGINT AS sum_disc_c,
+      sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100)
+               AS BIGINT))::BIGINT AS sum_charge_c,
+      count(*)::BIGINT AS n_rows
+    FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus"""
+
+
+_NORMALIZE_SQL = r"""
+    WITH n AS (SELECT doc_id,
+        trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ',
+                                           'g'),
+             '\s+', ' ', 'g')) AS norm_text
+      FROM documents)
+    SELECT doc_id, norm_text, length(norm_text)::BIGINT AS n_chars_norm
+    FROM n"""
+
+
+_SAMPLE_SQL = """
+    SELECT doc_id, lang FROM documents
+    WHERE md5_number_upper(doc_id::VARCHAR) % 10 = 0"""
+
+
+def _quantiles_sql() -> str:
+    from go_scrapper_ray.pipelines.textstats import QUANTILES
+
+    legs = [f"SELECT {int(round(q * 1000))}::BIGINT AS q_milli, "
+            f"quantile_disc(n, {q}) AS n_tokens FROM tc"
+            for q in QUANTILES]
+    return (r"WITH tc AS (SELECT len(regexp_extract_all(text, '\S+'))::BIGINT"
+            " AS n FROM documents) " + " UNION ALL ".join(legs))
+
+
+_EMB_NORM_SQL = """
+    SELECT vec_id,
+      list_aggregate(list_transform(embedding,
+        x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+           * CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)),
+        'sum')::BIGINT AS sq_sum,
+      len(embedding)::BIGINT AS n_dims
+    FROM embeddings"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "url_canonicalize": """
@@ -530,6 +628,13 @@ def oracle_sql() -> dict[str, str]:
         "docs_gopher_quality": _gopher_sql(),
         "docs_topk_ngrams": _TOPK_NGRAMS_SQL,
         "events_asof_join": _ASOF_SQL,
+        "events_funnel": _FUNNEL_SQL,
+        "events_range_join": _RANGE_JOIN_SQL,
+        "lineitem_pricing": _PRICING_SQL,
+        "docs_normalize": _NORMALIZE_SQL,
+        "docs_sample": _SAMPLE_SQL,
+        "docs_length_quantiles": _quantiles_sql(),
+        "emb_norm_stats": _EMB_NORM_SQL,
         "docs_jaccard_dups": r"""
             WITH ts AS (
               SELECT DISTINCT doc_id,

@@ -157,8 +157,9 @@ def funnel(sf_dir: str) -> rd.Dataset:
     first_click_after_view_us, first_purchase_us): per-user conversion
     funnel view -> click -> purchase.  Stage k's timestamp is the earliest
     event of that type at-or-after stage k-1's timestamp; unreached stages
-    are null.  Same groupby(user_id) partitioning contract as sessionize
-    (one user's events fit one group)."""
+    are -1 (sentinel, not null, so the int64 schema is stable whether or
+    not any user converts).  Same groupby(user_id) partitioning contract
+    as sessionize (one user's events fit one group)."""
 
     TYPES = ("view", "click", "purchase")
 
@@ -172,24 +173,24 @@ def funnel(sf_dir: str) -> rd.Dataset:
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
         ts = {k: g.loc[g["event_type"] == k, "ts_us"].to_numpy()
               for k in TYPES}
-        first_view = int(ts["view"].min()) if len(ts["view"]) else None
-        first_click = None
-        if first_view is not None:
+        first_view = int(ts["view"].min()) if len(ts["view"]) else -1
+        first_click = -1
+        if first_view >= 0:
             c = ts["click"][ts["click"] >= first_view]
-            first_click = int(c.min()) if len(c) else None
-        first_purchase = None
-        if first_click is not None:
+            first_click = int(c.min()) if len(c) else -1
+        first_purchase = -1
+        if first_click >= 0:
             p = ts["purchase"][ts["purchase"] >= first_click]
-            first_purchase = int(p.min()) if len(p) else None
+            first_purchase = int(p.min()) if len(p) else -1
         return pd.DataFrame({
             "user_id": [g["user_id"].iloc[0]],
             "n_views": pd.array([len(ts["view"])], dtype="int64"),
             "n_clicks": pd.array([len(ts["click"])], dtype="int64"),
             "n_purchases": pd.array([len(ts["purchase"])], dtype="int64"),
-            "first_view_us": pd.array([first_view], dtype="Int64"),
+            "first_view_us": pd.array([first_view], dtype="int64"),
             "first_click_after_view_us": pd.array([first_click],
-                                                  dtype="Int64"),
-            "first_purchase_us": pd.array([first_purchase], dtype="Int64"),
+                                                  dtype="int64"),
+            "first_purchase_us": pd.array([first_purchase], dtype="int64"),
         })
 
     return (_events(sf_dir, ("ts", "user_id", "event_type"))

@@ -114,3 +114,53 @@ def nation_customer_revenue(sf_dir: str) -> rd.Dataset:
                            ["n_name"])
     return named.map_batches(lambda t: t.select(["n_name", "cents"]),
                              batch_format="pyarrow")
+
+
+def pricing_summary(sf_dir: str, cutoff: str = "1998-09-02") -> rd.Dataset:
+    """(l_returnflag, l_linestatus, sum_qty_c, sum_base_c, sum_disc_c,
+    sum_charge_c, n_rows): TPC-H-Q1-shaped pricing summary over lineitem
+    rows shipped on or before ``cutoff`` — the canonical wide-scan +
+    tiny-groupby aggregate.  All money/quantity sums are integer cents
+    (round half-away-from-zero after the full double product, matching
+    DuckDB round()), pre-combined per batch: at 100 TB the shuffle carries
+    six rows per batch."""
+    import numpy as np
+    cutoff_us = int(np.datetime64(cutoff, "us").astype(np.int64))
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.less_equal(t["l_shipdate"].cast(pa.int64()),
+                             pa.scalar(cutoff_us, pa.int64()))
+        t = t.filter(keep)
+        one_minus_d = pc.subtract(pa.scalar(1.0), t["l_discount"])
+        disc_price = pc.multiply(t["l_extendedprice"], one_minus_d)
+        charge = pc.multiply(disc_price,
+                             pc.add(pa.scalar(1.0), t["l_tax"]))
+
+        def cents(x):
+            return pc.round(pc.multiply(x, 100),
+                            round_mode="half_towards_infinity").cast(
+                                pa.int64())
+
+        tmp = pa.table({"l_returnflag": t["l_returnflag"],
+                        "l_linestatus": t["l_linestatus"],
+                        "qty_c": cents(t["l_quantity"]),
+                        "base_c": cents(t["l_extendedprice"]),
+                        "disc_c": cents(disc_price),
+                        "charge_c": cents(charge)})
+        g = tmp.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty_c", "sum"), ("base_c", "sum"), ("disc_c", "sum"),
+             ("charge_c", "sum"), ("qty_c", "count")])
+        return g.rename_columns(["l_returnflag", "l_linestatus", "p_qty",
+                                 "p_base", "p_disc", "p_charge", "p_n"])
+
+    from ray.data.aggregate import Sum
+    return (_read(sf_dir, "lineitem",
+                  ["l_returnflag", "l_linestatus", "l_quantity",
+                   "l_extendedprice", "l_discount", "l_tax", "l_shipdate"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(["l_returnflag", "l_linestatus"])
+            .aggregate(Sum("p_qty", alias_name="sum_qty_c"),
+                       Sum("p_base", alias_name="sum_base_c"),
+                       Sum("p_disc", alias_name="sum_disc_c"),
+                       Sum("p_charge", alias_name="sum_charge_c"),
+                       Sum("p_n", alias_name="n_rows")))

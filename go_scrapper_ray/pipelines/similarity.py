@@ -260,3 +260,23 @@ def knn_lsh(sf_dir: str, k: int = 5, query_stride: int = 50,
     joined = rd.from_arrow(q_tbl).join(vec_tbl, "inner", num_partitions=8,
                                        on=("table_id", "code"))
     return _score_candidates(joined, k)
+
+def emb_norm_stats(sf_dir: str) -> rd.Dataset:
+    """(vec_id, sq_sum, n_dims): per-vector squared-L2 norm in QUANTIZED
+    integer space — each component rounded half-away-from-zero to 1/1000
+    units, squared, summed as int64 (exact under any summation order, so
+    the DuckDB comparison and any cluster width agree bit-for-bit; the
+    embedding-sanity pass a corpus runs before ANN indexing).  Pure
+    per-batch map, no shuffle."""
+
+    def kernel(t: pa.Table) -> pa.Table:
+        M = np.array(t["embedding"].to_pylist(), dtype=np.float64) * 1000.0
+        Q = np.copysign(np.floor(np.abs(M) + 0.5), M).astype(np.int64)
+        return pa.table({
+            "vec_id": t["vec_id"],
+            "sq_sum": pa.array((Q * Q).sum(axis=1), pa.int64()),
+            "n_dims": pa.array(np.full(len(t), M.shape[1], dtype=np.int64),
+                               pa.int64()),
+        })
+
+    return _emb(sf_dir).map_batches(kernel, batch_format="pyarrow")

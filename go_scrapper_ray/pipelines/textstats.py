@@ -359,3 +359,89 @@ def langid(sf_dir: str, concurrency: int = 4) -> rd.Dataset:
     # (deadlock on small clusters); (1, N) keeps headroom
     return docs(sf_dir).map_batches(LangIdStage, batch_format="pyarrow",
                                     concurrency=(1, concurrency), num_cpus=1)
+
+# -------------------------------------------------------------- normalization
+
+# re.ASCII: RE2 (the DuckDB oracle's engine) treats \s as ASCII-only
+NONALNUM_RE = re.compile(r"[^a-z0-9\s]", re.ASCII)
+WS_RE = re.compile(r"\s+", re.ASCII)
+
+
+def normalize(sf_dir: str) -> rd.Dataset:
+    """(doc_id, norm_text, n_chars_norm): canonical text normalization —
+    lowercase, strip non-alphanumerics to spaces, collapse whitespace, trim.
+    The pre-tokenization cleanup pass of a training pipeline; pure per-batch
+    map, no shuffle."""
+
+    def kernel(t: pa.Table) -> pa.Table:
+        out = []
+        for s in t["text"].to_pylist():
+            s = NONALNUM_RE.sub(" ", s.lower())
+            s = WS_RE.sub(" ", s).strip(" ")  # DuckDB trim = spaces only
+            out.append(s)
+        arr = pa.array(out, pa.string())
+        return pa.table({"doc_id": t["doc_id"],
+                         "norm_text": arr,
+                         "n_chars_norm": pc.utf8_length(arr).cast(pa.int64())})
+
+    return docs(sf_dir).map_batches(kernel, batch_format="pyarrow")
+
+
+# ------------------------------------------------------- deterministic sample
+
+def sample_stratified(sf_dir: str, mod: int = 10, keep: int = 0,
+                      ) -> rd.Dataset:
+    """(doc_id, lang): deterministic hash-mod sample (md5_number_upper of the
+    decimal doc_id, mod ``mod``) — the reproducible subsampling every corpus
+    ablation needs.  Unlike ``ds.random_sample`` this is stable across runs,
+    cluster widths and block orders; stratification is implicit (hashing is
+    uniform within every stratum).  Pure filter, no shuffle."""
+    from .dedup import md5_upper64
+
+    def kernel(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        m = np.fromiter((md5_upper64(str(i).encode()) % mod == keep
+                         for i in ids), dtype=bool, count=len(ids))
+        return t.filter(pa.array(m))
+
+    return (docs(sf_dir, columns=("doc_id", "lang"))
+            .map_batches(kernel, batch_format="pyarrow"))
+
+
+# ----------------------------------------------------------- exact quantiles
+
+QUANTILES = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def length_quantiles(sf_dir: str) -> pa.Table:
+    """(q_milli, n_tokens): EXACT corpus-wide token-count quantiles
+    (DuckDB quantile_disc semantics: value at index ceil(q*n)-1 of the
+    sorted multiset).  Scale shape: per-batch (n_tokens -> count)
+    histogram partials, one groupby on n_tokens (distinct token counts
+    ~O(10^4) regardless of corpus size), then the quantile walk happens
+    driver-side on that tiny histogram — exact without a global sort."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        n = pa.array([len(TOKEN_RE.findall(s))
+                      for s in t["text"].to_pylist()], pa.int64())
+        g = pa.table({"n": n, "one": pa.array([1] * len(n), pa.int64())}
+                     ).group_by("n").aggregate([("one", "sum")])
+        return g.rename_columns(["n", "p_cnt"])
+
+    hist = (docs(sf_dir, columns=("text",))
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("n").aggregate(Sum("p_cnt", alias_name="cnt"))
+            .sort("n").take_all())
+    vals = np.array([r["n"] for r in hist], dtype=np.int64)
+    cnts = np.array([r["cnt"] for r in hist], dtype=np.int64)
+    cum = np.cumsum(cnts)
+    total = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    for q in QUANTILES:
+        rank = max(1, int(np.ceil(q * total)))
+        idx = int(np.searchsorted(cum, rank, side="left"))
+        out_q.append(int(round(q * 1000)))
+        out_v.append(int(vals[idx]))
+    return pa.table({"q_milli": pa.array(out_q, pa.int64()),
+                     "n_tokens": pa.array(out_v, pa.int64())})
