@@ -159,11 +159,19 @@ def scaling(n_businesses: int, reps: int = 2, lo: int = 8,
             hi: int = 32) -> dict:
     """Fresh-process runs at N then 4N CPUs on the same input; BEST of
     ``reps`` per CPU count (the sandbox disk has high I/O variance —
-    best-of-N isolates the compute scaling the criterion is about)."""
+    best-of-N isolates the compute scaling the criterion is about).
+
+    ``sync`` between legs: each run writes ~GBs of records/durability
+    parquet to /tmp, and the kernel's deferred writeback of run k's dirty
+    pages lands in the middle of run k+1, alternating fast/slow runs
+    (measured 20s vs 54s for identical 32-cpu legs).  Flushing between
+    runs measures the engine, not the previous run's laundry."""
     thr = {}
     for n in (lo, hi):
         best = None
         for _ in range(reps):
+            subprocess.run(["sync"], check=False)
+            time.sleep(1)
             p = subprocess.run(
                 [sys.executable, __file__, "--scaling-worker", str(n),
                  "--businesses", str(n_businesses)],

@@ -948,7 +948,15 @@ class CrawlEngine:
             # a group-by with zero shuffle and zero disk reads; replaces a
             # Ray Data repartition+groupby+map_groups that anti-scaled on
             # this workload (measured 23.6s@8cpu / 48.6s@32cpu -> ~3s)
-            futs = [_finalize_task.remote(
+            # finalize is memory-bandwidth-bound (concat+gather+write of the
+            # string-heavy jsonl column), not ALU-bound: 32 concurrent shard
+            # tasks on one node thrash the bus (measured 0.05s -> 2.5-4.9s
+            # per identical 48k-row sort, 0.8s -> 7-20s total).  Reserve
+            # ncpu/8 CPUs per task so ~8 run per node regardless of width —
+            # resource-aware scheduling, same answer on a real cluster where
+            # each node caps its own finalize concurrency.
+            fin_cpus = max(1, int(ray.cluster_resources().get("CPU", 8)) // 8)
+            futs = [_finalize_task.options(num_cpus=fin_cpus).remote(
                         {"refs": list(self.rec_shard_refs[s])},
                         s, watermarks,
                                           str(out_dir / "records" /
