@@ -60,6 +60,20 @@ except Exception:  # pragma: no cover
     _noop = None
 
 
+def _cpu_stat() -> list[int]:
+    with open("/proc/stat") as fh:
+        return [int(x) for x in fh.readline().split()[1:9]]
+
+
+def _steal_pct(before: list[int], after: list[int]) -> float:
+    """Hypervisor steal share of all CPU time between two /proc/stat reads.
+    This box measures 0-27% steal depending on host co-tenancy; a leg run
+    under 20% steal is measuring the neighbor's workload, not this engine."""
+    d = [b - a for a, b in zip(before, after)]
+    tot = sum(d)
+    return 100.0 * d[7] / tot if tot else 0.0
+
+
 def _sf_value(sf_dir: str) -> float:
     import re
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -165,25 +179,42 @@ def scaling(n_businesses: int, reps: int = 2, lo: int = 8,
     parquet to /tmp, and the kernel's deferred writeback of run k's dirty
     pages lands in the middle of run k+1, alternating fast/slow runs
     (measured 20s vs 54s for identical 32-cpu legs).  Flushing between
-    runs measures the engine, not the previous run's laundry."""
+    runs measures the engine, not the previous run's laundry.
+
+    Steal-aware retries: this VM's hypervisor intermittently steals
+    17-27% of CPU (measured via /proc/stat around identical legs —
+    14.1s in a quiet window vs 47-57s under steal).  Each leg records
+    its steal%; legs with steal above ``max_steal`` get retried (up to
+    ``extra`` extras) and the reported JSON carries the steal% of the
+    kept legs so a noisy measurement is visibly noisy."""
+    max_steal, extra = 3.0, 3
     thr = {}
     for n in (lo, hi):
         best = None
-        for _ in range(reps):
+        budget = reps + extra
+        runs = 0
+        while runs < budget:
+            runs += 1
             subprocess.run(["sync"], check=False)
             time.sleep(1)
+            s0 = _cpu_stat()
             p = subprocess.run(
                 [sys.executable, __file__, "--scaling-worker", str(n),
                  "--businesses", str(n_businesses)],
                 capture_output=True, text=True, cwd=str(_REPO))
+            steal = _steal_pct(s0, _cpu_stat())
             line = [l for l in p.stdout.splitlines()
                     if l.startswith("RESULT ")]
             if not line:
                 print(p.stdout, p.stderr, file=sys.stderr)
                 raise RuntimeError(f"scaling worker num_cpus={n} failed")
             r = json.loads(line[-1][len("RESULT "):])
+            r["steal_pct"] = round(steal, 1)
             if best is None or r["urls_per_sec"] > best["urls_per_sec"]:
                 best = r
+            # quiet-window leg achieved the baseline rep count: stop early
+            if runs >= reps and best["steal_pct"] <= max_steal:
+                break
         thr[n] = best
     eff = (thr[hi]["urls_per_sec"] / thr[lo]["urls_per_sec"]) / (hi / lo)
     return {"metric": "crawl_scaling_efficiency",
@@ -193,6 +224,8 @@ def scaling(n_businesses: int, reps: int = 2, lo: int = 8,
             "urls_per_sec_hi": round(thr[hi]["urls_per_sec"], 1),
             "sec_lo": round(thr[lo]["sec"], 2),
             "sec_hi": round(thr[hi]["sec"], 2),
+            "steal_pct_lo": thr[lo]["steal_pct"],
+            "steal_pct_hi": thr[hi]["steal_pct"],
             "urls": thr[hi]["urls"]}
 
 
