@@ -210,6 +210,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priorities": relational.order_priority_counts,
         "nation_revenue": relational.nation_customer_revenue,
         "lineitem_pricing": relational.pricing_summary,
+        "shipping_priority": relational.shipping_priority,
+        "docs_decontaminate": dedup.decontaminate,
     }
 
 
@@ -548,6 +550,41 @@ def _quantiles_sql() -> str:
             " AS n FROM documents) " + " UNION ALL ".join(legs))
 
 
+_SHIP_PRIO_SQL = """
+    SELECT l_orderkey,
+      sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+          )::BIGINT AS revenue_c,
+      epoch_us(o_orderdate) AS o_orderdate_us, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-01'
+      AND l_shipdate > TIMESTAMP '1998-06-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue_c DESC, l_orderkey LIMIT 10"""
+
+
+_DECONTAM_SQL = r"""
+    WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks,
+                 md5_number_upper(doc_id::VARCHAR) % 97 = 0 AS is_bench
+               FROM documents),
+    pos AS (SELECT doc_id, toks, is_bench,
+              unnest(generate_series(1, len(toks) - 2)) AS i
+            FROM d WHERE len(toks) >= 3),
+    g AS (SELECT doc_id, is_bench,
+            md5_number_upper(toks[i] || ' ' || toks[i + 1] || ' '
+                             || toks[i + 2]) >> 3 AS gh
+          FROM pos),
+    bset AS (SELECT DISTINCT gh FROM g WHERE is_bench),
+    hits AS (SELECT g.doc_id, count(DISTINCT g.gh)::BIGINT AS n_hits
+             FROM g JOIN bset USING (gh) WHERE NOT g.is_bench
+             GROUP BY g.doc_id)
+    SELECT d.doc_id, COALESCE(h.n_hits, 0)::BIGINT AS n_hits,
+           COALESCE(h.n_hits, 0) > 0 AS contaminated
+    FROM d LEFT JOIN hits h USING (doc_id) WHERE NOT d.is_bench"""
+
+
 _EMB_NORM_SQL = """
     SELECT vec_id,
       list_aggregate(list_transform(embedding,
@@ -635,6 +672,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_sample": _SAMPLE_SQL,
         "docs_length_quantiles": _quantiles_sql(),
         "emb_norm_stats": _EMB_NORM_SQL,
+        "shipping_priority": _SHIP_PRIO_SQL,
+        "docs_decontaminate": _DECONTAM_SQL,
         "docs_jaccard_dups": r"""
             WITH ts AS (
               SELECT DISTINCT doc_id,

@@ -252,13 +252,17 @@ SCHED_SCHEMA = pa.schema([
 @ray.remote
 def _intake_task(seeds_tbl: pa.Table, start: int, length: int,
                  site_base: str, force_hosts: tuple, force_to: str,
-                 seen_handles: list, nseen: int) -> list[int]:
+                 seen_handles: list, nseen: int, nb: int):
     """Build one chunk of the seed wave's frontier entries (canonicalize +
     hash — the O(seeds) Python the driver used to run serially) and submit
     them to the seen shards on the SAME deterministic submit→resolve path
     links use (winner per url_hash = min (page_seq, emit_idx), so chunk
     parallelism cannot change which of two same-URL seeds wins).  Returns
-    the REJECTED seed ids (driver applies their statuses)."""
+    (rejected seed ids, page-store buckets this chunk's URLs hash into) —
+    the bucket list lets the driver start round-0's bucket loads as each
+    CHUNK lands instead of after the full intake resolve (the loads are
+    round 0's critical path; chunk-level prefetch hides them under the
+    rest of intake)."""
     import numpy as np
 
     chunk = seeds_tbl.slice(start, length).to_pylist()
@@ -297,12 +301,15 @@ def _intake_task(seeds_tbl: pa.Table, start: int, length: int,
         "l_rel": pa.array(["seed"] * n, pa.string()),
         "l_src": pa.array([""] * n, pa.string()),
     })
+    buckets: list[int] = []
     if n:
-        shard = t["l_hash"].to_numpy(zero_copy_only=False) % nseen
+        hashes = t["l_hash"].to_numpy(zero_copy_only=False)
+        shard = hashes % nseen
         ray.get([seen_handles[int(s)].submit.remote(
                     t.take(pa.array(np.flatnonzero(shard == s))))
                  for s in np.unique(shard)])
-    return rejected
+        buckets = np.unique(hashes % nb).tolist()
+    return rejected, buckets
 
 
 class CrawlEngine:
@@ -532,6 +539,7 @@ class CrawlEngine:
         pushed_seeds during the round loop."""
         tbl = pq.read_table(self.corpus / "seeds.parquet")
         nseen = len(self.seen)
+        nb = self.cfg.num_fetch_buckets
         nchunks = max(1, min(16, tbl.num_rows // 1500 + 1))
         import numpy as np
         edges = np.linspace(0, tbl.num_rows, nchunks + 1).astype(int)
@@ -539,21 +547,27 @@ class CrawlEngine:
         futs = [_intake_task.remote(tref, int(s), int(e - s),
                                     self.cfg.site_base,
                                     tuple(self.cfg.force_hosts),
-                                    self.cfg.force_to, self.seen, nseen)
+                                    self.cfg.force_to, self.seen, nseen, nb)
                 for s, e in zip(edges[:-1], edges[1:]) if e > s]
-        for rej in ray.get(futs):
+        # consume chunks as they land: each chunk's bucket prefetch fires
+        # immediately, so round-0's (disk-bound) bucket loads overlap the
+        # remaining intake chunks and the seen-shard resolve below instead
+        # of serializing after them (measured 1.3s of round-0 critical path)
+        pending = list(futs)
+        while pending:
+            done, pending = ray.wait(pending, num_returns=1)
+            rej, bks = ray.get(done[0])
+            if bks:
+                self.bucket_cache.prefetch(bks)
             for sid in rej:
                 out = self.outcomes[sid]
                 out.status = NO_BUSINESS_PAGE
                 out.rejected = True
                 out.no_meta = True
-        nb = self.cfg.num_fetch_buckets
         res = ray.get([s.resolve.remote(nb) for s in self.seen])
-        buckets: set[int] = set()
         for _edges, _cand, bks in res:  # seed entries produce NO edge rows
-            buckets.update(bks)
-        if buckets:
-            self.bucket_cache.prefetch(buckets)
+            if bks:
+                self.bucket_cache.prefetch(bks)
 
     def _intake_serial(self):
         """Driver-side path for restricted configs (robots enforcement /
@@ -648,7 +662,8 @@ class CrawlEngine:
         # 4 waves' worth of blocks: with 2*ncpu the last wave's stragglers
         # idled ~30% of the cluster (measured p95/p50 = 1.26 at 64 blocks);
         # finer blocks pack the tail at ~50ms/task dispatch cost
-        nblocks = max(1, min(4 * ncpu, int(total_w // 192) + 1))
+        waves = int(os.environ.get("GSR_WAVES", "4"))
+        nblocks = max(1, min(waves * ncpu, int(total_w // 192) + 1))
         bounds = np.searchsorted(
             cum, np.linspace(0, total_w, nblocks + 1)[1:-1])
         edges = [0] + [int(b) + 1 for b in bounds] + [table.num_rows]

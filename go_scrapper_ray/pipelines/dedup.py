@@ -24,6 +24,7 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
@@ -931,3 +932,57 @@ def embedding_dups(sf_dir: str, threshold: float = 0.98) -> rd.Dataset:
         return rd.from_arrow(pa.table({"vec_a": pa.array([], pa.int64()),
                                        "vec_b": pa.array([], pa.int64())}))
     return rd.from_arrow_refs(out)
+
+
+# ---------------------------------------------------------- decontamination
+
+def decontaminate(sf_dir: str, mod: int = 97, k: int = 3) -> rd.Dataset:
+    """(doc_id, n_hits, contaminated): benchmark decontamination — flag
+    every corpus document sharing a ``k``-token shingle with the benchmark
+    set (here: docs with md5_upper64(doc_id) % mod == 0, the deterministic
+    stand-in for an eval suite).  The canonical pre-training hygiene pass.
+
+    Scale shape: the benchmark is small BY DEFINITION (an eval suite, not
+    the corpus), so its distinct shingle hashes build distributedly and
+    broadcast once (`ray.put` of a sorted int64 array); the 100 TB corpus
+    side then streams through one `map_batches` doing np.isin per doc —
+    no shuffle at all.  Docs with < k tokens carry no shingles (n_hits 0).
+    """
+
+    def gram_rows(t: pa.Table) -> pa.Table:
+        out = []
+        for doc_id, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            if md5_upper64(str(doc_id).encode()) % mod != 0:
+                continue
+            toks = TOKEN_RE.findall(s.lower())
+            for i in range(len(toks) - k + 1):
+                out.append(md5_upper64(
+                    " ".join(toks[i:i + k]).encode()) >> 3)
+        arr = np.unique(np.array(out, dtype=np.int64))
+        return pa.table({"gh": pa.array(arr, pa.int64())})
+
+    bench_ghs = np.unique(np.concatenate([
+        t["gh"].to_numpy(zero_copy_only=False)
+        for t in docs(sf_dir).map_batches(gram_rows, batch_format="pyarrow")
+                             .iter_batches(batch_format="pyarrow")]
+        or [np.array([], dtype=np.int64)]))
+    bench_ref = ray.put(bench_ghs)
+
+    def flag(t: pa.Table) -> pa.Table:
+        bset = ray.get(bench_ref)  # zero-copy broadcast
+        ids, hits = [], []
+        for doc_id, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            if md5_upper64(str(doc_id).encode()) % mod == 0:
+                continue  # benchmark docs are not corpus rows
+            toks = TOKEN_RE.findall(s.lower())
+            ghs = np.unique(np.array(
+                [md5_upper64(" ".join(toks[i:i + k]).encode()) >> 3
+                 for i in range(len(toks) - k + 1)], dtype=np.int64))
+            ids.append(doc_id)
+            hits.append(int(np.isin(ghs, bset).sum()) if len(ghs) else 0)
+        n = pa.array(hits, pa.int64())
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_hits": n,
+                         "contaminated": pc.greater(n, 0)})
+
+    return docs(sf_dir).map_batches(flag, batch_format="pyarrow")

@@ -164,3 +164,82 @@ def pricing_summary(sf_dir: str, cutoff: str = "1998-09-02") -> rd.Dataset:
                        Sum("p_disc", alias_name="sum_disc_c"),
                        Sum("p_charge", alias_name="sum_charge_c"),
                        Sum("p_n", alias_name="n_rows")))
+
+
+def shipping_priority(sf_dir: str, segment: str = "BUILDING",
+                      cutoff: str = "1998-06-01", n: int = 10) -> rd.Dataset:
+    """(l_orderkey, revenue_c, o_orderdate_us, o_orderpriority): TPC-H-Q3-
+    shaped 3-table join — top-N unshipped-revenue orders for one market
+    segment.  Scale plan (aggregate-then-join, both joins co-partitioned):
+
+    1. lineitem (the 100 TB side) filters on l_shipdate and pre-aggregates
+       revenue cents PER ORDERKEY inside each batch, then one
+       groupby(l_orderkey) — the shuffle carries (orderkey, cents), not
+       line items.
+    2. orders filters on o_orderdate and semi-joins customer via a
+       broadcast of the segment's custkeys (customers of ONE segment are
+       the small side; at larger scale swap for a hash join on custkey).
+    3. the per-order revenue joins the filtered orders with Ray Data's
+       hash join on l_orderkey = o_orderkey.
+    4. global top-N on the tiny aggregate."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+    cutoff_us = int(np.datetime64(cutoff, "us").astype(np.int64))
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        keep = pc.greater(t["l_shipdate"].cast(pa.int64()),
+                          pa.scalar(cutoff_us, pa.int64()))
+        t = t.filter(keep)
+        rev = pc.round(
+            pc.multiply(pc.multiply(t["l_extendedprice"],
+                                    pc.subtract(pa.scalar(1.0),
+                                                t["l_discount"])),
+                        100),
+            round_mode="half_towards_infinity").cast(pa.int64())
+        g = (pa.table({"l_orderkey": t["l_orderkey"], "rev": rev})
+             .group_by("l_orderkey").aggregate([("rev", "sum")]))
+        return g.rename_columns(["l_orderkey", "p_rev"])
+
+    rev_per_order = (_read(sf_dir, "lineitem",
+                           ["l_orderkey", "l_extendedprice", "l_discount",
+                            "l_shipdate"])
+                     .map_batches(li_partial, batch_format="pyarrow")
+                     .groupby("l_orderkey")
+                     .aggregate(Sum("p_rev", alias_name="revenue_c")))
+
+    cust = pq_segment_custkeys(sf_dir, segment)
+    cust_ref = ray.put(cust)
+
+    def o_kernel(t: pa.Table) -> pa.Table:
+        keep = pc.less(t["o_orderdate"].cast(pa.int64()),
+                       pa.scalar(cutoff_us, pa.int64()))
+        t = t.filter(keep)
+        hit = pc.is_valid(pc.index_in(t["o_custkey"],
+                                      value_set=ray.get(cust_ref)))
+        t = t.filter(hit)
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_orderdate_us": t["o_orderdate"].cast(pa.int64()),
+            "o_orderpriority": t["o_orderpriority"]})
+
+    orders = (_read(sf_dir, "orders",
+                    ["o_orderkey", "o_custkey", "o_orderdate",
+                     "o_orderpriority"])
+              .map_batches(o_kernel, batch_format="pyarrow"))
+
+    joined = rev_per_order.join(orders, "inner", num_partitions=8,
+                                on=("l_orderkey",), right_on=("o_orderkey",))
+    top = (joined.sort(["revenue_c", "l_orderkey"],
+                       descending=[True, False]).limit(n))
+    return top.map_batches(
+        lambda t: t.select(["l_orderkey", "revenue_c", "o_orderdate_us",
+                            "o_orderpriority"]),
+        batch_format="pyarrow")
+
+
+def pq_segment_custkeys(sf_dir: str, segment: str) -> pa.ChunkedArray:
+    """custkeys of one market segment (broadcast side of Q3's semi-join)."""
+    import pyarrow.parquet as pq
+    c = pq.read_table(f"{sf_dir}/customer.parquet",
+                      columns=["c_custkey", "c_mktsegment"])
+    return c.filter(pc.equal(c["c_mktsegment"], segment))["c_custkey"]
