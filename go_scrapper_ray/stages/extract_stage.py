@@ -150,21 +150,20 @@ class ExtractStage:
          out["l_src"].append(link[8] if len(link) > 8 else ""))
 
     def _emit_records(self, out, sid, page_seq, recs):
-        from ..gojson import encode_record_b64, record_to_jsonl
+        from ..gojson import render_record
         wm = self.watermarks.get(sid)
+        scraped_at = self.cfg["scraped_at"]
         for j, r in enumerate(recs):
-            r = extract.finalize_record_identity(r)
-            r["scraped_at"] = self.cfg["scraped_at"]
             # payload=None: the rendered jsonl IS the record deliverable —
             # a per-record json.dumps doubled the string churn and the
             # parquet volume for a column nothing consumed
             # posted_at IS parse_mdy(source_date) (extractors raise on
             # unparseable dates) — reuse it instead of re-parsing
+            rh, line = render_record(r, scraped_at)
             self._rows(out, "record", sid, page_seq, j, None,
                        sort_ts=r["posted_at"],
-                       review_hash=r["review_hash"],
-                       jsonl=record_to_jsonl(encode_record_b64(r)))
-            if wm and r["review_hash"] in wm:
+                       review_hash=rh, jsonl=line)
+            if wm and rh in wm:
                 self._rows(out, "event", sid, page_seq, j,
                            {"type": "hash_hit"})
         # per-page record count rides COLUMNAR (out_kind='rcnt', n in

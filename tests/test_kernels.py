@@ -380,3 +380,47 @@ def test_search_url_quirk_order():
     u = extract.search_url("Café One", "1 Main St", "Springfield", "IL", "62701")
     assert u == ("https://www.yelp.com/search?find_desc=Caf%C3%A9+One"
                  "&find_loc=1+Main+St+IL+Springfield+62701")
+
+
+def test_render_record_fused_equivalence():
+    """Fused render_record must be byte-identical to the unfused
+    finalize_record_identity -> encode_record_b64 -> record_to_jsonl chain
+    across the quirk space: empty/non-empty fields, b64 vs raw replies
+    (first-reply-text branch), control chars, unicode, omitempty zeros."""
+    import itertools
+    import random
+    from go_scrapper_ray.gojson import (encode_record_b64, record_to_jsonl,
+                                        render_record)
+    from go_scrapper_ray.extract import finalize_record_identity
+
+    rng = random.Random(7)
+    texts = ["", "plain", 'quo"te\\\n\ttab', "café  line",
+             "\x00\x1fctl", "<b>&amp;</b>"]
+    names = ["", "Ann", 'O"Brien ']
+    ids = ["", "rev-1"]
+    reply_sets = [
+        [],
+        [{"author_name": "own", "text": "", "posted_at": "1/2/2020"}],
+        [{"author_name": "own", "text": "re\nply", "posted_at": "1/2/2020"},
+         {"author_name": "", "text": "", "posted_at": ""}],
+        [{"author_name": "", "text": "first", "posted_at": "3/4/2021"}],
+    ]
+    cases = list(itertools.product(texts, names, ids, reply_sets))
+    rng.shuffle(cases)
+    for text, name, rid, replies in cases[:160]:
+        rec = {"parent_id": rng.choice(["", "p1"]),
+               "review_id": rid, "author_id": rng.choice(["", "u9"]),
+               "author_name": name, "text": text,
+               "rating": rng.choice([0, 5]),
+               "source_date": rng.choice(["", "1/2/2020"]),
+               "photos": rng.choice([[], ["http://x/a.jpg", 'we"ird']]),
+               "not_recommended": rng.choice([False, True]),
+               "posted_at": rng.choice([0, 1577923200]),
+               "responses": [dict(r) for r in replies]}
+        scraped_at = rng.choice([0, 1700000000])
+        ref = dict(finalize_record_identity(rec))
+        ref["scraped_at"] = scraped_at
+        want = record_to_jsonl(encode_record_b64(ref))
+        rh, got = render_record(rec, scraped_at)
+        assert rh == ref["review_hash"]
+        assert got == want, (rec, scraped_at)
