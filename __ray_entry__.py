@@ -154,6 +154,17 @@ def _q_canonicalize(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    """37 of 46 queries carry a DuckDB oracle (oracle_sql()).  The 9
+    without one are structurally non-SQL, each for a stated reason:
+    the 5 crawl_* outputs encode an iterative politeness-scheduled
+    frontier loop (ordering depends on the virtual clock + retry state
+    machine; checked instead by the byte-parity oracle suite in
+    tests/test_crawl_parity.py against tests/oracle.py); knn_lsh / knn_ivf
+    are APPROXIMATE nearest-neighbor paths whose contract is recall
+    against knn_bruteforce (itself SQL-checked), not an exact row set —
+    recall floors are pytest-enforced; media_features / media_frame_sample
+    exercise binary-column actor-pool plumbing with stubbed codecs (no
+    SQL analog of the byte-level feature extraction)."""
     from go_scrapper_ray.pipelines import (clean, dedup, events, multimodal,
                                            relational, similarity, textstats)
 

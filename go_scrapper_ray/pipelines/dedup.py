@@ -816,9 +816,13 @@ def simhash_dups(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
                 if ham <= max_hamming:
                     out.append((rows[i][0], rows[j][0], ham))
         if not out:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
+            return pd.DataFrame({"doc_a": pd.array([], dtype="int64"),
+                                 "doc_b": pd.array([], dtype="int64"),
+                                 "hamming": pd.array([], dtype="int64")})
         a, b, h = zip(*out)
-        return pd.DataFrame({"doc_a": a, "doc_b": b, "hamming": h})
+        return pd.DataFrame({"doc_a": pd.array(a, dtype="int64"),
+                             "doc_b": pd.array(b, dtype="int64"),
+                             "hamming": pd.array(h, dtype="int64")})
 
     cand = (docs(sf_dir).map_batches(sig_batch, batch_format="pyarrow")
             .repartition(16)
