@@ -730,6 +730,13 @@ class CrawlEngine:
         resolve winners and push to the frontier shards directly.  The
         driver's per-round work is O(events + retries)."""
         tt = time.perf_counter()
+        # kick the seen-shard resolves FIRST: all submits landed when the
+        # round barrier released, so the actors pick winners / push to the
+        # frontier while the driver chews the event stream below (retries
+        # bypass the seen check, so _push_entries ordering is unaffected;
+        # actor mailboxes serialize any same-shard calls)
+        nb = self.cfg.num_fetch_buckets
+        resolve_futs = [s.resolve.remote(nb) for s in self.seen]
         # per-page record counts ride in sort_ts of 'rcnt' rows — columnar sum
         rcnt = ctrl_tbl.filter(pc.equal(ctrl_tbl["out_kind"], "rcnt"))
         if rcnt.num_rows:
@@ -823,11 +830,10 @@ class CrawlEngine:
                         if st is not None:
                             out.status = st
         tt = self._t("ac_retries", tt)
-        # round-end link resolution on the seen shards (parallel), then
-        # retries (tiny, driver-side) — same seen-check ordering as before
-        # (fresh links first, retries bypass the check anyway)
-        nb = self.cfg.num_fetch_buckets
-        res = ray.get([s.resolve.remote(nb) for s in self.seen])
+        # gather the round-end link resolutions kicked at the top — same
+        # seen-check ordering as before (fresh links first, retries bypass
+        # the check anyway)
+        res = ray.get(resolve_futs)
         link_seeds: set[int] = set()
         next_buckets: set[int] = set()
         for edges, cand_seeds, buckets in res:
