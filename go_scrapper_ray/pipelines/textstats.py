@@ -353,7 +353,7 @@ def topk_ngrams(sf_dir: str, k: int = 100) -> rd.Dataset:
     return agg.sort(["n", "gram"], descending=[True, False]).limit(k)
 
 
-def langid(sf_dir: str, concurrency: int = 4) -> rd.Dataset:
+def langid(sf_dir: str, concurrency: int = 12) -> rd.Dataset:
     # autoscaling pool (min 1): a FIXED pool of `concurrency` 1-CPU actors
     # can reserve every cluster CPU and starve the upstream read task
     # (deadlock on small clusters); (1, N) keeps headroom
