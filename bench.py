@@ -282,9 +282,11 @@ def scaling_control_aba(n_businesses: int, ways: int = 4) -> dict:
             raise RuntimeError("32-cpu engine leg failed")
         return json.loads(line[-1][len("RESULT "):])
 
+    s0 = _cpu_stat()
     pre = engine_leg()
     per, agg = _run_concurrent(n_businesses, ways)
     post = engine_leg()
+    steal = _steal_pct(s0, _cpu_stat())
     mean32 = (pre["urls_per_sec"] + post["urls_per_sec"]) / 2
     return {"metric": "crawl_scaling_control_concurrent",
             "value": round(mean32 / agg, 3), "unit": "ratio",
@@ -294,6 +296,9 @@ def scaling_control_aba(n_businesses: int, ways: int = 4) -> dict:
             "aggregate_urls_per_sec": round(agg, 1),
             "engine_32cpu_urls_per_sec_pre": round(pre["urls_per_sec"], 1),
             "engine_32cpu_urls_per_sec_post": round(post["urls_per_sec"], 1),
+            # hypervisor steal share across the whole A-B-A window; the
+            # ratio is only meaningful when this is ~0 (see BASELINE.md)
+            "steal_pct": round(steal, 1),
             "urls": pre["urls"]}
 
 

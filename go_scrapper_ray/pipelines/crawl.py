@@ -683,8 +683,15 @@ class CrawlEngine:
         # 1.8 core-s at 8).  The loads are round 0's critical path either
         # way; waiting driver-side costs the same wall once, not per task.
         # fetch_local=False: existence in plasma is enough (zero-copy).
+        # Round 0 waits in full (its loads ARE the critical path; this is
+        # where the convoy was measured).  Later rounds' buckets were
+        # prefetched a round or more ago, so they only lag when the disk is
+        # contended (e.g. several engines sharing one spindle) — there the
+        # wait is bounded and only the straggler buckets convoy.
         brefs = list(bundle["buckets"].values())
-        ray.wait(brefs, num_returns=len(brefs), fetch_local=False)
+        ray.wait(brefs, num_returns=len(brefs), fetch_local=False,
+                 timeout=(None if rnd == 0 else
+                          float(os.environ.get("GSR_BUCKET_WAIT_S", "1"))))
         t0 = self._t("build_ds", t0)
 
         # fetch + extract + parquet writes fused into one raw-task wave per
