@@ -27,6 +27,7 @@ import pyarrow as pa
 
 import ray.data as rd
 
+from ..joins import join_agg_args
 from .dedup import dup_clusters
 from .textstats import TOKEN_RE, LangIdStage, docs
 
@@ -75,7 +76,8 @@ def clean_corpus(sf_dir: str, min_words: int = 20, lang: str = "en",
                      .select_columns(["doc_id"]))
     clusters = dup_clusters(sf_dir, threshold)  # (doc_id, cluster_id)
     joined = exact_winners.join(clusters, "inner", num_partitions=16,
-                                on=("doc_id",))
+                                on=("doc_id",),
+                                aggregator_ray_remote_args=join_agg_args())
     return joined.groupby("cluster_id").aggregate(
         Min("doc_id", alias_name="doc_id"))
 

@@ -29,6 +29,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
+from ..joins import join_agg_args
 from .textstats import docs
 
 TOKEN_RE = re.compile(r"\S+")
@@ -206,7 +207,8 @@ def minhash_dups(sf_dir: str, threshold: float = 0.8, seed: int = 42) -> rd.Data
         return t.select(["doc_a", "doc_b"])
 
     cand = (sig_a.join(sig_b, "inner", num_partitions=16,
-                       on=("band_id", "band_hash"))
+                       on=("band_id", "band_hash"),
+                       aggregator_ray_remote_args=join_agg_args())
             .map_batches(ordered, batch_format="pyarrow"))
 
     # candidate pairs can surface from several bands → distinct.  The pair
@@ -277,10 +279,12 @@ def minhash_dups(sf_dir: str, threshold: float = 0.8, seed: int = 42) -> rd.Data
     joined = (cand_ds
               .join(sets_m.map_batches(rename(["doc_a", "sh_a"]),
                                        batch_format="pyarrow"),
-                    "inner", num_partitions=16, on=("doc_a",))
+                    "inner", num_partitions=16, on=("doc_a",),
+                    aggregator_ray_remote_args=join_agg_args())
               .join(sets_m.map_batches(rename(["doc_b", "sh_b"]),
                                        batch_format="pyarrow"),
-                    "inner", num_partitions=16, on=("doc_b",)))
+                    "inner", num_partitions=16, on=("doc_b",),
+                    aggregator_ray_remote_args=join_agg_args()))
 
     def verify(t: pa.Table) -> pa.Table:
         out_a, out_b = [], []
@@ -725,8 +729,10 @@ def ngram_jaccard_dups(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
     sets_b = sets_ds.map_batches(rename(["doc_b", "ranks_b"]),
                                  batch_format="pyarrow")
     joined = (cand_ds
-              .join(sets_a, "inner", num_partitions=16, on=("doc_a",))
-              .join(sets_b, "inner", num_partitions=16, on=("doc_b",)))
+              .join(sets_a, "inner", num_partitions=16, on=("doc_a",),
+                    aggregator_ray_remote_args=join_agg_args())
+              .join(sets_b, "inner", num_partitions=16, on=("doc_b",),
+                    aggregator_ray_remote_args=join_agg_args()))
 
     def verify(t: pa.Table) -> pa.Table:
         if len(t) == 0:

@@ -16,6 +16,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
+from ..joins import join_agg_args
+
 
 def _read(sf_dir: str, table: str, columns: list[str]) -> rd.Dataset:
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
@@ -228,7 +230,8 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING",
               .map_batches(o_kernel, batch_format="pyarrow"))
 
     joined = rev_per_order.join(orders, "inner", num_partitions=8,
-                                on=("l_orderkey",), right_on=("o_orderkey",))
+                                on=("l_orderkey",), right_on=("o_orderkey",),
+                                aggregator_ray_remote_args=join_agg_args())
     top = (joined.sort(["revenue_c", "l_orderkey"],
                        descending=[True, False]).limit(n))
     return top.map_batches(

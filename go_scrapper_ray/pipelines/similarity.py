@@ -22,6 +22,8 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+from ..joins import join_agg_args
+
 
 def _emb(sf_dir: str) -> rd.Dataset:
     return rd.read_parquet(f"{sf_dir}/embeddings.parquet",
@@ -193,7 +195,8 @@ def knn_ivf(sf_dir: str, k: int = 5, query_stride: int = 50,
                         for _ in range(n_probe)], pa.binary())})
 
     joined = rd.from_arrow(q_tbl).join(vec_tbl, "inner", num_partitions=8,
-                                       on=("list_id",))
+                                       on=("list_id",),
+                                       aggregator_ray_remote_args=join_agg_args())
     return _score_candidates(joined, k)
 
 
@@ -258,7 +261,8 @@ def knn_lsh(sf_dir: str, k: int = 5, query_stride: int = 50,
                       "qv": pa.array(rows_v, pa.binary())})
 
     joined = rd.from_arrow(q_tbl).join(vec_tbl, "inner", num_partitions=8,
-                                       on=("table_id", "code"))
+                                       on=("table_id", "code"),
+                                       aggregator_ray_remote_args=join_agg_args())
     return _score_candidates(joined, k)
 
 def emb_norm_stats(sf_dir: str) -> rd.Dataset:
