@@ -8,10 +8,10 @@ when unset), run the headline pipelines over ``$GRAFT_SF_DIR`` (default
     {"metric": "...", "value": N, "unit": "sec", "queries": {...},
      "sf": ..., "num_cpus": N, "frontier_urls_per_sec": X}
 
-``--scaling``: run the headline crawl twice in FRESH processes
-(num_cpus=8 then num_cpus=32) on the same input and report both
-throughputs + scaling efficiency (sandbox stand-in for N vs 4N nodes,
-per BASELINE.json north_rule).
+``--scaling``: PAIRED fresh-process runs of the headline crawl
+(num_cpus=8 then num_cpus=32 back-to-back per rep, same input); report
+both throughputs + scaling efficiency from the quietest pair (sandbox
+stand-in for N vs 4N nodes, per BASELINE.json north_rule).
 
 ``--scaling-control``: the per-core-conditions control for the same
 criterion.  On one shared box the idle 8-CPU leg runs at higher clocks
@@ -169,64 +169,79 @@ def _scaling_worker(num_cpus: int, n_businesses: int) -> None:
     print("RESULT " + json.dumps(r))
 
 
+def _scaling_leg(n: int, n_businesses: int) -> dict:
+    """One fresh-process leg with sync-before (writeback laundry) and
+    /proc/stat steal measured around it."""
+    subprocess.run(["sync"], check=False)
+    time.sleep(1)
+    s0 = _cpu_stat()
+    p = subprocess.run(
+        [sys.executable, __file__, "--scaling-worker", str(n),
+         "--businesses", str(n_businesses)],
+        capture_output=True, text=True, cwd=str(_REPO))
+    steal = _steal_pct(s0, _cpu_stat())
+    line = [l for l in p.stdout.splitlines() if l.startswith("RESULT ")]
+    if not line:
+        print(p.stdout, p.stderr, file=sys.stderr)
+        raise RuntimeError(f"scaling worker num_cpus={n} failed")
+    r = json.loads(line[-1][len("RESULT "):])
+    r["steal_pct"] = round(steal, 1)
+    return r
+
+
 def scaling(n_businesses: int, reps: int = 2, lo: int = 8,
             hi: int = 32) -> dict:
-    """Fresh-process runs at N then 4N CPUs on the same input; BEST of
-    ``reps`` per CPU count (the sandbox disk has high I/O variance —
-    best-of-N isolates the compute scaling the criterion is about).
+    """PAIRED fresh-process runs: each rep runs the N-CPU leg then the
+    4N-CPU leg BACK-TO-BACK on the same input, producing one efficiency
+    ratio per pair; the reported pair is the one with the lowest
+    worst-leg steal (ties: highest combined throughput).
 
-    ``sync`` between legs: each run writes ~GBs of records/durability
-    parquet to /tmp, and the kernel's deferred writeback of run k's dirty
-    pages lands in the middle of run k+1, alternating fast/slow runs
-    (measured 20s vs 54s for identical 32-cpu legs).  Flushing between
-    runs measures the engine, not the previous run's laundry.
+    Why paired — efficiency is a RATIO, so both legs must see the same
+    box conditions.  This VM's delivered per-core speed swings 30-50%
+    on minute timescales (hypervisor steal 0-29% plus clock/LLC drift;
+    identical 32-CPU legs measured 14.5s quiet vs 47-58s disturbed).
+    Taking each leg's best across DIFFERENT windows mixes conditions:
+    a lucky window for the small leg alone understates scaling (a
+    24.45s 8-CPU leg against a typical-window 32-CPU leg read 0.423
+    when paired same-window runs read ~0.60), and a steal-inflated
+    small leg overstates it (a 0.518 was recorded that way).  Real
+    N-vs-4N cluster measurements are taken on the same hardware in the
+    same session — the paired protocol is the faithful sandbox analog.
 
-    Steal-aware retries: this VM's hypervisor intermittently steals
-    17-27% of CPU (measured via /proc/stat around identical legs —
-    14.1s in a quiet window vs 47-57s under steal).  Each leg records
-    its steal%; legs with steal above ``max_steal`` get retried (up to
-    ``extra`` extras) and the reported JSON carries the steal% of the
-    kept legs so a noisy measurement is visibly noisy."""
-    max_steal, extra = 3.0, 3
-    thr = {}
-    for n in (lo, hi):
-        best = None
-        budget = reps + extra
-        runs = 0
-        while runs < budget:
-            runs += 1
-            subprocess.run(["sync"], check=False)
-            time.sleep(1)
-            s0 = _cpu_stat()
-            p = subprocess.run(
-                [sys.executable, __file__, "--scaling-worker", str(n),
-                 "--businesses", str(n_businesses)],
-                capture_output=True, text=True, cwd=str(_REPO))
-            steal = _steal_pct(s0, _cpu_stat())
-            line = [l for l in p.stdout.splitlines()
-                    if l.startswith("RESULT ")]
-            if not line:
-                print(p.stdout, p.stderr, file=sys.stderr)
-                raise RuntimeError(f"scaling worker num_cpus={n} failed")
-            r = json.loads(line[-1][len("RESULT "):])
-            r["steal_pct"] = round(steal, 1)
-            if best is None or r["urls_per_sec"] > best["urls_per_sec"]:
-                best = r
-            # quiet-window leg achieved the baseline rep count: stop early
-            if runs >= reps and best["steal_pct"] <= max_steal:
-                break
-        thr[n] = best
-    eff = (thr[hi]["urls_per_sec"] / thr[lo]["urls_per_sec"]) / (hi / lo)
+    ``sync`` between legs: each run writes ~GBs to /tmp and deferred
+    writeback of run k's dirty pages otherwise lands mid-run-k+1.
+    Pairs whose worst leg exceeds ``max_steal`` steal are retried (up
+    to ``extra`` extra pairs)."""
+    max_steal, extra = 3.0, 2
+    pairs: list[tuple[dict, dict]] = []
+    budget = reps + extra
+    runs = 0
+    while runs < budget:
+        runs += 1
+        a = _scaling_leg(lo, n_businesses)
+        b = _scaling_leg(hi, n_businesses)
+        pairs.append((a, b))
+        worst = max(a["steal_pct"], b["steal_pct"])
+        if runs >= reps and worst <= max_steal:
+            break
+    a, b = min(pairs, key=lambda p: (
+        max(p[0]["steal_pct"], p[1]["steal_pct"]),
+        -(p[0]["urls_per_sec"] + p[1]["urls_per_sec"])))
+    eff = (b["urls_per_sec"] / a["urls_per_sec"]) / (hi / lo)
     return {"metric": "crawl_scaling_efficiency",
             "value": round(eff, 3), "unit": "ratio",
+            "protocol": "paired",
             "num_cpus_lo": lo, "num_cpus_hi": hi,
-            "urls_per_sec_lo": round(thr[lo]["urls_per_sec"], 1),
-            "urls_per_sec_hi": round(thr[hi]["urls_per_sec"], 1),
-            "sec_lo": round(thr[lo]["sec"], 2),
-            "sec_hi": round(thr[hi]["sec"], 2),
-            "steal_pct_lo": thr[lo]["steal_pct"],
-            "steal_pct_hi": thr[hi]["steal_pct"],
-            "urls": thr[hi]["urls"]}
+            "urls_per_sec_lo": round(a["urls_per_sec"], 1),
+            "urls_per_sec_hi": round(b["urls_per_sec"], 1),
+            "sec_lo": round(a["sec"], 2),
+            "sec_hi": round(b["sec"], 2),
+            "steal_pct_lo": a["steal_pct"],
+            "steal_pct_hi": b["steal_pct"],
+            "all_pair_effs": [
+                round((q["urls_per_sec"] / p["urls_per_sec"]) / (hi / lo), 3)
+                for p, q in pairs],
+            "urls": b["urls"]}
 
 
 def _conc_worker(idx: int, n_businesses: int) -> None:
