@@ -29,6 +29,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import shutil
 import subprocess
 import sys
 import time
@@ -169,16 +170,61 @@ def _scaling_worker(num_cpus: int, n_businesses: int) -> None:
     print("RESULT " + json.dumps(r))
 
 
+def _spin(iters: int) -> int:
+    x = 123456789
+    for _ in range(iters):
+        x = (x * 6364136223846793005 + 1442695040888963407) & 0xFFFFFFFFFFFFFFFF
+    return x
+
+
+def busy_probe(nproc: int = 32, iters: int = 1_500_000) -> float:
+    """Wall-seconds of a FIXED all-core ALU workload — the delivered-CPU
+    meter.  /proc/stat steal misses co-tenant contention while we're idle
+    (an idle vCPU is never runnable, so it accrues no steal), which is why
+    steal-gated runs still landed in 3x-slow windows.  Running the probe
+    busy measures what the box will actually deliver to the next run."""
+    from concurrent.futures import ProcessPoolExecutor
+    t0 = time.perf_counter()
+    with ProcessPoolExecutor(nproc) as ex:
+        list(ex.map(_spin, [iters] * nproc))
+    return time.perf_counter() - t0
+
+
+def wait_quiet(ref: float | None = None, tol: float = 1.2,
+               max_wait: float = 900.0, poll: float = 25.0) -> tuple[float, float]:
+    """Poll busy_probe until it lands within ``tol`` of the best (minimum)
+    observation, or ``max_wait`` elapses.  Returns (last_probe_sec, ref)."""
+    t0 = time.time()
+    best = ref if ref is not None else float("inf")
+    while True:
+        p = busy_probe()
+        best = min(best, p)
+        if p <= best * tol or time.time() - t0 >= max_wait:
+            return p, best
+        time.sleep(poll)
+
+
 def _scaling_leg(n: int, n_businesses: int) -> dict:
     """One fresh-process leg with sync-before (writeback laundry) and
-    /proc/stat steal measured around it."""
+    /proc/stat steal measured around it.
+
+    Each leg is PINNED (``taskset``) to exactly ``n`` physical cores: a
+    quarter-size cluster has a quarter of EVERY per-node resource.  With
+    ``ray.init(num_cpus=8)`` alone on a 32-core box, the OS spreads the 8
+    workers across all 32 cores, so each enjoys ~4x the L2/L3 and idle-core
+    turbo a real 8-core node would give — measured 1083 urls/s/core at 8
+    unpinned vs 475 at 32, overstating small-cluster throughput and
+    understating scaling.  Pinning removes the core-spread advantage;
+    socket memory bandwidth remains shared (still favoring the small leg,
+    i.e. the reported efficiency stays conservative)."""
     subprocess.run(["sync"], check=False)
     time.sleep(1)
     s0 = _cpu_stat()
-    p = subprocess.run(
-        [sys.executable, __file__, "--scaling-worker", str(n),
-         "--businesses", str(n_businesses)],
-        capture_output=True, text=True, cwd=str(_REPO))
+    cmd = [sys.executable, __file__, "--scaling-worker", str(n),
+           "--businesses", str(n_businesses)]
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{n - 1}"] + cmd
+    p = subprocess.run(cmd, capture_output=True, text=True, cwd=str(_REPO))
     steal = _steal_pct(s0, _cpu_stat())
     line = [l for l in p.stdout.splitlines() if l.startswith("RESULT ")]
     if not line:
@@ -210,27 +256,38 @@ def scaling(n_businesses: int, reps: int = 2, lo: int = 8,
 
     ``sync`` between legs: each run writes ~GBs to /tmp and deferred
     writeback of run k's dirty pages otherwise lands mid-run-k+1.
-    Pairs whose worst leg exceeds ``max_steal`` steal are retried (up
-    to ``extra`` extra pairs)."""
+    Each pair is gated on ``busy_probe`` (wait_quiet) — delivered-CPU
+    measured busy, since idle steal reads 0 under co-tenant contention;
+    the probe values bracket each pair in the JSON.  Pairs whose worst
+    leg exceeds ``max_steal`` steal are retried (up to ``extra`` extra
+    pairs)."""
     max_steal, extra = 3.0, 2
     pairs: list[tuple[dict, dict]] = []
     budget = reps + extra
     runs = 0
+    ref = None
     while runs < budget:
         runs += 1
+        pre, ref = wait_quiet(ref)
         a = _scaling_leg(lo, n_businesses)
         b = _scaling_leg(hi, n_businesses)
+        post = busy_probe()
+        ref = min(ref, post)
+        a["probe_pre"], b["probe_post"] = round(pre, 2), round(post, 2)
         pairs.append((a, b))
         worst = max(a["steal_pct"], b["steal_pct"])
-        if runs >= reps and worst <= max_steal:
+        # a pair counts as clean only if the window stayed quiet THROUGH it
+        if (runs >= reps and worst <= max_steal
+                and post <= ref * 1.2 and pre <= ref * 1.2):
             break
     a, b = min(pairs, key=lambda p: (
-        max(p[0]["steal_pct"], p[1]["steal_pct"]),
+        max(p[0]["probe_pre"], p[1]["probe_post"]),
         -(p[0]["urls_per_sec"] + p[1]["urls_per_sec"])))
     eff = (b["urls_per_sec"] / a["urls_per_sec"]) / (hi / lo)
     return {"metric": "crawl_scaling_efficiency",
             "value": round(eff, 3), "unit": "ratio",
-            "protocol": "paired",
+            "protocol": ("paired-pinned" if shutil.which("taskset")
+                         else "paired"),
             "num_cpus_lo": lo, "num_cpus_hi": hi,
             "urls_per_sec_lo": round(a["urls_per_sec"], 1),
             "urls_per_sec_hi": round(b["urls_per_sec"], 1),
@@ -238,6 +295,8 @@ def scaling(n_businesses: int, reps: int = 2, lo: int = 8,
             "sec_hi": round(b["sec"], 2),
             "steal_pct_lo": a["steal_pct"],
             "steal_pct_hi": b["steal_pct"],
+            "probe_pre_sec": a["probe_pre"],
+            "probe_post_sec": b["probe_post"],
             "all_pair_effs": [
                 round((q["urls_per_sec"] / p["urls_per_sec"]) / (hi / lo), 3)
                 for p, q in pairs],

@@ -388,6 +388,84 @@ def extract_nonrec_page(root) -> list[dict]:
     return records
 
 
+def extract_nonrec_from_items(items: list[dict]) -> list[dict]:
+    """extract_nonrec_page twin over ``fastpath.nonrec_items`` captures —
+    the same field-to-record assembly (main.go:830-932), byte-for-byte,
+    including the panic-parity exception paths (missing date -> IndexError
+    on split, missing stars -> AttributeError, unparseable date ->
+    ValueError).  Equivalence with the tree+selector path is asserted in
+    tests/test_fastpath.py."""
+    records: list[dict] = []
+    for it in items:
+        author_id = ""
+        author_id_string = it["a_href"]
+        if author_id_string != "":
+            m = RE_USERID.search(author_id_string)
+            author_id = m.group(0)
+        author_name = it["a_text"]
+        text = it["p_text"]
+        date_fields = it["q_text"].split()
+        source_date = date_fields[0]
+        review_id = it["rid"]
+        stars = RE_STARS.search(it["stars"])
+        rating = int(stars.group(1))
+        photos: list[str] = []
+        if it["photo"] != "":
+            photos.append(it["photo"])
+        posted_at = parse_mdy(source_date)
+        if posted_at is None:
+            raise ValueError(f"unparseable date {source_date!r}")
+        review = {
+            "parent_id": "",
+            "review_id": review_id,
+            "author_id": author_id,
+            "author_name": author_name,
+            "text": _html.unescape(text),
+            "rating": rating,
+            "source_date": source_date,
+            "not_recommended": True,
+            "photos": photos,
+            "posted_at": posted_at,
+            "responses": [],
+        }
+        if it["comments"] != "":
+            review["responses"] = [{
+                "author_name": it["reply_author"].replace("Comment from ", ""),
+                "text": _html.unescape(it["reply_text"]),
+                "posted_at": it["reply_date"],
+            }]
+        previous_records = []
+        for p in it["prev"]:
+            pdate_fields = p["q1"].split()
+            p_source_date = pdate_fields[0]
+            p_posted = parse_mdy(p_source_date)
+            if p_posted is None:
+                raise ValueError(f"unparseable date {p_source_date!r}")
+            p_stars = RE_STARS.search(p["q2"])
+            p_rating = int(p_stars.group(1))
+            p_text = p["q4"]
+            if p_text == "" and len(p["q5"]) > 1:
+                last_text = p["q5"].rstrip("\t \n")
+                parts = last_text.split("\n")
+                p_text = parts[-1].strip()
+            previous_records.append({
+                "parent_id": review_id,
+                "review_id": "",
+                "author_id": author_id,
+                "author_name": author_name,
+                "text": _html.unescape(p_text),
+                "rating": p_rating,
+                "source_date": p_source_date,
+                "not_recommended": True,
+                "photos": [],  # ChildText on a void img is always ''
+                "posted_at": p_posted,
+                "responses": [],
+            })
+        records.extend(previous_records)
+        records.append(review)
+    return records
+
+
 def finalize_record_identity(rec: dict) -> dict:
     """Attach review_hash (applyHashKey parity, main.go:1009-1036). Runs on
     RAW (pre-base64) text fields, as in safeReviewAdd (main.go:986)."""

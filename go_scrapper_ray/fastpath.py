@@ -88,7 +88,7 @@ def fragment_tree(frag: str) -> Node:
                     break
             continue
         try:
-            attrs = _attrs_of(span) if span.strip() else {}
+            attrs = _span_info(span)[0]  # memoized; treated as read-only
         except _ScanFail:  # e.g. unquoted attr values — HTMLParser-only
             return _parse_fragment(frag)
         node = Node(name, attrs, parent=stack[-1])
@@ -103,6 +103,257 @@ def fragment_tree(frag: str) -> Node:
             text = unescape(text)
         stack[-1].children.append(text)
     return root
+
+
+# --------------------------------------------- nonrec one-pass item walk
+
+# The not-recommended page costs ~half the crawl's extract core-seconds
+# (30k pages x ~2.8 ms: fragment_tree built a Node per element, then
+# extract_nonrec_page ran ~10 selector queries per <li> over it).  This
+# walk answers EXACTLY the selector patterns extract_nonrec_page uses
+# (reference main.go:830-932) from one _TOK_RE pass over the
+# scanner-verified region fragment — no Node allocation, no selector
+# engine.  Equivalence is asserted against the tree+selector path on the
+# fixture corpus, generated items, and fuzz in tests/test_fastpath.py;
+# any structure the walk can't prove equivalent raises FastpathMiss and
+# the caller falls back to fragment_tree + extract_nonrec_page.
+
+
+def _new_nr_item() -> dict:
+    return {"a_href": None, "a_buf": [], "p_buf": [], "q_buf": [],
+            "rid": None, "stars": None, "photo": None, "comments_buf": [],
+            "reply_date_buf": [], "reply_author_buf": [],
+            "reply_text_buf": [], "prev": []}
+
+
+def _finish_nr_item(it: dict) -> dict:
+    return {
+        "a_href": it["a_href"] or "",
+        "a_text": "".join(it["a_buf"]).strip(),
+        "p_text": "".join(it["p_buf"]).strip(),
+        "q_text": "".join(it["q_buf"]).strip(),
+        "rid": it["rid"] or "",
+        "stars": it["stars"] or "",
+        "photo": it["photo"] or "",
+        "comments": "".join(it["comments_buf"]).strip(),
+        "reply_date": "".join(it["reply_date_buf"]).strip(),
+        "reply_author": "".join(it["reply_author_buf"]).strip(),
+        "reply_text": "".join(it["reply_text_buf"]).strip(),
+        "prev": [{"q1": "".join(p["q1_buf"]).strip(),
+                  "q2": p["q2"] or "",
+                  "q4": "".join(p["q4_buf"]).strip(),
+                  "q5": "".join(p["q5_buf"])}  # elem.text(): NOT stripped
+                 for p in it["prev"]],
+    }
+
+
+def _chain2(stack, t1, c1, t2, c2) -> bool:
+    """Some i<j with stack[i] matching (t1,.c1) and stack[j] matching
+    (t2,.c2) — greedy-first is complete for a 2-subsequence."""
+    seen1 = False
+    for t, cl in stack:
+        if seen1:
+            if (t2 is None or t == t2) and c2 in cl:
+                return True
+        elif (t1 is None or t == t1) and c1 in cl:
+            seen1 = True
+    return False
+
+
+# attr spans repeat massively across pages (class="review-content", ...);
+# memoizing (attrs, classes) per span string turns the per-element attr
+# parse into a dict hit for the whole worker lifetime.  Entries are
+# treated as READ-ONLY by all users.  Spans that fail _attrs_of are not
+# cached (they raise each time — rare, and callers fall back).
+_SPAN_MEMO: dict[str, tuple[dict, frozenset]] = {}
+
+# classes that can influence any nonrec selector pattern — elements with
+# none of these (and tag != p/li/div-previous) skip the predicate block
+_NR_HOT = frozenset((
+    "user-display-name", "rating-qualifier", "review--with-sidebar",
+    "i-stars", "photo-box-img", "bullet-after", "js-content-toggleable",
+    "previous-review"))
+
+
+def _span_info(span: str) -> tuple[dict, frozenset]:
+    r = _SPAN_MEMO.get(span)
+    if r is None:
+        attrs = _attrs_of(span) if span.strip() else {}
+        r = (attrs, frozenset((attrs.get("class") or "").split()))
+        if len(_SPAN_MEMO) > 200_000:
+            _SPAN_MEMO.clear()
+        _SPAN_MEMO[span] = r
+    return r
+
+
+def nonrec_items(frag: str, region_class: str = "not-recommended-reviews"):
+    """List of per-<li> raw field captures (child_text/child_attr parity)
+    for ``div.<region_class> > ul.reviews > li``; see block comment above.
+    Raises FastpathMiss whenever the tokenizer would fall back or the
+    structure needs the general engine (nested items / nested
+    previous-review / nested same-pattern matches)."""
+    items: list[dict] = []
+    stack: list[tuple[str, frozenset]] = []
+    # active concat-text captures: [buf, min_len, key]; a capture is live
+    # while len(stack) >= min_len.  key guards against nested same-pattern
+    # matches (join-of-matches ordering differs there -> fall back).
+    active: list[list] = []
+    cur: dict | None = None
+    cur_len = -1           # stack len with the <li> on top
+    prev_open: dict | None = None
+    pos = 0
+
+    def _reg(buf: list, min_len: int, key: str):
+        for c in active:
+            if c[2] == key:
+                raise FastpathMiss("nested same-pattern match")
+        active.append([buf, min_len, key])
+
+    for m in _TOK_RE.finditer(frag):
+        s = m.start()
+        if s > pos:
+            text = frag[pos:s]
+            if "<" in text:
+                raise FastpathMiss("markup the tokenizer skipped")
+            if active:
+                if "&" in text:
+                    text = unescape(text)
+                for c in active:
+                    c[0].append(text)
+        elif s < pos:
+            raise FastpathMiss("overlapping tokens")
+        pos = m.end()
+        closing, name, span, selfclose = m.groups()
+        name = name.lower()
+        if closing:
+            # STRICT nesting required: this walk doubles as the capture
+            # verifier (scan(verify_region=False) skips _verify_capture),
+            # and strict nesting is exactly the property under which the
+            # captured extent provably equals the per-tag walk's.  A stray
+            # or crossing end tag -> miss -> caller full-parses.
+            if not stack or stack[-1][0] != name:
+                raise FastpathMiss("improper nesting")
+            stack.pop()
+            nl = len(stack)
+            if active:
+                active = [c for c in active if c[1] <= nl]
+            if prev_open is not None and nl < prev_open["_len"]:
+                prev_open = None
+            if cur is not None and nl < cur_len:
+                items.append(_finish_nr_item(cur))
+                cur = None
+                prev_open = None
+            continue
+        if name == "script" or name == "style" or name == "html":
+            raise FastpathMiss("cdata/html inside capture")
+        try:
+            attrs, cls = _span_info(span)
+        except _ScanFail:
+            raise FastpathMiss("attr grammar")
+        is_void = bool(selfclose) or name in VOID
+
+        if (name == "li" and len(stack) >= 2
+                and stack[-1][0] == "ul" and "reviews" in stack[-1][1]
+                and stack[-2][0] == "div" and region_class in stack[-2][1]):
+            if cur is not None:
+                raise FastpathMiss("nested li item")
+            cur = _new_nr_item()
+            if is_void:
+                items.append(_finish_nr_item(cur))
+                cur = None
+                continue
+            stack.append((name, cls))
+            cur_len = len(stack)
+            continue
+
+        if cur is not None and (name == "p" or name == "strong"
+                                or not cls.isdisjoint(_NR_HOT)):
+            ml = len(stack) + 1  # capture min_len if this element pushes
+            if "user-display-name" in cls and _anc(stack, "div",
+                                                   "review-sidebar"):
+                if cur["a_href"] is None:
+                    v = attrs.get("href")
+                    cur["a_href"] = v.strip() if v is not None else ""
+                    cur["a_href"] = cur["a_href"] or ""
+                if not is_void:
+                    _reg(cur["a_buf"], ml, "a")
+            if name == "p" and _chain2(stack, "div", "review-wrapper",
+                                       "div", "review-content"):
+                if not is_void:
+                    _reg(cur["p_buf"], ml, "p")
+            if "rating-qualifier" in cls:
+                if _chain2(stack, "div", "review-wrapper",
+                           "div", "review-content") and not is_void:
+                    _reg(cur["q_buf"], ml, "q")
+                if prev_open is not None and not is_void:
+                    _reg(prev_open["q1_buf"], ml, "q1")
+            if name == "div" and "review--with-sidebar" in cls \
+                    and cur["rid"] is None:
+                v = attrs.get("data-review-id")
+                cur["rid"] = v.strip() if v is not None else ""
+            if "i-stars" in cls and _anc(stack, None, "biz-rating"):
+                v = attrs.get("class")
+                sv = v.strip() if v is not None else ""
+                if cur["stars"] is None:
+                    cur["stars"] = sv
+                if prev_open is not None and prev_open["q2"] is None:
+                    prev_open["q2"] = sv
+            if name == "img" and "photo-box-img" in cls \
+                    and cur["photo"] is None \
+                    and _chain2(stack, "ul", "photo-box-grid",
+                                "div", "photo-box"):
+                v = attrs.get("data-async-src")
+                cur["photo"] = v.strip() if v is not None else ""
+            if name == "span" and "bullet-after" in cls and not is_void:
+                if _chain2(stack, "div", "review-wrapper",
+                           "div", "biz-owner-reply"):
+                    _reg(cur["comments_buf"], ml, "cm")
+                if _anc(stack, "div", "biz-owner-reply"):
+                    _reg(cur["reply_date_buf"], ml, "rd")
+            if name == "strong" and not is_void \
+                    and _anc(stack, "div", "biz-owner-reply-header"):
+                _reg(cur["reply_author_buf"], ml, "ra")
+            if name == "span" and "js-content-toggleable" in cls \
+                    and not is_void:
+                if "hidden" in cls:
+                    _reg(cur["reply_text_buf"], ml, "rt")
+                if prev_open is not None and _anc(stack, "span",
+                                                  "js-expandable-comment"):
+                    _reg(prev_open["q4_buf"], ml, "q4")
+            if name == "div" and "previous-review" in cls:
+                if prev_open is not None:
+                    raise FastpathMiss("nested previous-review")
+                if not is_void:
+                    prev_open = {"q1_buf": [], "q2": None, "q4_buf": [],
+                                 "q5_buf": [], "_len": ml}
+                    cur["prev"].append(prev_open)
+                    _reg(prev_open["q5_buf"], ml, "q5")
+                else:
+                    cur["prev"].append({"q1_buf": [], "q2": None,
+                                        "q4_buf": [], "q5_buf": []})
+
+        if not is_void:
+            stack.append((name, cls))
+
+    if pos < len(frag):
+        text = frag[pos:]
+        if "<" in text:
+            raise FastpathMiss("unconsumed markup")
+        if active:
+            if "&" in text:
+                text = unescape(text)
+            for c in active:
+                c[0].append(text)
+    if stack:  # unbalanced fragment: extent unproven -> full parse
+        raise FastpathMiss("unclosed tag in capture")
+    return items
+
+
+def _anc(stack, tag, c) -> bool:
+    for t, cl in stack:
+        if (tag is None or t == tag) and c in cl:
+            return True
+    return False
 
 
 class FastDoc:
@@ -204,7 +455,8 @@ def _attrs_of(span: str) -> dict:
     return d
 
 
-def scan(html: str | bytes, region_class: str | None = None):
+def scan(html: str | bytes, region_class: str | None = None,
+         verify_region: bool = True):
     """Returns (FastDoc, region_fragment) or (None, None) when the page
     needs the full parse.
 
@@ -219,11 +471,17 @@ def scan(html: str | bytes, region_class: str | None = None):
     region_class: when set, also capture the subtree of the unique
     ``<div class="... region_class ...">`` (the non-rec reviews container);
     ambiguity (0 or 2+ matches) or improper nesting inside any captured
-    fragment falls back."""
+    fragment falls back.
+
+    ``verify_region=False`` skips the region fragment's _verify_capture
+    (strict-nesting proof): ONLY for consumers that re-walk the fragment
+    with their own strict verification (``nonrec_items``) and full-parse
+    on any surprise — the captured extent is then proven by the consumer,
+    not here."""
     if isinstance(html, bytes):
         html = html.decode("utf-8", errors="replace")
     try:
-        return _scan_fast(html, region_class)
+        return _scan_fast(html, region_class, verify_region)
     except _ScanFail:
         pass
     try:
@@ -330,7 +588,8 @@ def _match_close(lowered: str, start: int, tag_re: re.Pattern,
         pos = m.end()
 
 
-def _scan_fast(html: str, region_class: str | None):
+def _scan_fast(html: str, region_class: str | None,
+               verify_region: bool = True):
     """Island-jump scan: locate only the tags the extraction needs (script/
     style CDATA, meta, h3, the region div, the html scope) with C-level
     regex searches, and prove — or fall back — that the per-tag walk would
@@ -429,13 +688,15 @@ def _scan_fast(html: str, region_class: str | None):
     region_seen = 0
     if region_class is not None:
         region, region_seen = _find_region(html, lowered, region_class,
-                                           hgt + 1, hend, cdata_iv, h3_iv)
+                                           hgt + 1, hend, cdata_iv, h3_iv,
+                                           verify_region)
     return FastDoc(scripts, metas, h3_frags,
                    complete=(region_seen == 0)), region
 
 
 def _find_region(html: str, lowered: str, region_class: str,
-                 lo: int, hi: int, cdata_iv: list, h3_iv: list):
+                 lo: int, hi: int, cdata_iv: list, h3_iv: list,
+                 verify: bool = True):
     """Locate the unique region container by direct search for the CLASS
     STRING (the filler's divs are never visited): each occurrence inside a
     ``<div`` tag span is a candidate; occurrences in CDATA are script text
@@ -477,7 +738,8 @@ def _find_region(html: str, lowered: str, region_class: str,
         close = _match_close(lowered, tag_gt + 1, _DIV_TAG_RE, html)
         if any(s < close and e > tag_gt + 1 for s, e in cdata_iv):
             raise _ScanFail("cdata inside capture")
-        _verify_capture(html[tag_gt + 1:close])
+        if verify:
+            _verify_capture(html[tag_gt + 1:close])
         cgt = html.find(">", close)
         if cgt < 0:
             raise _ScanFail("unterminated capture")

@@ -518,6 +518,7 @@ class CrawlEngine:
         return res
 
     def _intake(self):
+        t0 = time.perf_counter()
         for s in self.seeds:
             sid = s["seed_id"]
             self.outcomes[sid] = SeedOutcome(seed_id=sid,
@@ -526,6 +527,7 @@ class CrawlEngine:
             self.biz[sid] = {"business_id": "", "minimal": 0, "nonrec_url": "",
                              "profile_seq": -1, "landing_seq": -1}
             self.record_counts[sid] = 0
+        self._t("ik_prologue", t0)
         if self.cfg.ignore_robots and self.cfg.allowed_hosts is None:
             return self._intake_parallel()
         self._intake_serial()
@@ -537,10 +539,13 @@ class CrawlEngine:
         seeds).  Intake resolve output is discarded except the bucket
         prefetch: no edges for seed entries, and window gating only reads
         pushed_seeds during the round loop."""
+        t0 = time.perf_counter()
         tbl = pq.read_table(self.corpus / "seeds.parquet")
         nseen = len(self.seen)
         nb = self.cfg.num_fetch_buckets
-        nchunks = max(1, min(16, tbl.num_rows // 1500 + 1))
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        nchunks = max(1, min(max(16, ncpu), tbl.num_rows // 750 + 1))
+        t0 = self._t("ik_read", t0)
         import numpy as np
         edges = np.linspace(0, tbl.num_rows, nchunks + 1).astype(int)
         tref = ray.put(tbl)
@@ -553,6 +558,7 @@ class CrawlEngine:
         # immediately, so round-0's (disk-bound) bucket loads overlap the
         # remaining intake chunks and the seen-shard resolve below instead
         # of serializing after them (measured 1.3s of round-0 critical path)
+        t0 = self._t("ik_submit", t0)
         pending = list(futs)
         while pending:
             done, pending = ray.wait(pending, num_returns=1)
@@ -564,10 +570,12 @@ class CrawlEngine:
                 out.status = NO_BUSINESS_PAGE
                 out.rejected = True
                 out.no_meta = True
+        t0 = self._t("ik_chunks", t0)
         res = ray.get([s.resolve.remote(nb) for s in self.seen])
         for _edges, _cand, bks in res:  # seed entries produce NO edge rows
             if bks:
                 self.bucket_cache.prefetch(bks)
+        self._t("ik_resolve", t0)
 
     def _intake_serial(self):
         """Driver-side path for restricted configs (robots enforcement /
@@ -654,9 +662,9 @@ class CrawlEngine:
         kinds = table["kind"].to_numpy(zero_copy_only=False)
         # per-kind cost ratios re-measured AFTER the fastpath scanners
         # (fastpath.py): feed ~0.55ms, profile/search/landing ~1.5-1.8ms,
-        # nonrec (region DOM parse + selectors) ~5ms
+        # nonrec ~0.9ms since the one-pass item walk (nonrec_items)
         weights = np.select([kinds == FEED, kinds == NONREC_PAGE],
-                            [1.0, 10.0], default=3.0)
+                            [1.0, 1.6], default=3.0)
         cum = np.cumsum(weights)
         total_w = float(cum[-1]) if len(cum) else 0.0
         # 4 waves' worth of blocks: with 2*ncpu the last wave's stragglers
@@ -992,7 +1000,10 @@ class CrawlEngine:
             # ncpu/8 CPUs per task so ~8 run per node regardless of width —
             # resource-aware scheduling, same answer on a real cluster where
             # each node caps its own finalize concurrency.
-            fin_cpus = max(1, int(ray.cluster_resources().get("CPU", 8)) // 8)
+            # the ncpu/8 gate dated from 350k-row consolidation tasks; the
+            # shard tasks are now ~50k rows / ~0.2 s each, far below the
+            # bus-thrash regime, so 16-wide is safe (measured below)
+            fin_cpus = max(1, int(ray.cluster_resources().get("CPU", 8)) // 16)
             futs = [_finalize_task.options(num_cpus=fin_cpus).remote(
                         {"refs": list(self.rec_shard_refs[s])},
                         s, watermarks,

@@ -27,7 +27,7 @@ import pyarrow as pa
 import ray
 
 from .. import extract, urlkit
-from ..fastpath import FastpathMiss, fragment_tree, scan as fast_scan
+from ..fastpath import FastpathMiss, nonrec_items, scan as fast_scan
 from ..flow import FEED, NONREC_LANDING, NONREC_PAGE, PROFILE, SEARCH
 
 NONREC_REGION = "not-recommended-reviews"
@@ -231,13 +231,23 @@ class ExtractStage:
             self._parse(html).select_first("html"))
 
     def _nonrec_of(self, html) -> list[dict]:
-        fd, region = fast_scan(html, region_class=NONREC_REGION)
-        if fd is None:
-            return extract.extract_nonrec_page(
-                self._parse(html).select_first("html"))
-        if region is None:
+        # verify_region=False: nonrec_items IS the strict verifier (one
+        # walk instead of verify+tokenize+select — this page kind was
+        # ~half the crawl's extract core-seconds); on miss the region
+        # extent is unproven, so fall back to the FULL parse, not
+        # fragment_tree.
+        fd, region = fast_scan(html, region_class=NONREC_REGION,
+                               verify_region=False)
+        if fd is not None and region is not None:
+            try:
+                return extract.extract_nonrec_from_items(
+                    nonrec_items(region))
+            except FastpathMiss:
+                pass
+        elif fd is not None:
             return []  # no reviews container -> select() finds no <li>
-        return extract.extract_nonrec_page(fragment_tree(region))
+        return extract.extract_nonrec_page(
+            self._parse(html).select_first("html"))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = {f.name: [] for f in OUT_SCHEMA}

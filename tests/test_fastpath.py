@@ -86,8 +86,25 @@ def test_fastpath_equivalence_on_fixture_corpus(tmp_path, scale, env):
         else:
             from go_scrapper_ray.fastpath import fragment_tree
             assert extract.extract_nonrec_page(fragment_tree(region)) == full, url
+        # the one-pass item walk (the engine's actual nonrec path)
+        assert _nonrec_of(html) == full, url
     # the generator's pages are all within the strict grammar
     assert n_fast > 0
+
+
+def _nonrec_of(html):
+    """Mirror of ExtractStage._nonrec_of (scan -> nonrec_items -> assembly
+    with full-parse fallback), without actor state."""
+    from go_scrapper_ray.fastpath import FastpathMiss, nonrec_items
+    fd, region = scan(html, region_class=NONREC, verify_region=False)
+    if fd is not None and region is not None:
+        try:
+            return extract.extract_nonrec_from_items(nonrec_items(region))
+        except FastpathMiss:
+            pass
+    elif fd is not None:
+        return []
+    return extract.extract_nonrec_page(_minidom_root(html))
 
 
 HTML = "<html><body>{}</body></html>"
@@ -163,6 +180,7 @@ def test_fastpath_region_matches_full_parse_on_generated_lis():
     from go_scrapper_ray.fastpath import fragment_tree
     assert (extract.extract_nonrec_page(fragment_tree(region))
             == extract.extract_nonrec_page(_minidom_root(h)))
+    assert _nonrec_of(h) == extract.extract_nonrec_page(_minidom_root(h))
     # fragment_tree must agree with the HTMLParser build on the fragment
     def flat(n):
         return [(e.tag, sorted(e.attrs.items()), e.text())
@@ -218,6 +236,60 @@ try:
             # compare the region subtree's text against the full parse
             assert want, "region captured but selector finds none"
             assert fragment_tree(region).text() == want[0].text()
+    _nr_cls = st.sampled_from([
+        "x", "reviews", "not-recommended-reviews",
+        "review review--with-sidebar", "review-sidebar",
+        "user-display-name", "review-wrapper", "review-content",
+        "rating-qualifier", "biz-rating", "i-stars regular-3",
+        "previous-review", "biz-owner-reply", "biz-owner-reply-header",
+        "bullet-after", "js-content-toggleable hidden",
+        "js-content-toggleable", "js-expandable-comment",
+        "photo-box-grid", "photo-box", "photo-box-img"])
+    _nr_tag = st.sampled_from(["div", "span", "p", "ul", "li", "a",
+                               "strong", "img", "b"])
+    _nr_word = st.sampled_from([" 1/2/2020 ", "hello", "a &amp; b", "",
+                                "x\ny", " <", "Comment from O."])
+
+    @st.composite
+    def _nr_frag(draw, depth=0):
+        n = draw(st.integers(0, 3 if depth < 3 else 0))
+        parts = []
+        for _ in range(n):
+            if draw(st.booleans()) and depth < 3:
+                t = draw(_nr_tag)
+                attrs = f' class="{draw(_nr_cls)}"'
+                if draw(st.booleans()):
+                    a = draw(st.sampled_from(
+                        ['href="/user_details?\'userid=u-1"',
+                         'data-review-id="r-9"', 'data-async-src="p.jpg"',
+                         'href=""']))
+                    attrs += " " + a
+                if t == "img":
+                    parts.append(f"<{t}{attrs}>")
+                else:
+                    parts.append(f"<{t}{attrs}>{draw(_nr_frag(depth + 1))}</{t}>")
+            else:
+                parts.append(draw(_nr_word))
+        return "".join(parts)
+
+    @given(_nr_frag())
+    @settings(max_examples=400, deadline=None)
+    def test_nonrec_itemwalk_fuzz(frag):
+        """The engine's nonrec path (scan -> nonrec_items -> assembly,
+        with full-parse fallback) must agree with the full minidom parse
+        on RESULT OR EXCEPTION for any markup built from the nonrec
+        selector vocabulary."""
+        html = f"<html><body>{frag}</body></html>"
+
+        def outcome(fn):
+            try:
+                return ("ok", fn())
+            except Exception as e:
+                return ("err", type(e).__name__, str(e))
+
+        want = outcome(lambda: extract.extract_nonrec_page(_minidom_root(html)))
+        got = outcome(lambda: _nonrec_of(html))
+        assert got == want
 except ImportError:  # pragma: no cover
     pass
 
