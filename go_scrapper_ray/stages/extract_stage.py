@@ -195,11 +195,6 @@ class ExtractStage:
         from ..sources.pagestore import get_bucket_table
         return get_bucket_table(self.bucket_refs[bucket])
 
-    def _html_of(self, row) -> bytes:
-        if self.bucket_refs is not None and "html_row" in row:
-            return self._btab(row["bucket"])["html"][row["html_row"]].as_py()
-        return row["html"]
-
     # ------------------------------------------------- fast-path dispatch
     # Each HTML page kind first tries the island scanner (fastpath.scan —
     # skips the page chrome that dominates real pages without building a
@@ -251,24 +246,44 @@ class ExtractStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = {f.name: [] for f in OUT_SCHEMA}
-        for row in batch.to_pylist():
-            sid = row["seed_id"]
-            page_seq = row["seq"]
-            kind = row["kind"]
-            if row["status"] != 200:
+        # per-COLUMN pylist + index loop, not batch.to_pylist(): the row
+        # dicts (14 keys x 220k rows/crawl) were pure allocation churn on
+        # the hot wave
+        col = {n: batch[n].to_pylist() for n in
+               ("seed_id", "seq", "kind", "status", "url", "canon",
+                "url_hash", "host", "depth", "parent_seq", "emit_idx",
+                "attempt")}
+        c_seed, c_seq, c_kind, c_status = (col["seed_id"], col["seq"],
+                                           col["kind"], col["status"])
+        use_store = self.bucket_refs is not None and \
+            "html_row" in batch.schema.names
+        if use_store:
+            c_hrow = batch["html_row"].to_pylist()
+            c_bucket = batch["bucket"].to_pylist()
+        else:
+            c_html = batch["html"].to_pylist()
+        for i in range(batch.num_rows):
+            sid = c_seed[i]
+            page_seq = c_seq[i]
+            kind = c_kind[i]
+            if c_status[i] != 200:
                 # COLUMNAR retry row (out_kind='retry'): canon/hash/host come
                 # from the failed row itself, so the driver's retry path does
                 # no URL kernels.  Layout: page_seq=original parent_seq,
                 # emit_idx=original link emit_idx, sort_ts=attempt,
                 # l_rel=str(status) for the exhaustion status machine.
-                self._rows(out, "retry", sid, row["parent_seq"],
-                           row["emit_idx"], None, sort_ts=row["attempt"],
-                           link=(row["url"], row["canon"], row["url_hash"],
-                                 row["host"],
-                                 urlkit.host_hash64(row["host"]),
-                                 kind, row["depth"], str(row["status"])))
+                self._rows(out, "retry", sid, col["parent_seq"][i],
+                           col["emit_idx"][i], None, sort_ts=col["attempt"][i],
+                           link=(col["url"][i], col["canon"][i],
+                                 col["url_hash"][i], col["host"][i],
+                                 urlkit.host_hash64(col["host"][i]),
+                                 kind, col["depth"][i],
+                                 str(c_status[i])))
                 continue
-            html = self._html_of(row)
+            if use_store:
+                html = self._btab(c_bucket[i])["html"][c_hrow[i]].as_py()
+            else:
+                html = c_html[i]
             seed = self.seeds[sid]
 
             if kind == SEARCH:
@@ -290,29 +305,29 @@ class ExtractStage:
                 if not rejected:
                     self._emit_links(out, sid, page_seq,
                                      [(canon_key, PROFILE, 1, "search_result")],
-                                     src=row["canon"])
+                                     src=col["canon"][i])
                 continue
 
             if kind == PROFILE:
                 prof = self._profile_of(html)
                 if prof["business_id"] == "":
-                    self._rows(out, "retry", sid, row["parent_seq"],
-                               row["emit_idx"], None, sort_ts=row["attempt"],
-                               link=(row["url"], row["canon"],
-                                     row["url_hash"], row["host"],
-                                     urlkit.host_hash64(row["host"]),
-                                     PROFILE, row["depth"], "nobizid"))
+                    self._rows(out, "retry", sid, col["parent_seq"][i],
+                               col["emit_idx"][i], None, sort_ts=col["attempt"][i],
+                               link=(col["url"][i], col["canon"][i],
+                                     col["url_hash"][i], col["host"][i],
+                                     urlkit.host_hash64(col["host"][i]),
+                                     PROFILE, col["depth"][i], "nobizid"))
                     continue
                 incremental = bool(self.watermarks.get(sid))
                 links = []
                 if prof["review_count"] is not None:
                     feeds, _ = extract.profile_fanout(
-                        prof["business_id"], prof["review_count"], row["canon"],
+                        prof["business_id"], prof["review_count"], col["canon"][i],
                         bool(seed["first_page_only"]), incremental,
                         self.cfg["site_base"])
-                    links += [(u, FEED, row["depth"] + 1, "pagination") for u in feeds]
+                    links += [(u, FEED, col["depth"][i] + 1, "pagination") for u in feeds]
                 _, nonrec = extract.profile_fanout(
-                    prof["business_id"], None, row["canon"],
+                    prof["business_id"], None, col["canon"][i],
                     bool(seed["first_page_only"]), incremental,
                     self.cfg["site_base"])
                 self._rows(out, "event", sid, page_seq, 0,
@@ -325,11 +340,11 @@ class ExtractStage:
                 # non-rec landing is emitted LAST with a high emit_idx so the
                 # canonical order puts it after the feed pages (oracle parity)
                 self._emit_links(out, sid, page_seq, links,
-                                 src=row["canon"])
+                                 src=col["canon"][i])
                 self._emit_links(out, sid, page_seq,
-                                 [(nonrec, NONREC_LANDING, row["depth"] + 1,
+                                 [(nonrec, NONREC_LANDING, col["depth"][i] + 1,
                                    "non_rec")], emit_start=10_000,
-                                 src=row["canon"])
+                                 src=col["canon"][i])
                 continue
 
             if kind == FEED:
@@ -346,15 +361,15 @@ class ExtractStage:
                 if res["count"] is None:
                     continue
                 incremental = bool(self.watermarks.get(sid))
-                urls = extract.nonrec_fanout(row["canon"], res["count"],
+                urls = extract.nonrec_fanout(col["canon"][i], res["count"],
                                              bool(seed["first_page_only"]),
                                              incremental)
                 self._rows(out, "event", sid, page_seq, 0,
                            {"type": "landing_ok", "count": res["count"],
-                            "nonrec_url": row["canon"]})
+                            "nonrec_url": col["canon"][i]})
                 self._emit_links(out, sid, page_seq,
-                                 [(u, NONREC_PAGE, row["depth"] + 1, "pagination")
-                                  for u in urls], src=row["canon"])
+                                 [(u, NONREC_PAGE, col["depth"][i] + 1, "pagination")
+                                  for u in urls], src=col["canon"][i])
                 continue
 
             if kind == NONREC_PAGE:
