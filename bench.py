@@ -190,15 +190,39 @@ def busy_probe(nproc: int = 32, iters: int = 1_500_000) -> float:
     return time.perf_counter() - t0
 
 
+_PROBE_REF = Path("/tmp/gsr_probe_ref.json")
+
+
+def _probe_ref_load() -> float | None:
+    try:
+        return float(json.loads(_PROBE_REF.read_text())["best"])
+    except Exception:
+        return None
+
+
+def _probe_ref_store(best: float) -> None:
+    try:
+        _PROBE_REF.write_text(json.dumps({"best": round(best, 3)}))
+    except Exception:
+        pass
+
+
 def wait_quiet(ref: float | None = None, tol: float = 1.2,
                max_wait: float = 900.0, poll: float = 25.0) -> tuple[float, float]:
     """Poll busy_probe until it lands within ``tol`` of the best (minimum)
-    observation, or ``max_wait`` elapses.  Returns (last_probe_sec, ref)."""
+    observation, or ``max_wait`` elapses.  Returns (last_probe_sec, ref).
+
+    The best-ever probe is persisted to /tmp across processes — the probe
+    is a fixed workload, so its quiet-window time is a hardware constant;
+    without a persisted reference the first call of a run would accept
+    whatever window it lands in."""
     t0 = time.time()
-    best = ref if ref is not None else float("inf")
+    best = ref if ref is not None else (_probe_ref_load() or float("inf"))
     while True:
         p = busy_probe()
-        best = min(best, p)
+        if p < best:
+            best = p
+            _probe_ref_store(best)
         if p <= best * tol or time.time() - t0 >= max_wait:
             return p, best
         time.sleep(poll)

@@ -571,7 +571,7 @@ class CrawlEngine:
                 out.rejected = True
                 out.no_meta = True
         t0 = self._t("ik_chunks", t0)
-        res = ray.get([s.resolve.remote(nb) for s in self.seen])
+        res = ray.get([s.resolve.remote(nb, False) for s in self.seen])
         for _edges, _cand, bks in res:  # seed entries produce NO edge rows
             if bks:
                 self.bucket_cache.prefetch(bks)

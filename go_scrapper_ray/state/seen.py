@@ -81,7 +81,7 @@ class SeenShard:
         self._pending.append(t)
         return t.num_rows
 
-    def resolve(self, num_fetch_buckets: int = 0):
+    def resolve(self, num_fetch_buckets: int = 0, build_edges: bool = True):
         """Returns (edge_table | None, candidate_seed_ids, kept_buckets):
         edges for the KEPT links (src canon rides on the link rows), seed
         ids for ALL candidates (window-growth gating counts attempted
@@ -119,10 +119,15 @@ class SeenShard:
                     kept.take(pa.array(np.flatnonzero(fshard == s))))
                 for s in np.unique(fshard)]
         ray.get(futs)
-        edges = pa.table({
-            "src": kept["l_src"].combine_chunks(),
-            "dst": kept["l_canon"].combine_chunks(),
-            "rel": kept["l_rel"].combine_chunks()})
+        # build_edges=False on the intake wave: seed entries produce no
+        # edge rows, so shipping a seeds-sized edge table back to the
+        # driver (which discards it) is pure serial cost
+        edges = None
+        if build_edges:
+            edges = pa.table({
+                "src": kept["l_src"].combine_chunks(),
+                "dst": kept["l_canon"].combine_chunks(),
+                "rel": kept["l_rel"].combine_chunks()})
         buckets = []
         if num_fetch_buckets:
             buckets = np.unique(
