@@ -223,20 +223,25 @@ def _round_task(table: pa.Table, start: int, length: int, bundle: dict,
         pq.write_table(recs, f"{rec_dir}/{part}")
     # link rows go STRAIGHT to the seen shards (partitioned on l_hash),
     # never through the driver; winners resolve deterministically at round
-    # end (SeenShard.resolve).  Acks awaited here so the driver's barrier
-    # on this task implies all submissions landed.
+    # end (SeenShard.resolve).  The submit ACK refs ride back with the
+    # ctrl table and the DRIVER barriers on them before kicking resolves —
+    # awaiting them here blocked the worker inside the wave (the blocked
+    # task releases its CPU, so Ray over-subscribes with another task:
+    # the same convoy churn the bucket barrier fixed, 32-wide only).
     link_mask = pc.equal(ex["out_kind"], "link")
     links = ex.filter(link_mask)
+    acks = []
     if links.num_rows:
         import numpy as np
         seen_handles = bundle["seen_shards"]
         shard = (links["l_hash"].to_numpy(zero_copy_only=False)
                  % len(seen_handles))
-        ray.get([seen_handles[int(s)].submit.remote(
+        acks = [seen_handles[int(s)].submit.remote(
                     links.take(pa.array(np.flatnonzero(shard == s))))
-                 for s in np.unique(shard)])
+                for s in np.unique(shard)]
     ctrl = ex.filter(pc.invert(pc.or_(rec_mask, link_mask)))
-    return (ctrl.drop_columns(["jsonl", "l_src"]), *_split_fin_shards(recs))
+    return ((ctrl.drop_columns(["jsonl", "l_src"]), acks),
+            *_split_fin_shards(recs))
 
 
 SCHED_SCHEMA = pa.schema([
@@ -717,7 +722,13 @@ class CrawlEngine:
         for f in futs:
             for sh in range(N_FIN_SHARDS):
                 self.rec_shard_refs[sh].append(f[1 + sh])
-        tbls = [t for t in ray.get(ctrl_refs) if t.num_rows]
+        res = ray.get(ctrl_refs)
+        # barrier on the link-submit acks BEFORE _apply_ctrl kicks the
+        # seen-shard resolves — all submissions must have landed
+        acks = [a for _t, ack in res for a in ack]
+        if acks:
+            ray.get(acks)
+        tbls = [t for t, _ack in res if t.num_rows]
         from ..stages.extract_stage import OUT_SCHEMA
         ctrl_schema = pa.schema([f for f in OUT_SCHEMA
                                  if f.name not in ("jsonl", "l_src")])
