@@ -285,7 +285,7 @@ def scaling(n_businesses: int, reps: int = 2, lo: int = 8,
     the probe values bracket each pair in the JSON.  Pairs whose worst
     leg exceeds ``max_steal`` steal are retried (up to ``extra`` extra
     pairs)."""
-    max_steal, extra = 3.0, 2
+    max_steal, extra = 3.0, 4
     pairs: list[tuple[dict, dict]] = []
     budget = reps + extra
     runs = 0
@@ -304,8 +304,12 @@ def scaling(n_businesses: int, reps: int = 2, lo: int = 8,
         if (runs >= reps and worst <= max_steal
                 and post <= ref * 1.2 and pre <= ref * 1.2):
             break
+    # steal DURING a leg trumps the probe brackets (a storm can start and
+    # end between probes); then quietest brackets; then throughput
     a, b = min(pairs, key=lambda p: (
+        max(p[0]["steal_pct"], p[1]["steal_pct"]) > max_steal,
         max(p[0]["probe_pre"], p[1]["probe_post"]),
+        max(p[0]["steal_pct"], p[1]["steal_pct"]),
         -(p[0]["urls_per_sec"] + p[1]["urls_per_sec"])))
     eff = (b["urls_per_sec"] / a["urls_per_sec"]) / (hi / lo)
     return {"metric": "crawl_scaling_efficiency",
