@@ -41,7 +41,7 @@ import re
 from urllib.parse import quote_plus, urljoin
 
 from .dates import parse_mdy
-from .gojson import review_hash
+from .gojson import render_review, review_hash
 
 RE_HOVERCARD = re.compile(r'"hovercardData":{(.*?)}}')
 RE_BUSINESS_ID = re.compile(r'"business_id":([^],].)+')
@@ -263,6 +263,69 @@ def extract_review_feed(body: bytes | str) -> list[dict]:
             })
         records.append(review)
     return records
+
+
+def _reply_tuples(raw) -> list:
+    """``_owner_replies`` as (author_name, text, posted_at) tuples — the
+    fused feed path needs no dicts."""
+    return [((obj.get("owner") or {}).get("displayName", ""),
+             _html.unescape(obj.get("comment", "") or ""),
+             obj.get("localizedDate", "") or "")
+            for obj in raw or []]
+
+
+def render_review_feed(body: bytes | str,
+                       scraped_at: int) -> list[tuple[int, str, str]]:
+    """Fused feed extract + record render (M9 + M14/M15 + S6 in one pass).
+
+    Byte-identical to ``[render_record(r, scraped_at) for r in
+    extract_review_feed(body)]`` — parity-tested in
+    tests/test_feed_fusion.py — without building the intermediate record
+    dicts (they were ~35% of the feed-page core-seconds).  Returns
+    ``[(posted_at, review_hash, jsonl_line)]`` in emission order
+    (previous reviews before their parent, main.go:671-744); raises
+    ValueError on bad JSON / unparseable dates with the parent's date
+    checked before its previousReviews', exactly like the unfused path.
+    """
+    if isinstance(body, bytes):
+        body = body.decode("utf-8")
+    out = []
+    unescape = _html.unescape
+    for obj in json.loads(body).get("reviews") or []:
+        sd = obj.get("localizedDate", "") or ""
+        posted_at = parse_mdy(sd)
+        if posted_at is None:
+            raise ValueError(f"unparseable date {obj.get('localizedDate')!r}")
+        parent_rid = obj.get("id", "") or ""
+        for pre in obj.get("previousReviews") or []:
+            psd = pre.get("localizedDate", "") or ""
+            pre_posted = parse_mdy(psd)
+            if pre_posted is None:
+                raise ValueError(
+                    f"unparseable date {pre.get('localizedDate')!r}")
+            out.append((pre_posted,) + render_review(
+                parent_rid,
+                pre.get("id", "") or "",
+                pre.get("userId", "") or "",
+                (pre.get("user") or {}).get("markupDisplayName", "") or "",
+                unescape((pre.get("comment") or {}).get("text", "") or ""),
+                psd,
+                [p.get("src", "") for p in (pre.get("photos") or [])],
+                int(pre.get("rating", 0) or 0),
+                scraped_at, pre_posted,
+                _reply_tuples(pre.get("businessOwnerReplies"))))
+        out.append((posted_at,) + render_review(
+            "",
+            parent_rid,
+            obj.get("userId", "") or "",
+            (obj.get("user") or {}).get("markupDisplayName", "") or "",
+            unescape((obj.get("comment") or {}).get("text", "") or ""),
+            sd,
+            [p.get("src", "") for p in (obj.get("photos") or [])],
+            int(obj.get("rating", 0) or 0),
+            scraped_at, posted_at,
+            _reply_tuples(obj.get("businessOwnerReplies"))))
+    return out
 
 
 def extract_nonrec_landing(root) -> dict:

@@ -194,6 +194,72 @@ def render_record(rec: dict, scraped_at: int) -> tuple[str, str]:
     return rh, "{" + ",".join(parts) + "}"
 
 
+def render_review(parent_id: str, rid: str, aid: str, author: str, text: str,
+                  source_date: str, photos: list, rating: int,
+                  scraped_at: int, posted_at: int,
+                  replies: list) -> tuple[str, str]:
+    """``render_record`` from scalars — no record dict at all.
+
+    Same bytes as ``render_record`` over the equivalent dict (parity-tested
+    in tests/test_feed_fusion.py); ``replies`` is a list of
+    ``(author_name, text, posted_at_str)`` tuples.  Feed pages carry
+    ``not_recommended=False`` always, so omitempty drops it and the field
+    needs no parameter.  Used by ``extract.render_review_feed``."""
+    reply0_text = replies[0][1] if replies else ""
+    has_resp = reply0_text != ""
+    # identity over RAW fields (applyHashKey, main.go:1009-1036)
+    if text == "" and author == "" and not has_resp and rid != "":
+        lst = [rid]
+    elif has_resp:
+        lst = [text, author, reply0_text]
+    else:
+        lst = [text, author]
+    rh = hashlib.md5(go_marshal_string_list(lst)).hexdigest()
+
+    parts = []
+    ap = parts.append
+    if parent_id:
+        ap(_PFX["parent_id"] + go_json_string(parent_id))
+    if author:
+        ap(_PFX["author_name"] + '"' + b64(author) + '"')
+    if text:
+        ap(_PFX["text"] + '"' + b64(text) + '"')
+    if source_date:
+        ap(_PFX["source_date"] + go_json_string(source_date))
+    if rid:
+        ap(_PFX["review_id"] + go_json_string(rid))
+    if aid:
+        ap(_PFX["author_id"] + go_json_string(aid))
+    if photos:
+        ap(_PFX["photos"] + "[" + ",".join(map(go_json_string, photos)) + "]")
+    if rating:
+        ap(_PFX["rating"] + str(rating))
+    if scraped_at:
+        ap(_PFX["scraped_at"] + str(scraped_at))
+    if posted_at:
+        ap(_PFX["posted_at"] + str(posted_at))
+    if replies:
+        objs = []
+        for ra, rt, rp in replies:
+            fields = []
+            if has_resp:  # encodeFielsToB64 branch: replies b64-encoded
+                if ra:
+                    fields.append(_RPFX["author_name"] + '"' + b64(ra) + '"')
+                if rt:
+                    fields.append(_RPFX["text"] + '"' + b64(rt) + '"')
+            else:
+                if ra:
+                    fields.append(_RPFX["author_name"] + go_json_string(ra))
+                if rt:
+                    fields.append(_RPFX["text"] + go_json_string(rt))
+            if rp:
+                fields.append(_RPFX["posted_at"] + go_json_string(rp))
+            objs.append("{" + ",".join(fields) + "}")
+        ap(_PFX["responses"] + "[" + ",".join(objs) + "]")
+    ap('"review_hash":' + go_json_string(rh))
+    return rh, "{" + ",".join(parts) + "}"
+
+
 def record_to_jsonl(rec: dict) -> str:
     """One ReviewFomate as a Go-encoder JSONL line (without trailing newline).
 

@@ -172,6 +172,21 @@ class ExtractStage:
             self._rows(out, "rcnt", sid, page_seq, len(recs), None,
                        sort_ts=len(recs))
 
+    def _emit_rendered(self, out, sid, page_seq, rendered):
+        """``_emit_records`` for pre-rendered (posted_at, review_hash,
+        jsonl) tuples from the fused feed path (extract.render_review_feed)
+        — same rows, no intermediate record dicts."""
+        wm = self.watermarks.get(sid)
+        for j, (ts, rh, line) in enumerate(rendered):
+            self._rows(out, "record", sid, page_seq, j, None,
+                       sort_ts=ts, review_hash=rh, jsonl=line)
+            if wm and rh in wm:
+                self._rows(out, "event", sid, page_seq, j,
+                           {"type": "hash_hit"})
+        if rendered:
+            self._rows(out, "rcnt", sid, page_seq, len(rendered), None,
+                       sort_ts=len(rendered))
+
     def _emit_links(self, out, sid, page_seq, links, emit_start: int = 0,
                     src: str = ""):
         """Canonicalize + hash + host/robots-filter links IN the kernel
@@ -348,8 +363,9 @@ class ExtractStage:
                 continue
 
             if kind == FEED:
-                recs = extract.extract_review_feed(html)
-                self._emit_records(out, sid, page_seq, recs)
+                rendered = extract.render_review_feed(
+                    html, self.cfg["scraped_at"])
+                self._emit_rendered(out, sid, page_seq, rendered)
                 continue
 
             if kind == NONREC_LANDING:
