@@ -218,6 +218,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frame_sample": multimodal.frame_sample,
         # --- relational (broadcast hash joins + combiner aggregates) ---
         "top_suppliers": relational.top_suppliers_by_revenue,
+        "customers_no_orders": relational.customers_without_orders,
+        "top_orders_per_cust": relational.top_orders_per_cust,
+        "events_rolling": events.rolling_value,
         "order_priorities": relational.order_priority_counts,
         "nation_revenue": relational.nation_customer_revenue,
         "lineitem_pricing": relational.pricing_summary,
@@ -756,4 +759,29 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name""",
+        "customers_no_orders": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderdate >= TIMESTAMP
+                                    '2000-01-01')""",
+        "top_orders_per_cust": """
+            WITH o AS (SELECT o_custkey, o_orderkey,
+                         CAST(round(o_totalprice*100) AS BIGINT) AS cents
+                       FROM orders),
+            r AS (SELECT o_custkey, o_orderkey, cents,
+                    row_number() OVER (PARTITION BY o_custkey
+                      ORDER BY cents DESC, o_orderkey) AS rnk
+                  FROM o)
+            SELECT o_custkey, o_orderkey, rnk::BIGINT AS rnk, cents
+            FROM r WHERE rnk <= 3""",
+        "events_rolling": """
+            WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                         CAST(round(value*100) AS BIGINT) AS cents
+                       FROM events)
+            SELECT event_id, user_id, ts_us,
+                   (SUM(cents) OVER w)::BIGINT AS roll_cents,
+                   (COUNT(*) OVER w)::BIGINT AS roll_n
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
     }

@@ -241,3 +241,40 @@ def range_join(sf_dir: str, window_s: int = 3600) -> rd.Dataset:
             .map_batches(prep, batch_format="pyarrow")
             .groupby("user_id")
             .map_groups(per_user, batch_format="pandas"))
+
+
+def rolling_value(sf_dir: str, window_s: int = 3600) -> rd.Dataset:
+    """(event_id, user_id, ts_us, roll_cents, roll_n): per-user TRAILING
+    time-window aggregate — rolling sum/count of value cents over the last
+    ``window_s`` seconds, RANGE semantics (all ts peers share one frame,
+    exactly SQL's RANGE BETWEEN W PRECEDING AND CURRENT ROW).
+
+    Same per-user-fits-one-group partitioning assumption as sessionize;
+    inside the group everything is numpy: one cumsum and two vectorized
+    searchsorted passes, no per-row Python."""
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts_us", "event_id"])
+        ts = g["ts_us"].to_numpy()
+        csum = np.cumsum(g["cents"].to_numpy())
+        lo = np.searchsorted(ts, ts - window_s * 1_000_000, side="left")
+        hi = np.searchsorted(ts, ts, side="right")  # include ts peers
+        roll = csum[hi - 1] - np.where(lo > 0, csum[lo - 1], 0)
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy(),
+                             "user_id": g["user_id"].to_numpy(),
+                             "ts_us": ts,
+                             "roll_cents": roll.astype(np.int64),
+                             "roll_n": (hi - lo).astype(np.int64)})
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.round(pc.multiply(t["value"], 100),
+                         round_mode="half_towards_infinity").cast(pa.int64())
+        return pa.table({"user_id": t["user_id"],
+                         "event_id": t["event_id"],
+                         "ts_us": t["ts"].cast(pa.int64()),
+                         "cents": cents})
+
+    return (_events(sf_dir, ("ts", "user_id", "event_id", "value"))
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby("user_id")
+            .map_groups(per_user, batch_format="pandas"))

@@ -246,3 +246,89 @@ def pq_segment_custkeys(sf_dir: str, segment: str) -> pa.ChunkedArray:
     c = pq.read_table(f"{sf_dir}/customer.parquet",
                       columns=["c_custkey", "c_mktsegment"])
     return c.filter(pc.equal(c["c_mktsegment"], segment))["c_custkey"]
+
+
+def customers_without_orders(sf_dir: str,
+                              since: str = "2000-01-01") -> rd.Dataset:
+    """(c_custkey, c_name): ANTI-JOIN — customers with no order since
+    ``since`` (TPC-H Q22's inner shape; the reference has no anti-join,
+    this is the at-scale analog of its last-review-hash skip, SURVEY.md J2).
+
+    Scale shape: the distinct recent-order custkeys are computed
+    DISTRIBUTED (per-batch filter + ``pc.unique`` combine — each batch
+    ships at most its own key set, not its rows), concatenated and uniqued
+    once at a size bounded by |recently-active customers| int64s (same
+    small-side gate class as the broadcast joins; the 100 TB fallback is a
+    custkey co-partitioned anti merge, same filter kernel per partition).
+    The customer side streams through one vectorized ``index_in``
+    null-test."""
+    import numpy as np
+    import ray
+    since_us = int(np.datetime64(since, "us").astype(np.int64))
+
+    def keys_of(t: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(t["o_orderdate"].cast(pa.int64()),
+                                pa.scalar(since_us, pa.int64()))
+        return pa.table({"k": pc.unique(t.filter(keep)["o_custkey"])})
+
+    keyed = (_read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+             .map_batches(keys_of, batch_format="pyarrow"))
+    blocks = [ray.get(r) for r in keyed.to_arrow_refs()]
+    keys = pc.unique(pa.concat_tables(blocks)["k"].combine_chunks()) \
+        if blocks else pa.array([], pa.int64())
+    keys_ref = ray.put(keys)
+
+    def anti(t: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)  # zero-copy
+        return t.filter(pc.is_null(pc.index_in(t["c_custkey"],
+                                               value_set=ks)))
+
+    return (_read(sf_dir, "customer", ["c_custkey", "c_name"])
+            .map_batches(anti, batch_format="pyarrow"))
+
+
+def top_orders_per_cust(sf_dir: str, n: int = 3,
+                        shards: int = 64) -> rd.Dataset:
+    """(o_custkey, o_orderkey, rnk, cents): top-N orders per customer by
+    (cents desc, o_orderkey asc) — rank-over-partition window.
+
+    Scale shape — NO per-key map_groups (that is |custkey| Python calls):
+
+    1. per-batch COMBINE: each batch keeps its own top-N per custkey
+       (one vectorized sort + groupby.head) — survivors are bounded by
+       N x keys-in-batch before any shuffle;
+    2. survivors hash-shard on custkey into ``shards`` groups; ONE
+       vectorized kernel per shard finishes the global rank — the
+       group-call count is O(shards), key cardinality never meets Python.
+
+    Ordering ties are broken by o_orderkey, and the rank key is integer
+    cents (prices are 2-decimal, so cents order == price order and the
+    DuckDB comparison is exact)."""
+    import pandas as pd
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.round(pc.multiply(t["o_totalprice"], 100),
+                         round_mode="half_towards_infinity").cast(pa.int64())
+        return pa.table({"o_custkey": t["o_custkey"],
+                         "o_orderkey": t["o_orderkey"], "cents": cents})
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["cents", "o_orderkey"],
+                            ascending=[False, True], kind="mergesort")
+        df = df.groupby("o_custkey", sort=False).head(n)
+        df["shard"] = (df["o_custkey"] % shards).astype("int64")
+        return df
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["cents", "o_orderkey"],
+                            ascending=[False, True], kind="mergesort")
+        df["rnk"] = df.groupby("o_custkey", sort=False).cumcount() + 1
+        df = df[df["rnk"] <= n]
+        return df[["o_custkey", "o_orderkey", "rnk", "cents"]]
+
+    return (_read(sf_dir, "orders",
+                  ["o_custkey", "o_orderkey", "o_totalprice"])
+            .map_batches(prep, batch_format="pyarrow")
+            .map_batches(combine, batch_format="pandas")
+            .groupby("shard")
+            .map_groups(final, batch_format="pandas"))
