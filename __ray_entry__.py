@@ -213,6 +213,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_join": events.asof_join,
         "events_funnel": events.funnel,
         "events_range_join": events.range_join,
+        "events_dau": events.daily_active,
+        "events_retention": events.retention_cohorts,
+        "events_transitions": events.type_transitions,
         # --- multimodal plumbing (rows-only; codecs stubbed) ---
         "media_features": multimodal.media_features,
         "media_frame_sample": multimodal.frame_sample,
@@ -226,6 +229,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pricing": relational.pricing_summary,
         "shipping_priority": relational.shipping_priority,
         "docs_decontaminate": dedup.decontaminate,
+        "cust_order_histogram": relational.cust_order_histogram,
+        "filtered_revenue": relational.filtered_revenue,
+        "promo_revenue": relational.promo_revenue,
+        "emb_label_centroids": similarity.label_centroids,
     }
 
 
@@ -784,4 +791,69 @@ def oracle_sql() -> dict[str, str]:
                    (COUNT(*) OVER w)::BIGINT AS roll_n
             FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
+        "events_dau": """
+            SELECT (epoch_us(ts) // 86400000000)::BIGINT AS day,
+                   count(DISTINCT user_id)::BIGINT AS dau,
+                   count(*)::BIGINT AS n_events
+            FROM events GROUP BY 1""",
+        "events_retention": """
+            WITH uw AS (SELECT DISTINCT user_id,
+                          (epoch_us(ts) // 604800000000) AS week
+                        FROM events),
+            c AS (SELECT week,
+                    min(week) OVER (PARTITION BY user_id) AS cohort_week
+                  FROM uw)
+            SELECT cohort_week::BIGINT AS cohort_week, week::BIGINT AS week,
+                   count(*)::BIGINT AS n_users
+            FROM c GROUP BY 1, 2""",
+        "events_transitions": """
+            WITH s AS (SELECT event_type,
+                         lead(event_type) OVER (PARTITION BY user_id
+                           ORDER BY epoch_us(ts), event_id) AS next_type
+                       FROM events)
+            SELECT event_type AS from_type, next_type AS to_type,
+                   count(*)::BIGINT AS n
+            FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2""",
+        "cust_order_histogram": """
+            WITH pc AS (SELECT c_custkey,
+                          count(o_orderkey) AS n_orders
+                        FROM customer LEFT JOIN orders
+                          ON o_custkey = c_custkey
+                        GROUP BY c_custkey)
+            SELECT n_orders::BIGINT AS n_orders,
+                   count(*)::BIGINT AS n_custs
+            FROM pc GROUP BY n_orders""",
+        "filtered_revenue": """
+            SELECT coalesce(sum(CAST(round(
+                     l_extendedprice * l_discount * 100) AS BIGINT)),
+                     0)::BIGINT AS revenue_c,
+                   count(*)::BIGINT AS n_rows
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24""",
+        "promo_revenue": """
+            WITH li AS (SELECT l_partkey,
+                          (year(l_shipdate)*100
+                           + month(l_shipdate))::BIGINT AS ship_month,
+                          CAST(round(l_extendedprice*(1-l_discount)*100)
+                               AS BIGINT) AS cents
+                        FROM lineitem)
+            SELECT ship_month,
+                   sum(CASE WHEN p_type = 'PROMO' THEN cents
+                       ELSE 0 END)::BIGINT AS promo_c,
+                   sum(cents)::BIGINT AS total_c
+            FROM li JOIN part ON l_partkey = p_partkey
+            GROUP BY ship_month""",
+        "emb_label_centroids": """
+            WITH e AS (SELECT label,
+                         generate_subscripts(embedding, 1) AS dim,
+                         unnest(list_transform(embedding,
+                           x -> CAST(round(CAST(x AS DOUBLE) * 1000)
+                                     AS BIGINT))) AS q
+                       FROM embeddings)
+            SELECT label::BIGINT AS label, dim::BIGINT AS dim,
+                   sum(q)::BIGINT AS q_sum, count(*)::BIGINT AS n_vecs
+            FROM e GROUP BY 1, 2""",
     }

@@ -243,6 +243,125 @@ def range_join(sf_dir: str, window_s: int = 3600) -> rd.Dataset:
             .map_groups(per_user, batch_format="pandas"))
 
 
+def daily_active(sf_dir: str) -> rd.Dataset:
+    """(day, dau, n_events): daily active users + event volume — the
+    COUNT-DISTINCT class.  Exact distributed count-distinct in two
+    shuffles, both pre-combined: (a) per-batch dedupe of (day, user)
+    with partial event counts, groupby(day, user) — the only shuffle
+    whose key domain is large, and its payload is already one row per
+    (day, user) per batch; (b) per-batch per-day partials over that
+    deduped set, groupby(day) over |days| keys."""
+    DAY_US = 86_400_000_000
+    from ray.data.aggregate import Sum
+
+    def prep(t: pa.Table) -> pa.Table:
+        day = pc.divide(t["ts"].cast(pa.int64()), DAY_US).cast(pa.int64())
+        g = (pa.table({"day": day, "user_id": t["user_id"]})
+             .group_by(["day", "user_id"]).aggregate([("user_id", "count")]))
+        return g.rename_columns(["day", "user_id", "p_n"])
+
+    per_user_day = (_events(sf_dir, ("ts", "user_id"))
+                    .map_batches(prep, batch_format="pyarrow")
+                    .groupby(["day", "user_id"])
+                    .aggregate(Sum("p_n", alias_name="n")))
+
+    def day_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("day").aggregate([("user_id", "count"),
+                                         ("n", "sum")])
+        return g.rename_columns(["day", "p_u", "p_e"])
+
+    return (per_user_day.map_batches(day_partial, batch_format="pyarrow")
+            .groupby("day").aggregate(Sum("p_u", alias_name="dau"),
+                                      Sum("p_e", alias_name="n_events")))
+
+
+def retention_cohorts(sf_dir: str, shards: int = 64) -> rd.Dataset:
+    """(cohort_week, week, n_users): weekly retention triangle — users
+    cohorted by their first-activity week, counted in every week they
+    were active.  The self-join-shaped query (activity joined to each
+    user's min) without any join:
+
+    1. per-batch dedupe to (user, week) pairs (combiner);
+    2. users hash-shard; ONE vectorized pandas kernel per shard computes
+       each user's cohort via transform('min') and the shard-local
+       (cohort, week) user counts — users are WHOLLY inside one shard, so
+       shard-local distinct-user counts sum exactly;
+    3. tiny groupby over |weeks|^2 keys.
+    Group-call count is O(shards), never O(users)."""
+    WEEK_US = 604_800_000_000
+    from ray.data.aggregate import Sum
+
+    def prep(t: pa.Table) -> pa.Table:
+        week = pc.divide(t["ts"].cast(pa.int64()), WEEK_US).cast(pa.int64())
+        g = (pa.table({"user_id": t["user_id"], "week": week})
+             .group_by(["user_id", "week"]).aggregate([]))
+        shard = (g["user_id"].to_numpy(zero_copy_only=False)
+                 % shards).astype(np.int64)
+        return g.append_column("shard", pa.array(shard, pa.int64()))
+
+    def per_shard(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["user_id", "week"])
+        cohort = df.groupby("user_id")["week"].transform("min")
+        out = (df.assign(cohort_week=cohort)
+               .groupby(["cohort_week", "week"], sort=False)
+               .size().rename("p_n").reset_index())
+        return out.astype({"cohort_week": "int64", "week": "int64",
+                           "p_n": "int64"})
+
+    return (_events(sf_dir, ("ts", "user_id"))
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby("shard")
+            .map_groups(per_shard, batch_format="pandas")
+            .groupby(["cohort_week", "week"])
+            .aggregate(Sum("p_n", alias_name="n_users")))
+
+
+def type_transitions(sf_dir: str, shards: int = 64) -> rd.Dataset:
+    """(from_type, to_type, n): first-order Markov transition counts over
+    each user's time-ordered event stream (SQL's lead() window) — the
+    sequence-model statistic an events corpus feeds a trainer.
+
+    Scale shape: users hash-shard (same contract as retention_cohorts —
+    one user never splits); per shard ONE vectorized kernel sorts by
+    (user, ts, event_id), takes the shifted pair arrays, masks user
+    boundaries, and emits shard-local pair counts; final groupby over
+    |type|^2 keys."""
+    from ray.data.aggregate import Sum
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "ts_us": t["ts"].cast(pa.int64()),
+            "event_id": t["event_id"],
+            "event_type": t["event_type"],
+            "shard": pa.array(
+                (t["user_id"].to_numpy(zero_copy_only=False) % shards)
+                .astype(np.int64), pa.int64())})
+
+    def per_shard(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts_us", "event_id"],
+                            kind="mergesort")
+        u = df["user_id"].to_numpy()
+        et = df["event_type"].to_numpy()
+        same = u[1:] == u[:-1]
+        if not same.any():
+            return pd.DataFrame({"from_type": pd.Series([], dtype=object),
+                                 "to_type": pd.Series([], dtype=object),
+                                 "p_n": pd.Series([], dtype="int64")})
+        out = (pd.DataFrame({"from_type": et[:-1][same],
+                             "to_type": et[1:][same]})
+               .groupby(["from_type", "to_type"], sort=False)
+               .size().rename("p_n").reset_index())
+        return out.astype({"p_n": "int64"})
+
+    return (_events(sf_dir, ("ts", "user_id", "event_id", "event_type"))
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby("shard")
+            .map_groups(per_shard, batch_format="pandas")
+            .groupby(["from_type", "to_type"])
+            .aggregate(Sum("p_n", alias_name="n")))
+
+
 def rolling_value(sf_dir: str, window_s: int = 3600) -> rd.Dataset:
     """(event_id, user_id, ts_us, roll_cents, roll_n): per-user TRAILING
     time-window aggregate — rolling sum/count of value cents over the last

@@ -287,6 +287,150 @@ def customers_without_orders(sf_dir: str,
             .map_batches(anti, batch_format="pyarrow"))
 
 
+def cust_order_histogram(sf_dir: str) -> pa.Table:
+    """(n_orders, n_custs): distribution of customers by order count —
+    TPC-H Q13's shape (LEFT join + two-level groupby), the classic
+    power-law sanity check a crawl corpus runs on its per-host URL counts.
+
+    Scale shape: orders pre-count per batch (combiner) then ONE
+    groupby(custkey) shuffle whose payload is (key, partial) pairs; the
+    second groupby's domain is |distinct order counts| (tiny), done the
+    same partial way.  The LEFT-join zero bucket needs no join at all:
+    it is ``count(customer) - count(active custkeys)``, two scalar
+    aggregates — the only driver-side work is assembling a <100-row
+    histogram table."""
+    from ray.data.aggregate import Sum
+
+    def count_per_cust(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_custkey").aggregate([("o_custkey", "count")])
+        return g.rename_columns(["o_custkey", "p_n"])
+
+    per_cust = (_read(sf_dir, "orders", ["o_custkey"])
+                .map_batches(count_per_cust, batch_format="pyarrow")
+                .groupby("o_custkey")
+                .aggregate(Sum("p_n", alias_name="n_orders")))
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("n_orders").aggregate([("n_orders", "count")])
+        return g.rename_columns(["n_orders", "p_c"])
+
+    hist = (per_cust.map_batches(hist_partial, batch_format="pyarrow")
+            .groupby("n_orders").aggregate(Sum("p_c", alias_name="n_custs")))
+    blocks = [b for b in (ray.get(r) for r in hist.to_arrow_refs())
+              if b.num_columns]  # empty partitions ship schemaless blocks
+    tbl = (pa.concat_tables(b.select(["n_orders", "n_custs"])
+                            for b in blocks) if blocks
+           else pa.table({"n_orders": pa.array([], pa.int64()),
+                          "n_custs": pa.array([], pa.int64())}))
+    active = pc.sum(tbl["n_custs"]).as_py() or 0
+    zero = _read(sf_dir, "customer", ["c_custkey"]).count() - active
+    if zero:
+        tbl = pa.concat_tables([tbl, pa.table(
+            {"n_orders": pa.array([0], pa.int64()),
+             "n_custs": pa.array([zero], pa.int64())})])
+    return tbl
+
+
+def filtered_revenue(sf_dir: str, date_from: str = "1997-01-01",
+                     date_to: str = "1998-01-01", disc_lo: float = 0.05,
+                     disc_hi: float = 0.07, qty_lt: float = 24.0) -> pa.Table:
+    """(revenue_c, n_rows) single row: TPC-H Q6's shape — tight
+    filter + scalar aggregate, the cheapest full-scan class there is.
+    Per-batch filter + partial sum; the 'shuffle' is one row per batch
+    into a global Sum.  Revenue is per-row integer cents (round half-away
+    after the double product) so any summation order matches DuckDB."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+    lo_us = int(np.datetime64(date_from, "us").astype(np.int64))
+    hi_us = int(np.datetime64(date_to, "us").astype(np.int64))
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t["l_shipdate"].cast(pa.int64())
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(d, pa.scalar(lo_us, pa.int64())),
+                    pc.less(d, pa.scalar(hi_us, pa.int64()))),
+            pc.and_(
+                pc.and_(pc.greater_equal(t["l_discount"], disc_lo),
+                        pc.less_equal(t["l_discount"], disc_hi)),
+                pc.less(t["l_quantity"], qty_lt)))
+        t = t.filter(keep)
+        cents = pc.round(
+            pc.multiply(pc.multiply(t["l_extendedprice"], t["l_discount"]),
+                        100),
+            round_mode="half_towards_infinity").cast(pa.int64())
+        return pa.table({
+            "p_rev": pa.array([pc.sum(cents).as_py() or 0], pa.int64()),
+            "p_n": pa.array([len(t)], pa.int64())})
+
+    agg = (_read(sf_dir, "lineitem",
+                 ["l_shipdate", "l_discount", "l_quantity",
+                  "l_extendedprice"])
+           .map_batches(partial, batch_format="pyarrow")
+           .aggregate(Sum("p_rev", alias_name="revenue_c"),
+                      Sum("p_n", alias_name="n_rows")))
+    return pa.table({
+        "revenue_c": pa.array([int(agg["revenue_c"])], pa.int64()),
+        "n_rows": pa.array([int(agg["n_rows"])], pa.int64())})
+
+
+def promo_revenue(sf_dir: str) -> rd.Dataset:
+    """(ship_month, promo_c, total_c): monthly revenue split by whether
+    the part's type is PROMO — TPC-H Q14's shape, the one query class
+    here whose BOTH join sides are big at scale (lineitem x part), so it
+    uses the hash join, not a broadcast.
+
+    Scale shape: lineitem pre-aggregates cents per (l_partkey,
+    ship_month) INSIDE each batch before the join — the join input
+    carries one row per (part, month) per batch, not per line item — and
+    part is projected to (key, is_promo int).  After the join the final
+    groupby's domain is |months|."""
+    from ray.data.aggregate import Sum
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        month = pc.add(pc.multiply(pc.year(t["l_shipdate"]), 100),
+                       pc.month(t["l_shipdate"])).cast(pa.int64())
+        cents = pc.round(
+            pc.multiply(pc.multiply(t["l_extendedprice"],
+                                    pc.subtract(pa.scalar(1.0),
+                                                t["l_discount"])),
+                        100),
+            round_mode="half_towards_infinity").cast(pa.int64())
+        g = (pa.table({"l_partkey": t["l_partkey"], "ship_month": month,
+                       "cents": cents})
+             .group_by(["l_partkey", "ship_month"])
+             .aggregate([("cents", "sum")]))
+        return g.rename_columns(["l_partkey", "ship_month", "p_cents"])
+
+    li = (_read(sf_dir, "lineitem",
+                ["l_partkey", "l_shipdate", "l_extendedprice",
+                 "l_discount"])
+          .map_batches(li_partial, batch_format="pyarrow"))
+
+    def part_proj(t: pa.Table) -> pa.Table:
+        return pa.table({"p_partkey": t["p_partkey"],
+                         "is_promo": pc.equal(t["p_type"], "PROMO")
+                         .cast(pa.int64())})
+
+    part = (_read(sf_dir, "part", ["p_partkey", "p_type"])
+            .map_batches(part_proj, batch_format="pyarrow"))
+    joined = li.join(part, "inner", num_partitions=8,
+                     on=("l_partkey",), right_on=("p_partkey",),
+                     aggregator_ray_remote_args=join_agg_args())
+
+    def month_partial(t: pa.Table) -> pa.Table:
+        g = (pa.table({"ship_month": t["ship_month"],
+                       "promo": pc.multiply(t["p_cents"], t["is_promo"]),
+                       "total": t["p_cents"]})
+             .group_by("ship_month")
+             .aggregate([("promo", "sum"), ("total", "sum")]))
+        return g.rename_columns(["ship_month", "pp", "pt"])
+
+    return (joined.map_batches(month_partial, batch_format="pyarrow")
+            .groupby("ship_month")
+            .aggregate(Sum("pp", alias_name="promo_c"),
+                       Sum("pt", alias_name="total_c")))
+
+
 def top_orders_per_cust(sf_dir: str, n: int = 3,
                         shards: int = 64) -> rd.Dataset:
     """(o_custkey, o_orderkey, rnk, cents): top-N orders per customer by

@@ -284,3 +284,41 @@ def emb_norm_stats(sf_dir: str) -> rd.Dataset:
         })
 
     return _emb(sf_dir).map_batches(kernel, batch_format="pyarrow")
+
+
+def label_centroids(sf_dir: str) -> rd.Dataset:
+    """(label, dim, q_sum, n_vecs): per-label centroid of the embedding
+    column in QUANTIZED integer space (components rounded half-away to
+    1/1000 units, summed as int64 — exact under any order/width, same
+    contract as emb_norm_stats; divide q_sum/n_vecs downstream for the
+    float centroid).  The class-prototype build a labeled corpus runs
+    before nearest-centroid classification.
+
+    Scale shape: each batch collapses to |labels| x |dims| partial rows
+    (np.add.at scatter — no per-row Python), so the shuffle carries
+    centroids-per-batch, never vectors; final groupby over a tiny key
+    domain."""
+    from ray.data.aggregate import Sum
+
+    def kernel(t: pa.Table) -> pa.Table:
+        M = np.array(t["embedding"].to_pylist(), dtype=np.float64) * 1000.0
+        Q = np.copysign(np.floor(np.abs(M) + 0.5), M).astype(np.int64)
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ulab, inv = np.unique(lab, return_inverse=True)
+        d = Q.shape[1]
+        sums = np.zeros((len(ulab), d), np.int64)
+        np.add.at(sums, inv, Q)
+        counts = np.bincount(inv).astype(np.int64)
+        return pa.table({
+            "label": pa.array(np.repeat(ulab, d), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64),
+                                    len(ulab)), pa.int64()),
+            "p_sum": pa.array(sums.reshape(-1), pa.int64()),
+            "p_n": pa.array(np.repeat(counts, d), pa.int64())})
+
+    return (rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["label", "embedding"])
+            .map_batches(kernel, batch_format="pyarrow")
+            .groupby(["label", "dim"])
+            .aggregate(Sum("p_sum", alias_name="q_sum"),
+                       Sum("p_n", alias_name="n_vecs")))
