@@ -189,14 +189,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_normalize": textstats.normalize,
         "docs_sample": textstats.sample_stratified,
         "docs_length_quantiles": textstats.length_quantiles,
-        # --- text analysis (rows-only) ---
+        # --- text analysis (SQL-checked via md5-upper64 twins) ---
         "docs_winnow_fp": textstats.fingerprint_winnow,
         "docs_langid": textstats.langid,
         # --- dedup ---
         "docs_exact_dedup": dedup.exact_dedup,
         "docs_chunk_dedup": dedup.chunk_dedup,
-        "docs_minhash_dups": dedup.minhash_dups,          # rows-only (LSH)
-        "docs_simhash_dups": dedup.simhash_dups,          # rows-only (LSH)
+        "docs_minhash_dups": dedup.minhash_dups,          # SQL-checked sketch
+        "docs_simhash_dups": dedup.simhash_dups,          # SQL-checked sketch
         "docs_jaccard_dups": dedup.ngram_jaccard_dups,    # exact, SQL-checked
         "docs_dup_clusters": dedup.dup_clusters,          # CC over minhash pairs
         "docs_clean_corpus": clean.clean_corpus,          # composed pipeline

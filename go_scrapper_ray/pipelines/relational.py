@@ -314,16 +314,26 @@ def cust_order_histogram(sf_dir: str) -> pa.Table:
         g = t.group_by("n_orders").aggregate([("n_orders", "count")])
         return g.rename_columns(["n_orders", "p_c"])
 
-    hist = (per_cust.map_batches(hist_partial, batch_format="pyarrow")
-            .groupby("n_orders").aggregate(Sum("p_c", alias_name="n_custs")))
+    # each block's partial histogram is <= |distinct counts| rows, so the
+    # final combine is a driver-side arrow group_by over a bounded table —
+    # no second all-to-all shuffle for a result of ~dozens of keys
+    hist = per_cust.map_batches(hist_partial, batch_format="pyarrow")
     blocks = [b for b in (ray.get(r) for r in hist.to_arrow_refs())
               if b.num_columns]  # empty partitions ship schemaless blocks
-    tbl = (pa.concat_tables(b.select(["n_orders", "n_custs"])
-                            for b in blocks) if blocks
-           else pa.table({"n_orders": pa.array([], pa.int64()),
-                          "n_custs": pa.array([], pa.int64())}))
+    if blocks:
+        tbl = (pa.concat_tables(b.select(["n_orders", "p_c"])
+                                for b in blocks)
+               .group_by("n_orders").aggregate([("p_c", "sum")])
+               .rename_columns(["n_orders", "n_custs"]))
+        tbl = tbl.set_column(1, "n_custs", tbl["n_custs"].cast(pa.int64()))
+    else:
+        tbl = pa.table({"n_orders": pa.array([], pa.int64()),
+                        "n_custs": pa.array([], pa.int64())})
     active = pc.sum(tbl["n_custs"]).as_py() or 0
-    zero = _read(sf_dir, "customer", ["c_custkey"]).count() - active
+    # total customer count from parquet footer metadata — exact, no scan
+    import pyarrow.parquet as pq
+    zero = (pq.ParquetFile(f"{sf_dir}/customer.parquet")
+            .metadata.num_rows - active)
     if zero:
         tbl = pa.concat_tables([tbl, pa.table(
             {"n_orders": pa.array([0], pa.int64()),
