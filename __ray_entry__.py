@@ -9,13 +9,13 @@ here calls ray.init()/ray.shutdown().
 ``queries()`` — one entry per implemented operator (SURVEY.md §2 + the
                 training-data ops); each takes sf_dir.
 ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query
-                (same column names!).  23 queries are SQL-checked, including
+                (same column names!).  48 queries are SQL-checked, including
                 the sketch ops (simhash / minhash LSH dedup / winnowing /
                 langid — their kernels use md5-upper64 token hashes and
                 mod-2**64 permutations precisely so DuckDB can reproduce
-                them exactly) and the composed clean-corpus pipeline.  Rows-only remainder, structurally non-SQL:
-                the 5 crawl outputs (stateful iterative engine),
-                url_canonicalize (RFC-canonicalization string kernel),
+                them exactly), url_canonicalize, and the composed
+                clean-corpus pipeline.  Rows-only remainder, structurally
+                non-SQL: the 5 crawl outputs (stateful iterative engine),
                 knn_lsh / knn_ivf (approximate ANN — correctness is recall
                 vs the SQL-checked brute-force, tested in pytest), and the
                 2 media queries (codecs stubbed in-sandbox).
@@ -154,7 +154,7 @@ def _q_canonicalize(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """37 of 46 queries carry a DuckDB oracle (oracle_sql()).  The 9
+    """48 of 57 queries carry a DuckDB oracle (oracle_sql()).  The 9
     without one are structurally non-SQL, each for a stated reason:
     the 5 crawl_* outputs encode an iterative politeness-scheduled
     frontier loop (ordering depends on the virtual clock + retry state
@@ -186,6 +186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pii_scrub": textstats.pii_scrub,
         "docs_gopher_quality": textstats.gopher_quality,
         "docs_topk_ngrams": textstats.topk_ngrams,
+        "docs_doc_frequency": textstats.doc_frequency,
         "docs_normalize": textstats.normalize,
         "docs_sample": textstats.sample_stratified,
         "docs_length_quantiles": textstats.length_quantiles,
@@ -846,6 +847,14 @@ def oracle_sql() -> dict[str, str]:
                    sum(cents)::BIGINT AS total_c
             FROM li JOIN part ON l_partkey = p_partkey
             GROUP BY ship_month""",
+        "docs_doc_frequency": r"""
+            WITH tok AS (SELECT DISTINCT doc_id,
+                           unnest(regexp_extract_all(lower(text), '\S+'))
+                             AS token
+                         FROM documents)
+            SELECT token, count(*)::BIGINT AS df
+            FROM tok GROUP BY token
+            ORDER BY df DESC, token LIMIT 200""",
         "emb_label_centroids": """
             WITH e AS (SELECT label,
                          generate_subscripts(embedding, 1) AS dim,

@@ -445,3 +445,29 @@ def length_quantiles(sf_dir: str) -> pa.Table:
         out_v.append(int(vals[idx]))
     return pa.table({"q_milli": pa.array(out_q, pa.int64()),
                      "n_tokens": pa.array(out_v, pa.int64())})
+
+
+def doc_frequency(sf_dir: str, k: int = 200) -> rd.Dataset:
+    """(token, df): corpus document-frequency table, top-k by (df desc,
+    token asc) — the IDF-side build of a tf-idf / quality-weighting stage
+    (distinct-per-document counting, a different class from topk_ngrams'
+    raw occurrence counts).
+
+    Scale shape: per-batch Counter over each doc's DEDUPED token set
+    (combiner — the shuffle carries vocab-bounded partial rows per batch,
+    never one row per (doc, token)); token-keyed groupby sum; global
+    top-k on the small aggregate.  Tokenizer is lower().split(), the same
+    \\S+ contract the Jaccard oracle uses."""
+    from collections import Counter
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for s in t["text"].to_pylist():
+            c.update(set(s.lower().split()))
+        return pa.table({"token": pa.array(list(c.keys()), pa.string()),
+                         "p_n": pa.array(list(c.values()), pa.int64())})
+
+    from ray.data.aggregate import Sum
+    agg = (docs(sf_dir).map_batches(partial, batch_format="pyarrow")
+           .groupby("token").aggregate(Sum("p_n", alias_name="df")))
+    return agg.sort(["df", "token"], descending=[True, False]).limit(k)
