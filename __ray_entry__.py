@@ -9,7 +9,7 @@ here calls ray.init()/ray.shutdown().
 ``queries()`` — one entry per implemented operator (SURVEY.md §2 + the
                 training-data ops); each takes sf_dir.
 ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query
-                (same column names!).  48 queries are SQL-checked, including
+                (same column names!).  50 queries are SQL-checked, including
                 the sketch ops (simhash / minhash LSH dedup / winnowing /
                 langid — their kernels use md5-upper64 token hashes and
                 mod-2**64 permutations precisely so DuckDB can reproduce
@@ -154,7 +154,7 @@ def _q_canonicalize(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """48 of 57 queries carry a DuckDB oracle (oracle_sql()).  The 9
+    """50 of 59 queries carry a DuckDB oracle (oracle_sql()).  The 9
     without one are structurally non-SQL, each for a stated reason:
     the 5 crawl_* outputs encode an iterative politeness-scheduled
     frontier loop (ordering depends on the virtual clock + retry state
@@ -165,8 +165,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     recall floors are pytest-enforced; media_features / media_frame_sample
     exercise binary-column actor-pool plumbing with stubbed codecs (no
     SQL analog of the byte-level feature extraction)."""
-    from go_scrapper_ray.pipelines import (clean, dedup, events, multimodal,
-                                           relational, similarity, textstats)
+    from go_scrapper_ray.pipelines import (clean, dedup, events, graph,
+                                           multimodal, relational, similarity,
+                                           textstats)
 
     return {
         # --- crawl engine (non-SQL; rows-only checks) ---
@@ -217,6 +218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_dau": events.daily_active,
         "events_retention": events.retention_cohorts,
         "events_transitions": events.type_transitions,
+        "events_cumulative": events.cumulative_value,
         # --- multimodal plumbing (rows-only; codecs stubbed) ---
         "media_features": multimodal.media_features,
         "media_frame_sample": multimodal.frame_sample,
@@ -234,6 +236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filtered_revenue": relational.filtered_revenue,
         "promo_revenue": relational.promo_revenue,
         "emb_label_centroids": similarity.label_centroids,
+        "docs_pagerank": graph.pagerank,
     }
 
 
@@ -847,6 +850,42 @@ def oracle_sql() -> dict[str, str]:
                    sum(cents)::BIGINT AS total_c
             FROM li JOIN part ON l_partkey = p_partkey
             GROUP BY ship_month""",
+        "events_cumulative": """
+            WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us,
+                         CAST(round(value*100) AS BIGINT) AS cents
+                       FROM events)
+            SELECT event_id, ts_us, cents,
+                   (SUM(cents) OVER (ORDER BY ts_us, event_id))::BIGINT
+                     AS cum_cents
+            FROM e""",
+        "docs_pagerank": """
+            WITH n AS (SELECT doc_id AS node FROM documents),
+            cnt AS (SELECT count(*) AS nn FROM documents),
+            e AS (SELECT node AS src, (node*31 + 7) % nn AS dst FROM n, cnt
+                  UNION ALL
+                  SELECT node, (node*31 + 14) % nn FROM n, cnt
+                  UNION ALL
+                  SELECT node, (node*31 + 21) % nn FROM n, cnt),
+            s0 AS (SELECT node, 1000000::BIGINT AS s FROM n),
+            i1 AS (SELECT e.dst AS node,
+                     sum((s0.s * 85 // 100) // 3) AS inc
+                   FROM e JOIN s0 ON e.src = s0.node GROUP BY e.dst),
+            s1 AS (SELECT n.node,
+                     (150000 + coalesce(i1.inc, 0))::BIGINT AS s
+                   FROM n LEFT JOIN i1 ON n.node = i1.node),
+            i2 AS (SELECT e.dst AS node,
+                     sum((s1.s * 85 // 100) // 3) AS inc
+                   FROM e JOIN s1 ON e.src = s1.node GROUP BY e.dst),
+            s2 AS (SELECT n.node,
+                     (150000 + coalesce(i2.inc, 0))::BIGINT AS s
+                   FROM n LEFT JOIN i2 ON n.node = i2.node),
+            i3 AS (SELECT e.dst AS node,
+                     sum((s2.s * 85 // 100) // 3) AS inc
+                   FROM e JOIN s2 ON e.src = s2.node GROUP BY e.dst),
+            s3 AS (SELECT n.node,
+                     (150000 + coalesce(i3.inc, 0))::BIGINT AS s
+                   FROM n LEFT JOIN i3 ON n.node = i3.node)
+            SELECT node, s AS score FROM s3""",
         "docs_doc_frequency": r"""
             WITH tok AS (SELECT DISTINCT doc_id,
                            unnest(regexp_extract_all(lower(text), '\S+'))

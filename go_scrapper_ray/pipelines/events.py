@@ -397,3 +397,55 @@ def rolling_value(sf_dir: str, window_s: int = 3600) -> rd.Dataset:
             .map_batches(prep, batch_format="pyarrow")
             .groupby("user_id")
             .map_groups(per_user, batch_format="pandas"))
+
+
+def cumulative_value(sf_dir: str) -> rd.Dataset:
+    """(event_id, ts_us, cents, cum_cents): GLOBAL running total over the
+    whole stream ordered by (ts, event_id) — SQL's un-partitioned
+    ``SUM() OVER (ORDER BY ...)``, i.e. the distributed SCAN primitive.
+
+    Ray Data has no scan operator; this is the canonical two-pass
+    composition over the range-partitioned output of ``sort``:
+    (1) one tiny task per block computes its local sum, (2) the driver
+    exclusive-prefixes the O(blocks) sums, (3) one task per block adds
+    its offset to a vectorized local cumsum.  Blocks never leave the
+    object store; driver work is O(blocks), not O(rows)."""
+    import ray
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.round(pc.multiply(t["value"], 100),
+                         round_mode="half_towards_infinity").cast(pa.int64())
+        return pa.table({"event_id": t["event_id"],
+                         "ts_us": t["ts"].cast(pa.int64()),
+                         "cents": cents})
+
+    refs = (_events(sf_dir, ("ts", "event_id", "value"))
+            .map_batches(prep, batch_format="pyarrow")
+            .sort(["ts_us", "event_id"])
+            .to_arrow_refs())
+
+    @ray.remote(num_cpus=0.5)
+    def block_sum(tb: pa.Table) -> int:
+        if "cents" not in tb.column_names:
+            return 0
+        s = pc.sum(tb["cents"]).as_py()
+        return int(s) if s is not None else 0
+
+    sums = ray.get([block_sum.remote(r) for r in refs])
+    offsets = np.concatenate(([0], np.cumsum(sums[:-1], dtype=np.int64))) \
+        if sums else np.array([], dtype=np.int64)
+
+    @ray.remote(num_cpus=0.5)
+    def with_cum(tb: pa.Table, off: int) -> pa.Table:
+        empty_schema = pa.schema([("event_id", pa.int64()),
+                                  ("ts_us", pa.int64()),
+                                  ("cents", pa.int64()),
+                                  ("cum_cents", pa.int64())])
+        if "cents" not in tb.column_names or not len(tb):
+            return empty_schema.empty_table()
+        cum = off + np.cumsum(
+            tb["cents"].to_numpy(zero_copy_only=False).astype(np.int64))
+        return tb.append_column("cum_cents", pa.array(cum, pa.int64()))
+
+    out = [with_cum.remote(r, int(o)) for r, o in zip(refs, offsets)]
+    return rd.from_arrow_refs(out)
