@@ -237,6 +237,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promo_revenue": relational.promo_revenue,
         "emb_label_centroids": similarity.label_centroids,
         "docs_pagerank": graph.pagerank,
+        "returned_items": relational.returned_item_revenue,
+        "large_orders": relational.large_volume_orders,
+        "high_balance_inactive": relational.high_balance_inactive,
+        "volume_shipping": relational.volume_shipping,
+        "market_share": relational.market_share,
+        "small_qty_revenue": relational.small_qty_revenue,
+        "discounted_revenue": relational.discounted_revenue,
+        "events_first_touch": events.first_touch,
+        "events_gap_stats": events.user_gap_stats,
     }
 
 
@@ -904,4 +913,121 @@ def oracle_sql() -> dict[str, str]:
             SELECT label::BIGINT AS label, dim::BIGINT AS dim,
                    sum(q)::BIGINT AS q_sum, count(*)::BIGINT AS n_vecs
             FROM e GROUP BY 1, 2""",
+        "returned_items": """
+            SELECT c_custkey, c_name, n_name,
+                   sum(CAST(round(l_extendedprice*(1-l_discount)*100)
+                            AS BIGINT))::BIGINT AS cents
+            FROM customer
+            JOIN orders ON o_custkey = c_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1996-04-01'
+            GROUP BY 1, 2, 3
+            ORDER BY cents DESC, c_custkey LIMIT 20""",
+        "large_orders": """
+            WITH q AS (SELECT l_orderkey,
+                         sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+                       FROM lineitem GROUP BY 1
+                       HAVING sum(CAST(l_quantity AS BIGINT)) > 250)
+            SELECT o_orderkey, o_custkey AS c_custkey, c_name,
+                   epoch_us(o_orderdate) AS o_orderdate_us,
+                   CAST(round(o_totalprice*100) AS BIGINT) AS total_c,
+                   sum_qty::BIGINT AS sum_qty
+            FROM q
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey""",
+        "high_balance_inactive": """
+            WITH a AS (SELECT (sum(CAST(round(c_acctbal*100) AS BIGINT))
+                               / 100.0) / count(*) AS v
+                       FROM customer WHERE c_acctbal > 0),
+            active AS (SELECT DISTINCT o_custkey FROM orders
+                       WHERE o_orderdate >= TIMESTAMP '2000-07-01')
+            SELECT n_name, count(*)::BIGINT AS n_custs,
+                   sum(CAST(round(c_acctbal*100) AS BIGINT))::BIGINT
+                     AS acctbal_c
+            FROM customer CROSS JOIN a
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE c_acctbal > a.v
+              AND c_custkey NOT IN (SELECT o_custkey FROM active)
+            GROUP BY 1""",
+        "volume_shipping": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   year(l_shipdate)::BIGINT AS l_year,
+                   sum(CAST(round(l_extendedprice*(1-l_discount)*100)
+                            AS BIGINT))::BIGINT AS cents
+            FROM lineitem
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation n1 ON n1.n_nationkey = s_nationkey
+            JOIN nation n2 ON n2.n_nationkey = c_nationkey
+            WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+              AND year(l_shipdate) BETWEEN 1995 AND 1996
+            GROUP BY 1, 2, 3""",
+        "market_share": """
+            SELECT year(o_orderdate)::BIGINT AS o_year,
+                   sum(CASE WHEN s_nationkey =
+                         (SELECT n_nationkey FROM nation
+                          WHERE n_name = 'NATION_1')
+                       THEN cents ELSE 0 END)::BIGINT AS nation_c,
+                   sum(cents)::BIGINT AS total_c
+            FROM (SELECT l_orderkey, l_suppkey, l_partkey,
+                    CAST(round(l_extendedprice*(1-l_discount)*100)
+                         AS BIGINT) AS cents
+                  FROM lineitem) li
+            JOIN part ON p_partkey = l_partkey AND p_type = 'PROMO'
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation n2 ON n2.n_nationkey = c_nationkey
+            JOIN region ON r_regionkey = n2.n_regionkey
+                       AND r_name = 'ASIA'
+            WHERE year(o_orderdate) BETWEEN 1995 AND 1996
+            GROUP BY 1""",
+        "small_qty_revenue": """
+            WITH pk AS (SELECT p_partkey FROM part
+                        WHERE p_brand = 'Brand#13'),
+            avgq AS (SELECT l_partkey,
+                       0.2 * ((sum(CAST(l_quantity AS BIGINT))::DOUBLE)
+                              / count(*)) AS thr
+                     FROM lineitem JOIN pk ON p_partkey = l_partkey
+                     GROUP BY 1)
+            SELECT coalesce(sum(CAST(round(l_extendedprice*100)
+                                     AS BIGINT)), 0)::BIGINT AS revenue_c,
+                   count(*)::BIGINT AS n_rows
+            FROM lineitem JOIN avgq ON avgq.l_partkey = lineitem.l_partkey
+            WHERE l_quantity < thr""",
+        "discounted_revenue": """
+            SELECT coalesce(sum(CAST(round(l_extendedprice*(1-l_discount)
+                                           *100) AS BIGINT)),
+                            0)::BIGINT AS revenue_c,
+                   count(*)::BIGINT AS n_rows
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)""",
+        "events_first_touch": """
+            WITH r AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                         event_type,
+                         row_number() OVER (PARTITION BY user_id
+                           ORDER BY epoch_us(ts), event_id) AS rnk
+                       FROM events)
+            SELECT user_id, ts_us AS first_ts_us,
+                   event_id AS first_event_id, event_type AS first_type
+            FROM r WHERE rnk = 1""",
+        "events_gap_stats": """
+            WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us,
+                         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                           ORDER BY epoch_us(ts), event_id) AS prev
+                       FROM events)
+            SELECT user_id, count(prev)::BIGINT AS n_gaps,
+                   coalesce(sum(ts_us - prev), 0)::BIGINT AS sum_gap_us,
+                   coalesce(max(ts_us - prev), 0)::BIGINT AS max_gap_us
+            FROM e GROUP BY user_id""",
     }

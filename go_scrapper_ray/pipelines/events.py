@@ -449,3 +449,75 @@ def cumulative_value(sf_dir: str) -> rd.Dataset:
 
     out = [with_cum.remote(r, int(o)) for r, o in zip(refs, offsets)]
     return rd.from_arrow_refs(out)
+
+def first_touch(sf_dir: str) -> rd.Dataset:
+    """(user_id, first_ts_us, first_event_id, first_type): each user's
+    first event — the attribution primitive (argmin over (ts, event_id)).
+
+    Scale shape — NO per-user map_groups: each batch keeps its own
+    first-per-user candidate (one vectorized lexsort + take-first), so the
+    groupby(user_id) shuffle carries at most one row per user per batch;
+    the finishing kernel repeats the same argmin over the tiny candidate
+    set, sharded so group-call count is O(shards) not O(users)."""
+    shards = 64
+
+    def candidates(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        first = np.ones(len(order), dtype=bool)
+        u_sorted = uid[order]
+        first[1:] = u_sorted[1:] != u_sorted[:-1]
+        keep = order[first]
+        out = t.take(pa.array(keep, pa.int64()))
+        return pa.table({
+            "user_id": out["user_id"],
+            "first_ts_us": out["ts"].cast(pa.int64()),
+            "first_event_id": out["event_id"],
+            "first_type": out["event_type"],
+            "shard": pc.cast(pc.bit_wise_and(out["user_id"], shards - 1),
+                             pa.int64())})
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "first_ts_us", "first_event_id"],
+                          kind="mergesort")
+        g = g.drop_duplicates("user_id", keep="first")
+        return g[["user_id", "first_ts_us", "first_event_id",
+                  "first_type"]]
+
+    return (_events(sf_dir, ("ts", "user_id", "event_id", "event_type"))
+            .map_batches(candidates, batch_format="pyarrow")
+            .groupby("shard")
+            .map_groups(finish, batch_format="pandas"))
+
+
+def user_gap_stats(sf_dir: str) -> rd.Dataset:
+    """(user_id, n_gaps, sum_gap_us, max_gap_us): inter-event gap stats
+    per user (lag-window diff) — the cadence profile behind bot scoring
+    and session-gap tuning.  All outputs exact int64 microseconds.
+
+    Same partitioning contract as sessionize: groupby(user_id) with an
+    in-group sort; one user's events fit one group (user-keyed logs)."""
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts_us", "event_id"])
+        ts = g["ts_us"].to_numpy()
+        gaps = ts[1:] - ts[:-1]
+        return pd.DataFrame({
+            "user_id": [g["user_id"].iloc[0]],
+            "n_gaps": np.array([len(gaps)], dtype="int64"),
+            "sum_gap_us": np.array([gaps.sum() if len(gaps) else 0],
+                                   dtype="int64"),
+            "max_gap_us": np.array([gaps.max() if len(gaps) else 0],
+                                   dtype="int64")})
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t["user_id"],
+                         "event_id": t["event_id"],
+                         "ts_us": t["ts"].cast(pa.int64())})
+
+    return (_events(sf_dir, ("ts", "user_id", "event_id"))
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby("user_id")
+            .map_groups(per_user, batch_format="pandas"))

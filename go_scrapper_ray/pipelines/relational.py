@@ -486,3 +486,519 @@ def top_orders_per_cust(sf_dir: str, n: int = 3,
             .map_batches(combine, batch_format="pandas")
             .groupby("shard")
             .map_groups(final, batch_format="pandas"))
+
+def returned_item_revenue(sf_dir: str, date_from: str = "1996-01-01",
+                          date_to: str = "1996-04-01",
+                          n: int = 20) -> rd.Dataset:
+    """(c_custkey, c_name, n_name, cents): TPC-H-Q10-shaped — revenue lost
+    to returned items per customer in one quarter, top-N.
+
+    Scale shape: lineitem (the 100 TB side) filters l_returnflag=='R' and
+    pre-aggregates cents PER ORDERKEY inside each batch, so the
+    groupby(l_orderkey) shuffle carries (key, cents); the date-filtered
+    orders quarter joins via the hash join on orderkey; the per-customer
+    re-aggregate is another id-sized shuffle; customer and nation names
+    attach via broadcast (dimension tables)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+    lo_us = int(np.datetime64(date_from, "us").astype(np.int64))
+    hi_us = int(np.datetime64(date_to, "us").astype(np.int64))
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], "R"))
+        cents = pc.round(
+            pc.multiply(pc.multiply(t["l_extendedprice"],
+                                    pc.subtract(pa.scalar(1.0),
+                                                t["l_discount"])),
+                        100),
+            round_mode="half_towards_infinity").cast(pa.int64())
+        g = (pa.table({"l_orderkey": t["l_orderkey"], "cents": cents})
+             .group_by("l_orderkey").aggregate([("cents", "sum")]))
+        return g.rename_columns(["l_orderkey", "p_rev"])
+
+    rev = (_read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_returnflag", "l_extendedprice",
+                  "l_discount"])
+           .map_batches(li_partial, batch_format="pyarrow")
+           .groupby("l_orderkey").aggregate(Sum("p_rev", alias_name="rev")))
+
+    def o_kernel(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"].cast(pa.int64())
+        keep = pc.and_(pc.greater_equal(d, pa.scalar(lo_us, pa.int64())),
+                       pc.less(d, pa.scalar(hi_us, pa.int64())))
+        t = t.filter(keep)
+        return t.select(["o_orderkey", "o_custkey"])
+
+    orders = (_read(sf_dir, "orders",
+                    ["o_orderkey", "o_custkey", "o_orderdate"])
+              .map_batches(o_kernel, batch_format="pyarrow"))
+    joined = rev.join(orders, "inner", num_partitions=8,
+                      on=("l_orderkey",), right_on=("o_orderkey",),
+                      aggregator_ray_remote_args=join_agg_args())
+
+    def cust_partial(t: pa.Table) -> pa.Table:
+        g = (pa.table({"o_custkey": t["o_custkey"], "rev": t["rev"]})
+             .group_by("o_custkey").aggregate([("rev", "sum")]))
+        return g.rename_columns(["o_custkey", "p_cents"])
+
+    per_cust = (joined.map_batches(cust_partial, batch_format="pyarrow")
+                .groupby("o_custkey")
+                .aggregate(Sum("p_cents", alias_name="cents")))
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name", "c_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    named = broadcast_join(per_cust, cust, "o_custkey", "c_custkey",
+                           ["c_name", "c_nationkey"])
+    named = broadcast_join(named, nation, "c_nationkey", "n_nationkey",
+                           ["n_name"])
+    top = named.sort(["cents", "o_custkey"],
+                     descending=[True, False]).limit(n)
+    return top.map_batches(
+        lambda t: pa.table({"c_custkey": t["o_custkey"],
+                            "c_name": t["c_name"],
+                            "n_name": t["n_name"],
+                            "cents": t["cents"]}),
+        batch_format="pyarrow")
+
+
+def large_volume_orders(sf_dir: str, qty_gt: int = 250) -> rd.Dataset:
+    """(o_orderkey, c_custkey, c_name, o_orderdate_us, total_c, sum_qty):
+    TPC-H-Q18-shaped — orders whose total line quantity exceeds ``qty_gt``.
+
+    Scale shape: lineitem pre-sums integer quantity per orderkey inside
+    each batch (combiner), ONE groupby(l_orderkey) shuffle of (key, qty),
+    HAVING filter on the tiny aggregate, hash join back to orders on
+    orderkey, customer name via broadcast.  Quantities are whole numbers
+    in [1, 50] stored as double, so the int64 cast is exact."""
+    from ray.data.aggregate import Sum
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        qty = t["l_quantity"].cast(pa.int64())
+        g = (pa.table({"l_orderkey": t["l_orderkey"], "q": qty})
+             .group_by("l_orderkey").aggregate([("q", "sum")]))
+        return g.rename_columns(["l_orderkey", "p_q"])
+
+    big = (_read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+           .map_batches(li_partial, batch_format="pyarrow")
+           .groupby("l_orderkey").aggregate(Sum("p_q", alias_name="sum_qty"))
+           .filter(expr=f"sum_qty > {qty_gt}"))
+
+    def o_proj(t: pa.Table) -> pa.Table:
+        total_c = pc.round(pc.multiply(t["o_totalprice"], 100),
+                           round_mode="half_towards_infinity").cast(pa.int64())
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "c_custkey": t["o_custkey"],
+                         "o_orderdate_us": t["o_orderdate"].cast(pa.int64()),
+                         "total_c": total_c})
+
+    orders = (_read(sf_dir, "orders",
+                    ["o_orderkey", "o_custkey", "o_orderdate",
+                     "o_totalprice"])
+              .map_batches(o_proj, batch_format="pyarrow"))
+    joined = big.join(orders, "inner", num_partitions=8,
+                      on=("l_orderkey",), right_on=("o_orderkey",),
+                      aggregator_ray_remote_args=join_agg_args())
+    import pyarrow.parquet as pq
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name"])
+    named = broadcast_join(joined, cust, "c_custkey", "c_custkey",
+                           ["c_name"])
+    return named.map_batches(
+        lambda t: t.select(["l_orderkey", "c_custkey", "c_name",
+                            "o_orderdate_us", "total_c", "sum_qty"])
+                   .rename_columns(["o_orderkey", "c_custkey", "c_name",
+                                    "o_orderdate_us", "total_c",
+                                    "sum_qty"]),
+        batch_format="pyarrow")
+
+
+def high_balance_inactive(sf_dir: str,
+                          since: str = "2000-07-01") -> rd.Dataset:
+    """(n_name, n_custs, acctbal_c): TPC-H-Q22-shaped — customers whose
+    account balance beats the global positive-balance average and who
+    placed no order since ``since``, rolled up by nation.
+
+    Scale shape: the average is a two-scalar distributed aggregate (sum
+    cents + count, both exact int64, divided once on the driver — the
+    division order matches DuckDB's avg() because both sums are exact
+    integers in double range); the recently-active custkey set is built
+    per-batch with ``pc.unique`` and broadcast (bounded by active
+    customers, same small-side class as customers_without_orders); the
+    customer scan then streams one vectorized filter + per-batch nation
+    rollup."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+    since_us = int(np.datetime64(since, "us").astype(np.int64))
+
+    def bal_partial(t: pa.Table) -> pa.Table:
+        pos = t.filter(pc.greater(t["c_acctbal"], 0.0))
+        cents = pc.round(pc.multiply(pos["c_acctbal"], 100),
+                         round_mode="half_towards_infinity").cast(pa.int64())
+        return pa.table({"p_c": pa.array([pc.sum(cents).as_py() or 0],
+                                         pa.int64()),
+                         "p_n": pa.array([len(pos)], pa.int64())})
+
+    cust_cols = ["c_custkey", "c_nationkey", "c_acctbal"]
+    bal = (_read(sf_dir, "customer", cust_cols)
+           .map_batches(bal_partial, batch_format="pyarrow")
+           .aggregate(Sum("p_c", alias_name="c"), Sum("p_n",
+                                                      alias_name="n")))
+    # exact-int cents / count: same double division DuckDB's avg performs
+    avg_bal = (int(bal["c"]) / 100.0) / int(bal["n"])
+
+    def keys_of(t: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(t["o_orderdate"].cast(pa.int64()),
+                                pa.scalar(since_us, pa.int64()))
+        return pa.table({"k": pc.unique(t.filter(keep)["o_custkey"])})
+
+    keyed = (_read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+             .map_batches(keys_of, batch_format="pyarrow"))
+    blocks = [ray.get(r) for r in keyed.to_arrow_refs()]
+    keys = pc.unique(pa.concat_tables(blocks)["k"].combine_chunks()) \
+        if blocks else pa.array([], pa.int64())
+    keys_ref = ray.put(keys)
+
+    def c_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["c_acctbal"], avg_bal))
+        t = t.filter(pc.is_null(pc.index_in(t["c_custkey"],
+                                            value_set=ray.get(keys_ref))))
+        cents = pc.round(pc.multiply(t["c_acctbal"], 100),
+                         round_mode="half_towards_infinity").cast(pa.int64())
+        g = (pa.table({"c_nationkey": t["c_nationkey"], "cents": cents})
+             .group_by("c_nationkey")
+             .aggregate([("cents", "sum"), ("cents", "count")]))
+        return g.rename_columns(["c_nationkey", "p_c", "p_n"])
+
+    agg = (_read(sf_dir, "customer", cust_cols)
+           .map_batches(c_partial, batch_format="pyarrow")
+           .groupby("c_nationkey")
+           .aggregate(Sum("p_n", alias_name="n_custs"),
+                      Sum("p_c", alias_name="acctbal_c")))
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    named = broadcast_join(agg, nation, "c_nationkey", "n_nationkey",
+                           ["n_name"])
+    return named.map_batches(
+        lambda t: t.select(["n_name", "n_custs", "acctbal_c"]),
+        batch_format="pyarrow")
+
+
+def volume_shipping(sf_dir: str, nation_a: str = "NATION_1",
+                    nation_b: str = "NATION_2", year_from: int = 1995,
+                    year_to: int = 1996) -> rd.Dataset:
+    """(supp_nation, cust_nation, l_year, cents): TPC-H-Q7-shaped — trade
+    volume between two nations by direction and ship year.
+
+    Scale shape: supplier is pre-FILTERED to the two nations before
+    broadcast (the semi-join kills most lineitems early); lineitem
+    pre-aggregates cents per (orderkey, supp_nation, year) in-batch; the
+    orderkey hash join attaches the customer nation (customer→nationkey
+    via broadcast dimension); the pair filter and the final tiny groupby
+    run on id-sized rows throughout."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    name_of = dict(zip(nat["n_nationkey"].to_pylist(),
+                       nat["n_name"].to_pylist()))
+    keys = {k for k, v in name_of.items() if v in (nation_a, nation_b)}
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    sup = sup.filter(pc.is_in(sup["s_nationkey"],
+                              value_set=pa.array(sorted(keys))))
+    sup_ref = ray.put(sup)
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        year = pc.year(t["l_shipdate"]).cast(pa.int64())
+        keep = pc.and_(pc.greater_equal(year, year_from),
+                       pc.less_equal(year, year_to))
+        t, year = t.filter(keep), pc.filter(year, keep)
+        s = ray.get(sup_ref)
+        idx = pc.index_in(t["l_suppkey"], value_set=s["s_suppkey"])
+        hit = pc.is_valid(idx)
+        t, year = t.filter(hit), pc.filter(year, hit)
+        snat = pc.take(s["s_nationkey"], pc.filter(idx, hit))
+        cents = pc.round(
+            pc.multiply(pc.multiply(t["l_extendedprice"],
+                                    pc.subtract(pa.scalar(1.0),
+                                                t["l_discount"])),
+                        100),
+            round_mode="half_towards_infinity").cast(pa.int64())
+        g = (pa.table({"l_orderkey": t["l_orderkey"], "s_nat": snat,
+                       "l_year": year, "cents": cents})
+             .group_by(["l_orderkey", "s_nat", "l_year"])
+             .aggregate([("cents", "sum")]))
+        return g.rename_columns(["l_orderkey", "s_nat", "l_year", "p_c"])
+
+    li = (_read(sf_dir, "lineitem",
+                ["l_orderkey", "l_suppkey", "l_shipdate",
+                 "l_extendedprice", "l_discount"])
+          .map_batches(li_partial, batch_format="pyarrow"))
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    cust = cust.filter(pc.is_in(cust["c_nationkey"],
+                                value_set=pa.array(sorted(keys))))
+    cust_ref = ray.put(cust)
+
+    def o_kernel(t: pa.Table) -> pa.Table:
+        c = ray.get(cust_ref)
+        idx = pc.index_in(t["o_custkey"], value_set=c["c_custkey"])
+        hit = pc.is_valid(idx)
+        t = t.filter(hit)
+        cnat = pc.take(c["c_nationkey"], pc.filter(idx, hit))
+        return pa.table({"o_orderkey": t["o_orderkey"], "c_nat": cnat})
+
+    orders = (_read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+              .map_batches(o_kernel, batch_format="pyarrow"))
+    joined = li.join(orders, "inner", num_partitions=8,
+                     on=("l_orderkey",), right_on=("o_orderkey",),
+                     aggregator_ray_remote_args=join_agg_args())
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        # keep only cross-nation pairs (both directions)
+        keep = pc.not_equal(t["s_nat"], t["c_nat"])
+        t = t.filter(keep)
+        g = (pa.table({"s_nat": t["s_nat"], "c_nat": t["c_nat"],
+                       "l_year": t["l_year"], "cents": t["p_c"]})
+             .group_by(["s_nat", "c_nat", "l_year"])
+             .aggregate([("cents", "sum")]))
+        return g.rename_columns(["s_nat", "c_nat", "l_year", "p_c"])
+
+    agg = (joined.map_batches(pair_partial, batch_format="pyarrow")
+           .groupby(["s_nat", "c_nat", "l_year"])
+           .aggregate(Sum("p_c", alias_name="cents")))
+
+    def name_kernel(t: pa.Table) -> pa.Table:
+        sn = pa.array([name_of[k] for k in t["s_nat"].to_pylist()],
+                      pa.string())
+        cn = pa.array([name_of[k] for k in t["c_nat"].to_pylist()],
+                      pa.string())
+        return pa.table({"supp_nation": sn, "cust_nation": cn,
+                         "l_year": t["l_year"], "cents": t["cents"]})
+
+    return agg.map_batches(name_kernel, batch_format="pyarrow")
+
+
+def market_share(sf_dir: str, region: str = "ASIA",
+                 ptype: str = "PROMO", nation: str = "NATION_1",
+                 year_from: int = 1995, year_to: int = 1996) -> rd.Dataset:
+    """(o_year, nation_c, total_c): TPC-H-Q8-shaped — of the revenue for
+    parts of one type sold to customers in one region per order year, the
+    slice supplied by one nation (numerator and denominator both emitted
+    as exact cents; the share is their ratio downstream).
+
+    Scale shape: part is filtered to the type BEFORE broadcast (semi-join
+    prune at the read edge); supplier broadcasts as a key→nation map;
+    lineitem pre-aggregates (orderkey, is-nation) cents in-batch; orders
+    filter the year window and attach the region-filtered customer set by
+    broadcast; the orderkey hash join and the per-year groupby move
+    id-sized rows only."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name", "n_regionkey"])
+    reg = pq.read_table(f"{sf_dir}/region.parquet",
+                        columns=["r_regionkey", "r_name"])
+    reg_key = reg.filter(pc.equal(reg["r_name"],
+                                  region))["r_regionkey"][0].as_py()
+    region_nations = nat.filter(pc.equal(nat["n_regionkey"], reg_key))
+    nation_key = nat.filter(pc.equal(nat["n_name"],
+                                     nation))["n_nationkey"][0].as_py()
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"])
+    partkeys = part.filter(pc.equal(part["p_type"], ptype))["p_partkey"]
+    pk_ref = ray.put(partkeys.combine_chunks())
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    sup_ref = ray.put(sup)
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        hit = pc.is_valid(pc.index_in(t["l_partkey"],
+                                      value_set=ray.get(pk_ref)))
+        t = t.filter(hit)
+        s = ray.get(sup_ref)
+        sidx = pc.index_in(t["l_suppkey"], value_set=s["s_suppkey"])
+        snat = pc.take(s["s_nationkey"], sidx)
+        is_nat = pc.equal(snat, nation_key).cast(pa.int64())
+        cents = pc.round(
+            pc.multiply(pc.multiply(t["l_extendedprice"],
+                                    pc.subtract(pa.scalar(1.0),
+                                                t["l_discount"])),
+                        100),
+            round_mode="half_towards_infinity").cast(pa.int64())
+        g = (pa.table({"l_orderkey": t["l_orderkey"],
+                       "nat": pc.multiply(cents, is_nat), "tot": cents})
+             .group_by("l_orderkey")
+             .aggregate([("nat", "sum"), ("tot", "sum")]))
+        return g.rename_columns(["l_orderkey", "p_nat", "p_tot"])
+
+    li = (_read(sf_dir, "lineitem",
+                ["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"])
+          .map_batches(li_partial, batch_format="pyarrow"))
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    cust = cust.filter(pc.is_in(
+        cust["c_nationkey"],
+        value_set=region_nations["n_nationkey"].combine_chunks()))
+    ck_ref = ray.put(cust["c_custkey"].combine_chunks())
+
+    def o_kernel(t: pa.Table) -> pa.Table:
+        year = pc.year(t["o_orderdate"]).cast(pa.int64())
+        keep = pc.and_(pc.greater_equal(year, year_from),
+                       pc.less_equal(year, year_to))
+        t, year = t.filter(keep), pc.filter(year, keep)
+        hit = pc.is_valid(pc.index_in(t["o_custkey"],
+                                      value_set=ray.get(ck_ref)))
+        return pa.table({"o_orderkey": t.filter(hit)["o_orderkey"],
+                         "o_year": pc.filter(year, hit)})
+
+    orders = (_read(sf_dir, "orders",
+                    ["o_orderkey", "o_custkey", "o_orderdate"])
+              .map_batches(o_kernel, batch_format="pyarrow"))
+    joined = li.join(orders, "inner", num_partitions=8,
+                     on=("l_orderkey",), right_on=("o_orderkey",),
+                     aggregator_ray_remote_args=join_agg_args())
+
+    def year_partial(t: pa.Table) -> pa.Table:
+        g = (pa.table({"o_year": t["o_year"], "nat": t["p_nat"],
+                       "tot": t["p_tot"]})
+             .group_by("o_year")
+             .aggregate([("nat", "sum"), ("tot", "sum")]))
+        return g.rename_columns(["o_year", "pn", "pt"])
+
+    return (joined.map_batches(year_partial, batch_format="pyarrow")
+            .groupby("o_year")
+            .aggregate(Sum("pn", alias_name="nation_c"),
+                       Sum("pt", alias_name="total_c")))
+
+
+def small_qty_revenue(sf_dir: str, brand: str = "Brand#13",
+                      factor: float = 0.2) -> pa.Table:
+    """(revenue_c, n_rows) single row: TPC-H-Q17-shaped — revenue from
+    line items of one brand ordered below ``factor`` x that part's average
+    quantity.
+
+    Scale shape: pass 1 computes per-part (sum qty, count) DISTRIBUTED
+    (per-batch combine, groupby over the brand's partkeys — a dimension-
+    sized aggregate collected to the driver and re-broadcast as a
+    key→threshold map); pass 2 streams lineitem once more with a
+    vectorized lookup + filter + scalar sum.  Quantities are whole
+    numbers, so sum/count is an exact-int double division — identical to
+    DuckDB's avg() regardless of summation order."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"])
+    partkeys = part.filter(pc.equal(part["p_brand"],
+                                    brand))["p_partkey"].combine_chunks()
+    pk_ref = ray.put(partkeys)
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        hit = pc.is_valid(pc.index_in(t["l_partkey"],
+                                      value_set=ray.get(pk_ref)))
+        t = t.filter(hit)
+        g = (pa.table({"l_partkey": t["l_partkey"],
+                       "q": t["l_quantity"].cast(pa.int64())})
+             .group_by("l_partkey")
+             .aggregate([("q", "sum"), ("q", "count")]))
+        return g.rename_columns(["l_partkey", "p_q", "p_n"])
+
+    li_cols = ["l_partkey", "l_quantity", "l_extendedprice"]
+    stats = (_read(sf_dir, "lineitem", li_cols[:2])
+             .map_batches(qty_partial, batch_format="pyarrow")
+             .groupby("l_partkey")
+             .aggregate(Sum("p_q", alias_name="sq"),
+                        Sum("p_n", alias_name="n")))
+    blocks = [ray.get(r) for r in stats.to_arrow_refs()]
+    st = pa.concat_tables(blocks) if blocks else pa.table(
+        {"l_partkey": pa.array([], pa.int64()),
+         "sq": pa.array([], pa.int64()), "n": pa.array([], pa.int64())})
+    import numpy as np
+    thr = factor * (st["sq"].to_numpy(zero_copy_only=False).astype(float)
+                    / np.maximum(st["n"].to_numpy(zero_copy_only=False), 1))
+    thr_tbl = pa.table({"k": st["l_partkey"],
+                        "thr": pa.array(thr, pa.float64())})
+    thr_ref = ray.put(thr_tbl)
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        m = ray.get(thr_ref)
+        idx = pc.index_in(t["l_partkey"], value_set=m["k"])
+        hit = pc.is_valid(idx)
+        t = t.filter(hit)
+        lim = pc.take(m["thr"], pc.filter(idx, hit))
+        t = t.filter(pc.less(t["l_quantity"], lim))
+        cents = pc.round(pc.multiply(t["l_extendedprice"], 100),
+                         round_mode="half_towards_infinity").cast(pa.int64())
+        return pa.table({"p_rev": pa.array([pc.sum(cents).as_py() or 0],
+                                           pa.int64()),
+                         "p_n": pa.array([len(t)], pa.int64())})
+
+    agg = (_read(sf_dir, "lineitem", li_cols)
+           .map_batches(rev_partial, batch_format="pyarrow")
+           .aggregate(Sum("p_rev", alias_name="revenue_c"),
+                      Sum("p_n", alias_name="n_rows")))
+    return pa.table({
+        "revenue_c": pa.array([int(agg["revenue_c"])], pa.int64()),
+        "n_rows": pa.array([int(agg["n_rows"])], pa.int64())})
+
+
+def discounted_revenue(sf_dir: str) -> pa.Table:
+    """(revenue_c, n_rows) single row: TPC-H-Q19-shaped — revenue matching
+    an OR of three (brand, size-range, quantity-range) conjunctions, the
+    classic multi-predicate pushdown shape.
+
+    Scale shape: part projects to (key, brand, size) and broadcasts once;
+    lineitem streams one vectorized mask evaluation per batch and partial-
+    sums exact cents — no shuffle wider than one row per batch."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand", "p_size"])
+    part_ref = ray.put(part)
+    terms = [("Brand#11", 1, 5, 1.0, 11.0),
+             ("Brand#13", 1, 10, 10.0, 20.0),
+             ("Brand#22", 1, 15, 20.0, 30.0)]
+
+    def partial(t: pa.Table) -> pa.Table:
+        p = ray.get(part_ref)
+        idx = pc.index_in(t["l_partkey"], value_set=p["p_partkey"])
+        brand = pc.take(p["p_brand"], idx)
+        size = pc.take(p["p_size"], idx)
+        qty = t["l_quantity"]
+        mask = None
+        for b, s_lo, s_hi, q_lo, q_hi in terms:
+            m = pc.and_(
+                pc.and_(pc.equal(brand, b),
+                        pc.and_(pc.greater_equal(size, s_lo),
+                                pc.less_equal(size, s_hi))),
+                pc.and_(pc.greater_equal(qty, q_lo),
+                        pc.less_equal(qty, q_hi)))
+            mask = m if mask is None else pc.or_(mask, m)
+        mask = pc.fill_null(mask, False)
+        t = t.filter(mask)
+        cents = pc.round(
+            pc.multiply(pc.multiply(t["l_extendedprice"],
+                                    pc.subtract(pa.scalar(1.0),
+                                                t["l_discount"])),
+                        100),
+            round_mode="half_towards_infinity").cast(pa.int64())
+        return pa.table({"p_rev": pa.array([pc.sum(cents).as_py() or 0],
+                                           pa.int64()),
+                         "p_n": pa.array([len(t)], pa.int64())})
+
+    agg = (_read(sf_dir, "lineitem",
+                 ["l_partkey", "l_quantity", "l_extendedprice",
+                  "l_discount"])
+           .map_batches(partial, batch_format="pyarrow")
+           .aggregate(Sum("p_rev", alias_name="revenue_c"),
+                      Sum("p_n", alias_name="n_rows")))
+    return pa.table({
+        "revenue_c": pa.array([int(agg["revenue_c"])], pa.int64()),
+        "n_rows": pa.array([int(agg["n_rows"])], pa.int64())})
