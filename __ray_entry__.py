@@ -963,8 +963,8 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON c_custkey = o_custkey
             JOIN nation n1 ON n1.n_nationkey = s_nationkey
             JOIN nation n2 ON n2.n_nationkey = c_nationkey
-            WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+                OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
               AND year(l_shipdate) BETWEEN 1995 AND 1996
             GROUP BY 1, 2, 3""",
         "market_share": """

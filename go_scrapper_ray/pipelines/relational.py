@@ -686,8 +686,8 @@ def high_balance_inactive(sf_dir: str,
         batch_format="pyarrow")
 
 
-def volume_shipping(sf_dir: str, nation_a: str = "NATION_1",
-                    nation_b: str = "NATION_2", year_from: int = 1995,
+def volume_shipping(sf_dir: str, nation_a: str = "NATION_3",
+                    nation_b: str = "NATION_8", year_from: int = 1995,
                     year_to: int = 1996) -> rd.Dataset:
     """(supp_nation, cust_nation, l_year, cents): TPC-H-Q7-shaped — trade
     volume between two nations by direction and ship year.
@@ -709,6 +709,15 @@ def volume_shipping(sf_dir: str, nation_a: str = "NATION_1",
                         columns=["s_suppkey", "s_nationkey"])
     sup = sup.filter(pc.is_in(sup["s_nationkey"],
                               value_set=pa.array(sorted(keys))))
+
+    empty = pa.table({"supp_nation": pa.array([], pa.string()),
+                      "cust_nation": pa.array([], pa.string()),
+                      "l_year": pa.array([], pa.int64()),
+                      "cents": pa.array([], pa.int64())})
+    if sup.num_rows == 0:
+        # no supplier in either nation → result is empty; Ray's hash join
+        # cannot finalize all-empty partitions, so short-circuit here
+        return rd.from_arrow(empty)
     sup_ref = ray.put(sup)
 
     def li_partial(t: pa.Table) -> pa.Table:
@@ -742,6 +751,8 @@ def volume_shipping(sf_dir: str, nation_a: str = "NATION_1",
                          columns=["c_custkey", "c_nationkey"])
     cust = cust.filter(pc.is_in(cust["c_nationkey"],
                                 value_set=pa.array(sorted(keys))))
+    if cust.num_rows == 0:
+        return rd.from_arrow(empty)
     cust_ref = ray.put(cust)
 
     def o_kernel(t: pa.Table) -> pa.Table:
