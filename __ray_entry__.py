@@ -246,6 +246,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "discounted_revenue": relational.discounted_revenue,
         "events_first_touch": events.first_touch,
         "events_gap_stats": events.user_gap_stats,
+        "events_last_touch": events.last_touch,
+        "events_session_stats": events.session_stats,
+        "events_hourly": events.hourly_profile,
+        "ship_lag_stats": relational.ship_lag_stats,
+        "top_supplier_revenue": relational.top_supplier_revenue,
+        "order_supplier_diversity": relational.order_supplier_diversity,
+        "docs_top_terms": textstats.top_terms,
     }
 
 
@@ -1030,4 +1037,77 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(sum(ts_us - prev), 0)::BIGINT AS sum_gap_us,
                    coalesce(max(ts_us - prev), 0)::BIGINT AS max_gap_us
             FROM e GROUP BY user_id""",
+        "events_last_touch": """
+            WITH r AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                         event_type,
+                         row_number() OVER (PARTITION BY user_id
+                           ORDER BY epoch_us(ts) DESC, event_id DESC) AS rnk
+                       FROM events)
+            SELECT user_id, ts_us AS last_ts_us,
+                   event_id AS last_event_id, event_type AS last_type
+            FROM r WHERE rnk = 1""",
+        "events_session_stats": """
+            WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+            s AS (SELECT user_id, event_id, ts_us,
+                   CASE WHEN lag(ts_us) OVER w IS NULL
+                          OR ts_us - lag(ts_us) OVER w > 1800000000
+                        THEN 1 ELSE 0 END AS is_new
+                  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+            g AS (SELECT user_id, ts_us,
+                   SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_idx
+                  FROM s),
+            sess AS (SELECT user_id, session_idx,
+                       count(*)::BIGINT AS n_events,
+                       max(ts_us) - min(ts_us) AS dur_us
+                     FROM g GROUP BY 1, 2)
+            SELECT n_events, count(*)::BIGINT AS n_sessions,
+                   sum(dur_us)::BIGINT AS sum_duration_us
+            FROM sess GROUP BY n_events""",
+        "events_hourly": """
+            SELECT (epoch_us(ts) // 3600000000) % 24 AS hour,
+                   count(DISTINCT user_id)::BIGINT AS n_users,
+                   count(*)::BIGINT AS n_events
+            FROM events GROUP BY 1""",
+        "ship_lag_stats": """
+            SELECT o_orderpriority, count(*)::BIGINT AS n,
+                   sum(epoch_us(l_shipdate) // 86400000000
+                       - epoch_us(o_orderdate) // 86400000000)::BIGINT
+                     AS sum_lag_days,
+                   max(epoch_us(l_shipdate) // 86400000000
+                       - epoch_us(o_orderdate) // 86400000000)::BIGINT
+                     AS max_lag_days
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1""",
+        "top_supplier_revenue": """
+            WITH rev AS (SELECT l_suppkey AS s_suppkey,
+                           sum(CAST(round(l_extendedprice*(1-l_discount)*100)
+                                    AS BIGINT))::BIGINT AS cents
+                         FROM lineitem
+                         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                           AND l_shipdate <  TIMESTAMP '1996-04-01'
+                         GROUP BY 1)
+            SELECT s_suppkey, cents, s_name
+            FROM rev JOIN supplier USING (s_suppkey)
+            WHERE cents = (SELECT max(cents) FROM rev)""",
+        "order_supplier_diversity": """
+            WITH d AS (SELECT l_orderkey,
+                         count(DISTINCT l_suppkey)::BIGINT AS n_suppliers
+                       FROM lineitem GROUP BY 1)
+            SELECT n_suppliers, count(*)::BIGINT AS n_orders
+            FROM d GROUP BY 1""",
+        "docs_top_terms": r"""
+            WITH tok AS (SELECT doc_id,
+                           unnest(regexp_extract_all(lower(text), '\S+'))
+                             AS term
+                         FROM documents),
+            tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+                   FROM tok GROUP BY 1, 2),
+            df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+                   FROM tok GROUP BY 1),
+            r AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                    row_number() OVER (PARTITION BY tf.doc_id
+                      ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rnk
+                  FROM tf JOIN df USING (term))
+            SELECT doc_id, term, tf, df FROM r WHERE rnk <= 3""",
     }

@@ -521,3 +521,93 @@ def user_gap_stats(sf_dir: str) -> rd.Dataset:
             .map_batches(prep, batch_format="pyarrow")
             .groupby("user_id")
             .map_groups(per_user, batch_format="pandas"))
+
+
+def last_touch(sf_dir: str) -> rd.Dataset:
+    """(user_id, last_ts_us, last_event_id, last_type): each user's final
+    event — last-touch attribution (argmax over (ts, event_id)), the
+    mirror of first_touch and the same scale shape: per-batch candidate
+    reduction (one row per user per batch) before the sharded shuffle."""
+    shards = 64
+
+    def candidates(t: pa.Table) -> pa.Table:
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        # sort ascending, keep the LAST row of each user run = argmax
+        order = np.lexsort((eid, ts, uid))
+        last = np.ones(len(order), dtype=bool)
+        u_sorted = uid[order]
+        last[:-1] = u_sorted[1:] != u_sorted[:-1]
+        keep = order[last]
+        out = t.take(pa.array(keep, pa.int64()))
+        return pa.table({
+            "user_id": out["user_id"],
+            "last_ts_us": out["ts"].cast(pa.int64()),
+            "last_event_id": out["event_id"],
+            "last_type": out["event_type"],
+            "shard": pc.cast(pc.bit_wise_and(out["user_id"], shards - 1),
+                             pa.int64())})
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "last_ts_us", "last_event_id"],
+                          kind="mergesort")
+        g = g.drop_duplicates("user_id", keep="last")
+        return g[["user_id", "last_ts_us", "last_event_id", "last_type"]]
+
+    return (_events(sf_dir, ("ts", "user_id", "event_id", "event_type"))
+            .map_batches(candidates, batch_format="pyarrow")
+            .groupby("shard")
+            .map_groups(finish, batch_format="pandas"))
+
+
+def session_stats(sf_dir: str, gap_s: int = 1800) -> rd.Dataset:
+    """(n_events, n_sessions, sum_duration_us): corpus-level histogram of
+    session sizes with total in-session dwell time — the rollup consumers
+    actually read after sessionization.  Composes on sessionize() (same
+    partitioning contract), then pre-aggregates each sessions batch before
+    the tiny groupby(n_events) shuffle."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        dur = pc.subtract(t["end_us"], t["start_us"])
+        g = (pa.table({"n_events": t["n_events"], "dur_us": dur})
+             .group_by("n_events")
+             .aggregate([("dur_us", "count"), ("dur_us", "sum")]))
+        return g.rename_columns(["n_events", "p_n", "p_dur"])
+
+    return (sessionize(sf_dir, gap_s=gap_s)
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("n_events")
+            .aggregate(Sum("p_n", alias_name="n_sessions"),
+                       Sum("p_dur", alias_name="sum_duration_us")))
+
+
+def hourly_profile(sf_dir: str) -> rd.Dataset:
+    """(hour, n_events, n_users): hour-of-day activity profile with EXACT
+    distinct users — the two-shuffle count-distinct shape shared with
+    daily_active: shuffle (a) groupby(hour, user) over per-batch-deduped
+    pairs, shuffle (b) groupby(hour) over 24 keys."""
+    HOUR_US = 3_600_000_000
+    from ray.data.aggregate import Sum
+
+    def prep(t: pa.Table) -> pa.Table:
+        h = pc.divide(t["ts"].cast(pa.int64()), HOUR_US)
+        hour = pc.subtract(h, pc.multiply(pc.divide(h, 24), 24)).cast(pa.int64())
+        g = (pa.table({"hour": hour, "user_id": t["user_id"]})
+             .group_by(["hour", "user_id"]).aggregate([("user_id", "count")]))
+        return g.rename_columns(["hour", "user_id", "p_n"])
+
+    per_hour_user = (_events(sf_dir, ("ts", "user_id"))
+                     .map_batches(prep, batch_format="pyarrow")
+                     .groupby(["hour", "user_id"])
+                     .aggregate(Sum("p_n", alias_name="n")))
+
+    def hour_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("hour").aggregate([("user_id", "count"),
+                                          ("n", "sum")])
+        return g.rename_columns(["hour", "p_u", "p_e"])
+
+    return (per_hour_user.map_batches(hour_partial, batch_format="pyarrow")
+            .groupby("hour").aggregate(Sum("p_u", alias_name="n_users"),
+                                       Sum("p_e", alias_name="n_events")))

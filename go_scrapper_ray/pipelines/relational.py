@@ -1013,3 +1013,133 @@ def discounted_revenue(sf_dir: str) -> pa.Table:
     return pa.table({
         "revenue_c": pa.array([int(agg["revenue_c"])], pa.int64()),
         "n_rows": pa.array([int(agg["n_rows"])], pa.int64())})
+
+
+def ship_lag_stats(sf_dir: str) -> rd.Dataset:
+    """(o_orderpriority, n, sum_lag_days, max_lag_days): fulfilment-lag
+    profile per order priority — l_shipdate minus o_orderdate in whole
+    days over a NATIVE distributed hash join (lineitem ⋈ orders on
+    orderkey).  Unlike the broadcast joins above, neither side here is
+    filtered small, so this is the engine's genuine co-partitioned
+    shuffle join showcase: both inputs are projected to id-sized rows
+    (3 ints each) BEFORE the exchange, and the post-join aggregate is
+    pre-combined per batch down to |priorities| rows."""
+    DAY_US = 86_400_000_000
+
+    def li_proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "ship_day": pc.divide(t["l_shipdate"].cast(pa.int64()),
+                                  DAY_US).cast(pa.int64())})
+
+    def o_proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_orderpriority": t["o_orderpriority"],
+            "order_day": pc.divide(t["o_orderdate"].cast(pa.int64()),
+                                   DAY_US).cast(pa.int64())})
+
+    li = (_read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+          .map_batches(li_proj, batch_format="pyarrow"))
+    orders = (_read(sf_dir, "orders",
+                    ["o_orderkey", "o_orderpriority", "o_orderdate"])
+              .map_batches(o_proj, batch_format="pyarrow"))
+    joined = li.join(orders, join_type="inner", num_partitions=16,
+                     on=("l_orderkey",), right_on=("o_orderkey",),
+                     aggregator_ray_remote_args=join_agg_args())
+
+    def lag_partial(t: pa.Table) -> pa.Table:
+        lag = pc.subtract(t["ship_day"], t["order_day"])
+        g = (pa.table({"o_orderpriority": t["o_orderpriority"], "lag": lag})
+             .group_by("o_orderpriority")
+             .aggregate([("lag", "count"), ("lag", "sum"), ("lag", "max")]))
+        return g.rename_columns(["o_orderpriority", "p_n", "p_sum", "p_max"])
+
+    from ray.data.aggregate import Max, Sum
+    return (joined.map_batches(lag_partial, batch_format="pyarrow")
+            .groupby("o_orderpriority")
+            .aggregate(Sum("p_n", alias_name="n"),
+                       Sum("p_sum", alias_name="sum_lag_days"),
+                       Max("p_max", alias_name="max_lag_days")))
+
+
+def top_supplier_revenue(sf_dir: str, date_from: str = "1996-01-01",
+                         date_to: str = "1996-04-01") -> rd.Dataset:
+    """(s_suppkey, s_name, cents): TPC-H-Q15-shaped — the supplier(s)
+    whose revenue over a quarter equals the global maximum (ties all
+    kept).  Max-of-aggregate two-pass: (1) per-supplier revenue via
+    combiner-before-shuffle groupby; (2) global max reduced to ONE scalar
+    on the driver (never the aggregate table), then an equality filter +
+    broadcast name lookup."""
+    import numpy as np
+    lo = int(np.datetime64(date_from, "us").astype(np.int64))
+    hi = int(np.datetime64(date_to, "us").astype(np.int64))
+
+    def partial(t: pa.Table) -> pa.Table:
+        ship = t["l_shipdate"].cast(pa.int64())
+        keep = pc.and_(pc.greater_equal(ship, pa.scalar(lo, pa.int64())),
+                       pc.less(ship, pa.scalar(hi, pa.int64())))
+        t = t.filter(keep)
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        cents = pc.round(pc.multiply(rev, 100),
+                         round_mode="half_towards_infinity").cast(pa.int64())
+        g = (pa.table({"s_suppkey": t["l_suppkey"], "cents": cents})
+             .group_by("s_suppkey").aggregate([("cents", "sum")]))
+        return g.rename_columns(["s_suppkey", "p_c"])
+
+    from ray.data.aggregate import Sum
+    per_supp = (_read(sf_dir, "lineitem",
+                      ["l_suppkey", "l_extendedprice", "l_discount",
+                       "l_shipdate"])
+                .map_batches(partial, batch_format="pyarrow")
+                .groupby("s_suppkey")
+                .aggregate(Sum("p_c", alias_name="cents"))
+                .materialize())
+    best = per_supp.max("cents")
+
+    winners = per_supp.map_batches(
+        lambda t: t.filter(pc.equal(t["cents"],
+                                    pa.scalar(best, pa.int64()))),
+        batch_format="pyarrow")
+    import pyarrow.parquet as pq
+    names = pq.read_table(f"{sf_dir}/supplier.parquet",
+                          columns=["s_suppkey", "s_name"])
+    return broadcast_join(winners, names, "s_suppkey", "s_suppkey",
+                          ["s_name"])
+
+
+def order_supplier_diversity(sf_dir: str) -> rd.Dataset:
+    """(n_suppliers, n_orders): histogram of how many DISTINCT suppliers
+    each order draws from — the per-key count-distinct class over the
+    biggest table.  Shuffle (a) carries per-batch-deduped (order,
+    supplier) pairs; shuffle (b) is |distinct counts| keys wide."""
+    from ray.data.aggregate import Sum
+
+    def prep(t: pa.Table) -> pa.Table:
+        g = (pa.table({"l_orderkey": t["l_orderkey"],
+                       "l_suppkey": t["l_suppkey"]})
+             .group_by(["l_orderkey", "l_suppkey"])
+             .aggregate([("l_suppkey", "count")]))
+        return g.rename_columns(["l_orderkey", "l_suppkey", "p_n"])
+
+    per_pair = (_read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+                .map_batches(prep, batch_format="pyarrow")
+                .groupby(["l_orderkey", "l_suppkey"])
+                .aggregate(Sum("p_n", alias_name="n")))
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("l_orderkey").aggregate([("l_suppkey", "count")])
+        return g.rename_columns(["l_orderkey", "p_ns"])
+
+    per_order = (per_pair.map_batches(count_partial, batch_format="pyarrow")
+                 .groupby("l_orderkey")
+                 .aggregate(Sum("p_ns", alias_name="n_suppliers")))
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("n_suppliers").aggregate([("n_suppliers", "count")])
+        return g.rename_columns(["n_suppliers", "p_n"])
+
+    return (per_order.map_batches(hist_partial, batch_format="pyarrow")
+            .groupby("n_suppliers")
+            .aggregate(Sum("p_n", alias_name="n_orders")))

@@ -471,3 +471,66 @@ def doc_frequency(sf_dir: str, k: int = 200) -> rd.Dataset:
     agg = (docs(sf_dir).map_batches(partial, batch_format="pyarrow")
            .groupby("token").aggregate(Sum("p_n", alias_name="df")))
     return agg.sort(["df", "token"], descending=[True, False]).limit(k)
+
+
+def top_terms(sf_dir: str, k: int = 3) -> rd.Dataset:
+    """(doc_id, term, tf, df): each document's top-k salient terms —
+    the tf-idf primitive, ranked (tf desc, df asc, term asc) so rare
+    terms win frequency ties (pure integer ordering keeps the oracle
+    comparison exact; a float idf weight would hash-diverge at ulps).
+
+    Scale shape: the document-frequency side is the SAME distributed
+    combiner/groupby as doc_frequency (never one row per (doc, token));
+    the resulting vocab table is broadcast ONCE via ray.put and each
+    scoring task maps its tokens with one vectorized index_in.  The
+    broadcast is vocab-bounded, not corpus-bounded — at 100 TB you'd
+    add a min_df cut (df=1 hapaxes dominate vocab but can be ranked
+    locally since their df is knowably 1)."""
+    from collections import Counter
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for s in t["text"].to_pylist():
+            c.update(set(s.lower().split()))
+        return pa.table({"token": pa.array(list(c.keys()), pa.string()),
+                         "p_n": pa.array(list(c.values()), pa.int64())})
+
+    df_tbl = pa.concat_tables(
+        ray.get((docs(sf_dir).map_batches(df_partial, batch_format="pyarrow")
+                 .groupby("token").aggregate(Sum("p_n", alias_name="df")))
+                .to_arrow_refs())).combine_chunks()
+    df_ref = ray.put(df_tbl)
+
+    def score(t: pa.Table) -> pa.Table:
+        vocab = ray.get(df_ref)  # zero-copy plasma read
+        doc_ids, terms, tfs = [], [], []
+        for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            c = Counter(s.lower().split())
+            doc_ids.extend([did] * len(c))
+            terms.extend(c.keys())
+            tfs.extend(c.values())
+        terms_arr = pa.array(terms, pa.string())
+        df = pc.take(vocab["df"],
+                     pc.index_in(terms_arr, value_set=vocab["token"]))
+        df_np = df.to_numpy(zero_copy_only=False)
+        tf_np = np.asarray(tfs, dtype=np.int64)
+        did_np = np.asarray(doc_ids, dtype=np.int64)
+        order = np.lexsort((np.asarray(terms, dtype=object), df_np,
+                            -tf_np, did_np))
+        # rank within each doc run, keep the first k
+        did_sorted = did_np[order]
+        starts = np.r_[0, np.flatnonzero(did_sorted[1:] !=
+                                         did_sorted[:-1]) + 1]
+        rank = np.arange(len(order)) - np.repeat(
+            starts, np.diff(np.r_[starts, len(order)]))
+        keep = order[rank < k]
+        return pa.table({
+            "doc_id": pa.array(did_np[keep], pa.int64()),
+            "term": pc.take(terms_arr, pa.array(keep, pa.int64())),
+            "tf": pa.array(tf_np[keep], pa.int64()),
+            "df": pa.array(df_np[keep], pa.int64())})
+
+    return docs(sf_dir).map_batches(score, batch_format="pyarrow")
