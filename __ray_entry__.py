@@ -253,6 +253,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_supplier_revenue": relational.top_supplier_revenue,
         "order_supplier_diversity": relational.order_supplier_diversity,
         "docs_top_terms": textstats.top_terms,
+        "events_median_value": events.median_value,
+        "waiting_suppliers": relational.waiting_suppliers,
+        "label_doc_stats": similarity.label_doc_stats,
     }
 
 
@@ -1110,4 +1113,33 @@ def oracle_sql() -> dict[str, str]:
                       ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rnk
                   FROM tf JOIN df USING (term))
             SELECT doc_id, term, tf, df FROM r WHERE rnk <= 3""",
+        "events_median_value": """
+            WITH c AS (SELECT event_type,
+                         CAST(round(value*100) AS BIGINT) AS cents
+                       FROM events)
+            SELECT event_type, count(*)::BIGINT AS n,
+                   min(cents)::BIGINT AS min_cents,
+                   quantile_disc(cents, 0.5)::BIGINT AS med_cents,
+                   max(cents)::BIGINT AS max_cents
+            FROM c GROUP BY event_type""",
+        "waiting_suppliers": """
+            WITH j AS (SELECT l_orderkey AS ok, l_suppkey AS sk,
+                         CASE WHEN epoch_us(l_shipdate) // 86400000000
+                                   - epoch_us(o_orderdate) // 86400000000
+                                   > 90 THEN 1 ELSE 0 END AS late
+                       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                       WHERE o_orderstatus = 'F'),
+            p AS (SELECT ok, sk, max(late) AS late FROM j GROUP BY 1, 2),
+            o AS (SELECT ok, count(*) AS n_supp, sum(late) AS n_late
+                  FROM p GROUP BY 1),
+            q AS (SELECT p.sk FROM p JOIN o USING (ok)
+                  WHERE p.late = 1 AND o.n_supp >= 2 AND o.n_late = 1)
+            SELECT s_suppkey, s_name, count(*)::BIGINT AS numwait
+            FROM q JOIN supplier ON sk = s_suppkey GROUP BY 1, 2""",
+        "label_doc_stats": """
+            SELECT label::BIGINT AS label, count(*)::BIGINT AS n_docs,
+                   sum(n_chars)::BIGINT AS sum_chars,
+                   max(n_chars)::BIGINT AS max_chars
+            FROM embeddings JOIN documents ON vec_id = doc_id
+            GROUP BY 1""",
     }

@@ -611,3 +611,44 @@ def hourly_profile(sf_dir: str) -> rd.Dataset:
     return (per_hour_user.map_batches(hour_partial, batch_format="pyarrow")
             .groupby("hour").aggregate(Sum("p_u", alias_name="n_users"),
                                        Sum("p_e", alias_name="n_events")))
+
+
+def median_value(sf_dir: str) -> rd.Dataset:
+    """(event_type, n, min_cents, med_cents, max_cents): exact per-type
+    value median (lower median = DuckDB quantile_disc 0.5) plus range.
+
+    Scale shape: an exact grouped median normally needs a per-group sort
+    of every row; instead shuffle (a) builds a (event_type, cents) COUNT
+    table (per-batch combined, so it carries distinct-cents-per-batch
+    rows, never events), and shuffle (b) groups that table by type — the
+    per-group kernel walks the cumulative histogram, O(distinct cents),
+    bounded by the value domain (price-like values), not by event count."""
+    from ray.data.aggregate import Sum
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.round(pc.multiply(t["value"], 100),
+                         round_mode="half_towards_infinity").cast(pa.int64())
+        g = (pa.table({"event_type": t["event_type"], "cents": cents})
+             .group_by(["event_type", "cents"])
+             .aggregate([("cents", "count")]))
+        return g.rename_columns(["event_type", "cents", "p_n"])
+
+    counts = (_events(sf_dir, ("event_type", "value"))
+              .map_batches(prep, batch_format="pyarrow")
+              .groupby(["event_type", "cents"])
+              .aggregate(Sum("p_n", alias_name="n_c")))
+
+    def per_type(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("cents")
+        n_c = g["n_c"].to_numpy()
+        cents = g["cents"].to_numpy()
+        n = int(n_c.sum())
+        cum = np.cumsum(n_c)
+        med = int(cents[np.searchsorted(cum, (n - 1) // 2 + 1)])
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]], "n": [n],
+            "min_cents": [int(cents[0])], "med_cents": [med],
+            "max_cents": [int(cents[-1])]})
+
+    return counts.groupby("event_type").map_groups(
+        per_type, batch_format="pandas")

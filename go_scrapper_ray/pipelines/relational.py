@@ -1143,3 +1143,81 @@ def order_supplier_diversity(sf_dir: str) -> rd.Dataset:
     return (per_order.map_batches(hist_partial, batch_format="pyarrow")
             .groupby("n_suppliers")
             .aggregate(Sum("p_n", alias_name="n_orders")))
+
+
+def waiting_suppliers(sf_dir: str, late_days: int = 90) -> rd.Dataset:
+    """(s_suppkey, s_name, numwait): TPC-H-Q21-shaped — for each supplier,
+    how many finished ('F') multi-supplier orders it ALONE shipped late
+    (ship lag > late_days; the synthetic schema has no commit/receipt
+    dates — reference ref: go-scrapper has no relational engine at all,
+    cf. SURVEY.md §2.9).  The interesting shape is the per-order
+    EXISTS/NOT-EXISTS pair: another supplier exists on the order, and no
+    OTHER supplier is late — both resolved in one groupby(orderkey) pass
+    instead of two correlated semi/anti joins.
+
+    Scale: orders filtered + projected to (orderkey, order_day) before
+    the id-sized native hash join; the joined stream collapses per batch
+    to (orderkey, suppkey, late) candidate rows; one shuffle on orderkey
+    answers both quantifiers; the final groupby is supplier-count wide;
+    names come from a broadcast of the small supplier table."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+    DAY_US = 86_400_000_000
+
+    def o_proj(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["o_orderstatus"], "F"))
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "order_day": pc.divide(t["o_orderdate"].cast(pa.int64()),
+                                   DAY_US).cast(pa.int64())})
+
+    def li_proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": t["l_orderkey"], "l_suppkey": t["l_suppkey"],
+            "ship_day": pc.divide(t["l_shipdate"].cast(pa.int64()),
+                                  DAY_US).cast(pa.int64())})
+
+    li = (_read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey",
+                                     "l_shipdate"])
+          .map_batches(li_proj, batch_format="pyarrow"))
+    orders = (_read(sf_dir, "orders",
+                    ["o_orderkey", "o_orderstatus", "o_orderdate"])
+              .map_batches(o_proj, batch_format="pyarrow"))
+    joined = li.join(orders, join_type="inner", num_partitions=16,
+                     on=("l_orderkey",), right_on=("o_orderkey",),
+                     aggregator_ray_remote_args=join_agg_args())
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        late = pc.cast(pc.greater(pc.subtract(t["ship_day"],
+                                              t["order_day"]),
+                                  late_days), pa.int64())
+        g = (pa.table({"l_orderkey": t["l_orderkey"],
+                       "l_suppkey": t["l_suppkey"], "late": late})
+             .group_by(["l_orderkey", "l_suppkey"])
+             .aggregate([("late", "max")]))
+        return g.rename_columns(["l_orderkey", "l_suppkey", "late"])
+
+    def per_order(g: pd.DataFrame) -> pd.DataFrame:
+        # pair rows may still be split across batches: re-max per supplier
+        p = g.groupby("l_suppkey", sort=False)["late"].max()
+        if len(p) >= 2 and int(p.sum()) == 1:
+            sk = int(p.idxmax())
+            return pd.DataFrame({"l_suppkey": [sk], "p_w": [1]})
+        return pd.DataFrame({"l_suppkey": pd.Series([], dtype="int64"),
+                             "p_w": pd.Series([], dtype="int64")})
+
+    waits = (joined.map_batches(pair_partial, batch_format="pyarrow")
+             .groupby("l_orderkey")
+             .map_groups(per_order, batch_format="pandas")
+             .groupby("l_suppkey")
+             .aggregate(Sum("p_w", alias_name="numwait")))
+
+    import pyarrow.parquet as pq
+    names = pq.read_table(f"{sf_dir}/supplier.parquet",
+                          columns=["s_suppkey", "s_name"])
+    out = broadcast_join(waits, names, "l_suppkey", "s_suppkey", ["s_name"])
+    return out.map_batches(
+        lambda t: pa.table({"s_suppkey": t["l_suppkey"],
+                            "s_name": t["s_name"],
+                            "numwait": t["numwait"]}),
+        batch_format="pyarrow")

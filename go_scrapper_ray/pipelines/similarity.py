@@ -322,3 +322,38 @@ def label_centroids(sf_dir: str) -> rd.Dataset:
             .groupby(["label", "dim"])
             .aggregate(Sum("p_sum", alias_name="q_sum"),
                        Sum("p_n", alias_name="n_vecs")))
+
+
+def label_doc_stats(sf_dir: str) -> rd.Dataset:
+    """(label, n_docs, sum_chars, max_chars): document-size profile per
+    embedding label — the cross-modal join every curated corpus runs to
+    sanity-check cluster labels against raw text (e.g. 'is cluster 7 the
+    short-spam cluster?').
+
+    Scale shape: both sides are projected to two int columns BEFORE the
+    native hash join (embedding vectors and text never cross the
+    exchange); the post-join aggregate pre-combines each batch down to
+    |labels| rows, so the second shuffle is label-count wide."""
+    from ray.data.aggregate import Max, Sum
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "n_chars"])
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "label"])
+    joined = emb.join(docs, join_type="inner", num_partitions=16,
+                      on=("vec_id",), right_on=("doc_id",),
+                      aggregator_ray_remote_args=join_agg_args())
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (pa.table({"label": t["label"].cast(pa.int64()),
+                       "n_chars": t["n_chars"]})
+             .group_by("label")
+             .aggregate([("n_chars", "count"), ("n_chars", "sum"),
+                         ("n_chars", "max")]))
+        return g.rename_columns(["label", "p_n", "p_sum", "p_max"])
+
+    return (joined.map_batches(partial, batch_format="pyarrow")
+            .groupby("label")
+            .aggregate(Sum("p_n", alias_name="n_docs"),
+                       Sum("p_sum", alias_name="sum_chars"),
+                       Max("p_max", alias_name="max_chars")))
