@@ -927,7 +927,10 @@ def small_qty_revenue(sf_dir: str, brand: str = "Brand#13",
              .groupby("l_partkey")
              .aggregate(Sum("p_q", alias_name="sq"),
                         Sum("p_n", alias_name="n")))
-    blocks = [ray.get(r) for r in stats.to_arrow_refs()]
+    # drop empty aggregate blocks: they carry an EMPTY schema, which
+    # poisons concat_tables (observed on groupby outputs at sf0.1)
+    blocks = [b for b in (ray.get(r) for r in stats.to_arrow_refs())
+              if b.num_rows]
     st = pa.concat_tables(blocks) if blocks else pa.table(
         {"l_partkey": pa.array([], pa.int64()),
          "sq": pa.array([], pa.int64()), "n": pa.array([], pa.int64())})

@@ -498,10 +498,13 @@ def top_terms(sf_dir: str, k: int = 3) -> rd.Dataset:
         return pa.table({"token": pa.array(list(c.keys()), pa.string()),
                          "p_n": pa.array(list(c.values()), pa.int64())})
 
-    df_tbl = pa.concat_tables(
-        ray.get((docs(sf_dir).map_batches(df_partial, batch_format="pyarrow")
-                 .groupby("token").aggregate(Sum("p_n", alias_name="df")))
-                .to_arrow_refs())).combine_chunks()
+    # empty aggregate output blocks carry an EMPTY schema — drop them
+    # before concat (seen at sf0.1 where the groupby emits many blocks)
+    parts = [t for t in ray.get(
+        (docs(sf_dir).map_batches(df_partial, batch_format="pyarrow")
+         .groupby("token").aggregate(Sum("p_n", alias_name="df")))
+        .to_arrow_refs()) if t.num_rows]
+    df_tbl = pa.concat_tables(parts).combine_chunks()
     df_ref = ray.put(df_tbl)
 
     def score(t: pa.Table) -> pa.Table:
