@@ -1155,16 +1155,21 @@ def waiting_suppliers(sf_dir: str, late_days: int = 90) -> rd.Dataset:
     dates — reference ref: go-scrapper has no relational engine at all,
     cf. SURVEY.md §2.9).  The interesting shape is the per-order
     EXISTS/NOT-EXISTS pair: another supplier exists on the order, and no
-    OTHER supplier is late — both resolved in one groupby(orderkey) pass
-    instead of two correlated semi/anti joins.
+    OTHER supplier is late — both quantifiers become per-order COUNT/SUM
+    native aggregates over the deduped (order, supplier, late) pair
+    table, and max(late*suppkey) recovers the lone offender's identity
+    inside the SAME aggregate (valid exactly when n_late==1), so no join
+    back to the pair table is needed.  (A per-group Python map_groups
+    kernel here measured 14.9 s at sf0.1 on per-group UDF call overhead
+    over ~15k order groups; a join-back variant paid a second join's
+    fixed actor cost.)
 
     Scale: orders filtered + projected to (orderkey, order_day) before
     the id-sized native hash join; the joined stream collapses per batch
-    to (orderkey, suppkey, late) candidate rows; one shuffle on orderkey
-    answers both quantifiers; the final groupby is supplier-count wide;
+    to (orderkey, suppkey, late) candidate rows; every later exchange
+    carries id-sized rows; the final groupby is supplier-count wide;
     names come from a broadcast of the small supplier table."""
-    import pandas as pd
-    from ray.data.aggregate import Sum
+    from ray.data.aggregate import Count, Max, Sum
     DAY_US = 86_400_000_000
 
     def o_proj(t: pa.Table) -> pa.Table:
@@ -1200,18 +1205,31 @@ def waiting_suppliers(sf_dir: str, late_days: int = 90) -> rd.Dataset:
              .aggregate([("late", "max")]))
         return g.rename_columns(["l_orderkey", "l_suppkey", "late"])
 
-    def per_order(g: pd.DataFrame) -> pd.DataFrame:
-        # pair rows may still be split across batches: re-max per supplier
-        p = g.groupby("l_suppkey", sort=False)["late"].max()
-        if len(p) >= 2 and int(p.sum()) == 1:
-            sk = int(p.idxmax())
-            return pd.DataFrame({"l_suppkey": [sk], "p_w": [1]})
-        return pd.DataFrame({"l_suppkey": pd.Series([], dtype="int64"),
-                             "p_w": pd.Series([], dtype="int64")})
+    pairs = (joined.map_batches(pair_partial, batch_format="pyarrow")
+             .groupby(["l_orderkey", "l_suppkey"])
+             .aggregate(Max("late", alias_name="late")))
 
-    waits = (joined.map_batches(pair_partial, batch_format="pyarrow")
+    def pair_stats(t: pa.Table) -> pa.Table:
+        # late*suppkey: when exactly one supplier is late on the order,
+        # max() of this recovers WHO without joining back to the pairs
+        return pa.table({
+            "l_orderkey": t["l_orderkey"], "late": t["late"],
+            "lsk": pc.multiply(t["late"], t["l_suppkey"])})
+
+    stats = (pairs.map_batches(pair_stats, batch_format="pyarrow")
              .groupby("l_orderkey")
-             .map_groups(per_order, batch_format="pandas")
+             .aggregate(Count(alias_name="n_supp"),
+                        Sum("late", alias_name="n_late"),
+                        Max("lsk", alias_name="late_sk")))
+
+    def supp_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.greater_equal(t["n_supp"], 2),
+                             pc.equal(t["n_late"], 1)))
+        g = (pa.table({"l_suppkey": t["late_sk"]})
+             .group_by("l_suppkey").aggregate([("l_suppkey", "count")]))
+        return g.rename_columns(["l_suppkey", "p_w"])
+
+    waits = (stats.map_batches(supp_partial, batch_format="pyarrow")
              .groupby("l_suppkey")
              .aggregate(Sum("p_w", alias_name="numwait")))
 

@@ -486,17 +486,26 @@ def top_terms(sf_dir: str, k: int = 3) -> rd.Dataset:
     broadcast is vocab-bounded, not corpus-bounded — at 100 TB you'd
     add a min_df cut (df=1 hapaxes dominate vocab but can be ranked
     locally since their df is knowably 1)."""
-    from collections import Counter
-
     import ray
     from ray.data.aggregate import Sum
 
+    def _doc_tokens(t: pa.Table) -> tuple[pa.Array, pa.Array]:
+        """Vectorized (doc_index, token) expansion: re2 \\s+ split (the
+        exact complement of the oracle's regexp_extract_all '\\S+'),
+        empty boundary tokens dropped — no per-row Python."""
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(t["text"].combine_chunks()), r"\s+")
+        parent = pc.list_parent_indices(toks)
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "")
+        return pc.filter(parent, keep), pc.filter(flat, keep)
+
     def df_partial(t: pa.Table) -> pa.Table:
-        c: Counter = Counter()
-        for s in t["text"].to_pylist():
-            c.update(set(s.lower().split()))
-        return pa.table({"token": pa.array(list(c.keys()), pa.string()),
-                         "p_n": pa.array(list(c.values()), pa.int64())})
+        parent, flat = _doc_tokens(t)
+        pairs = (pa.table({"d": parent, "token": flat})
+                 .group_by(["d", "token"]).aggregate([]))  # batch-distinct
+        g = pairs.group_by("token").aggregate([("d", "count")])
+        return g.rename_columns(["token", "p_n"])
 
     # empty aggregate output blocks carry an EMPTY schema — drop them
     # before concat (seen at sf0.1 where the groupby emits many blocks)
@@ -509,20 +518,19 @@ def top_terms(sf_dir: str, k: int = 3) -> rd.Dataset:
 
     def score(t: pa.Table) -> pa.Table:
         vocab = ray.get(df_ref)  # zero-copy plasma read
-        doc_ids, terms, tfs = [], [], []
-        for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            c = Counter(s.lower().split())
-            doc_ids.extend([did] * len(c))
-            terms.extend(c.keys())
-            tfs.extend(c.values())
-        terms_arr = pa.array(terms, pa.string())
+        parent, flat = _doc_tokens(t)
+        did_col = pc.take(t["doc_id"].combine_chunks(), parent)
+        tf_tbl = (pa.table({"doc_id": did_col, "term": flat})
+                  .group_by(["doc_id", "term"])
+                  .aggregate([("term", "count")]))
+        terms_arr = tf_tbl["term"].combine_chunks()
         df = pc.take(vocab["df"],
                      pc.index_in(terms_arr, value_set=vocab["token"]))
         df_np = df.to_numpy(zero_copy_only=False)
-        tf_np = np.asarray(tfs, dtype=np.int64)
-        did_np = np.asarray(doc_ids, dtype=np.int64)
-        order = np.lexsort((np.asarray(terms, dtype=object), df_np,
-                            -tf_np, did_np))
+        tf_np = tf_tbl["term_count"].to_numpy(zero_copy_only=False)
+        did_np = tf_tbl["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((terms_arr.to_numpy(zero_copy_only=False),
+                            df_np, -tf_np, did_np))
         # rank within each doc run, keep the first k
         did_sorted = did_np[order]
         starts = np.r_[0, np.flatnonzero(did_sorted[1:] !=
@@ -533,7 +541,7 @@ def top_terms(sf_dir: str, k: int = 3) -> rd.Dataset:
         return pa.table({
             "doc_id": pa.array(did_np[keep], pa.int64()),
             "term": pc.take(terms_arr, pa.array(keep, pa.int64())),
-            "tf": pa.array(tf_np[keep], pa.int64()),
+            "tf": pa.array(tf_np[keep].astype(np.int64), pa.int64()),
             "df": pa.array(df_np[keep], pa.int64())})
 
     return docs(sf_dir).map_batches(score, batch_format="pyarrow")
