@@ -256,6 +256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_median_value": events.median_value,
         "waiting_suppliers": relational.waiting_suppliers,
         "label_doc_stats": similarity.label_doc_stats,
+        "docs_dup_rate": textstats.dup_rate,
     }
 
 
@@ -1142,4 +1143,8 @@ def oracle_sql() -> dict[str, str]:
                    max(n_chars)::BIGINT AS max_chars
             FROM embeddings JOIN documents ON vec_id = doc_id
             GROUP BY 1""",
+        "docs_dup_rate": """
+            SELECT source, count(*)::BIGINT AS n_docs,
+                   count(DISTINCT md5(text))::BIGINT AS n_unique
+            FROM documents GROUP BY source""",
     }

@@ -545,3 +545,38 @@ def top_terms(sf_dir: str, k: int = 3) -> rd.Dataset:
             "df": pa.array(df_np[keep], pa.int64())})
 
     return docs(sf_dir).map_batches(score, batch_format="pyarrow")
+
+
+def dup_rate(sf_dir: str) -> rd.Dataset:
+    """(source, n_docs, n_unique): per-source exact-duplicate accounting —
+    the curation dashboard number deciding which domain to crawl less.
+
+    Scale shape: per-key count-distinct without carrying text — batch
+    kernel hashes text to md5 and dedupes (source, fp) locally; shuffle
+    (a) finishes the distinct on 16-byte keys; shuffle (b) is
+    source-cardinality wide.  n_docs rides along as a Sum over the SAME
+    pair rows (count of pre-dedup rows per pair), so one pass serves
+    both aggregates."""
+    from ray.data.aggregate import Count, Sum
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        fps = [hashlib.md5(s.encode("utf-8")).digest()
+               for s in t["text"].to_pylist()]
+        g = (pa.table({"source": t["source"],
+                       "fp": pa.array(fps, pa.binary(16))})
+             .group_by(["source", "fp"]).aggregate([("fp", "count")]))
+        return g.rename_columns(["source", "fp", "p_n"])
+
+    pairs = (docs(sf_dir, columns=("source", "text"))
+             .map_batches(pair_partial, batch_format="pyarrow")
+             .groupby(["source", "fp"])
+             .aggregate(Sum("p_n", alias_name="n")))
+
+    def src_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("source").aggregate([("n", "sum"), ("fp", "count")])
+        return g.rename_columns(["source", "p_docs", "p_uniq"])
+
+    return (pairs.map_batches(src_partial, batch_format="pyarrow")
+            .groupby("source")
+            .aggregate(Sum("p_docs", alias_name="n_docs"),
+                       Sum("p_uniq", alias_name="n_unique")))
