@@ -569,9 +569,14 @@ def large_volume_orders(sf_dir: str, qty_gt: int = 250) -> rd.Dataset:
 
     Scale shape: lineitem pre-sums integer quantity per orderkey inside
     each batch (combiner), ONE groupby(l_orderkey) shuffle of (key, qty),
-    HAVING filter on the tiny aggregate, hash join back to orders on
-    orderkey, customer name via broadcast.  Quantities are whole numbers
-    in [1, 50] stored as double, so the int64 cast is exact."""
+    HAVING filter on the tiny aggregate, then the SURVIVORS are broadcast
+    (Q18's threshold keeps them to a handful per 10k orders at any scale
+    — qty is uniform in [1,50], so sum > 250 needs an unusually long
+    order) and orders stream past them in one map — a native join here
+    measured 4 s of pure aggregator-actor fixed cost on a result of a
+    few hundred keys.  Customer name via the same broadcast pattern.
+    Quantities are whole numbers in [1, 50] stored as double, so the
+    int64 cast is exact."""
     from ray.data.aggregate import Sum
 
     def li_partial(t: pa.Table) -> pa.Table:
@@ -580,10 +585,15 @@ def large_volume_orders(sf_dir: str, qty_gt: int = 250) -> rd.Dataset:
              .group_by("l_orderkey").aggregate([("q", "sum")]))
         return g.rename_columns(["l_orderkey", "p_q"])
 
-    big = (_read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
-           .map_batches(li_partial, batch_format="pyarrow")
-           .groupby("l_orderkey").aggregate(Sum("p_q", alias_name="sum_qty"))
-           .filter(expr=f"sum_qty > {qty_gt}"))
+    big_blocks = [b for b in (ray.get(r) for r in (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+        .map_batches(li_partial, batch_format="pyarrow")
+        .groupby("l_orderkey").aggregate(Sum("p_q", alias_name="sum_qty"))
+        .filter(expr=f"sum_qty > {qty_gt}")
+        .to_arrow_refs())) if b.num_rows]
+    big = (pa.concat_tables(big_blocks).combine_chunks() if big_blocks
+           else pa.table({"l_orderkey": pa.array([], pa.int64()),
+                          "sum_qty": pa.array([], pa.int64())}))
 
     def o_proj(t: pa.Table) -> pa.Table:
         total_c = pc.round(pc.multiply(t["o_totalprice"], 100),
@@ -597,20 +607,16 @@ def large_volume_orders(sf_dir: str, qty_gt: int = 250) -> rd.Dataset:
                     ["o_orderkey", "o_custkey", "o_orderdate",
                      "o_totalprice"])
               .map_batches(o_proj, batch_format="pyarrow"))
-    joined = big.join(orders, "inner", num_partitions=8,
-                      on=("l_orderkey",), right_on=("o_orderkey",),
-                      aggregator_ray_remote_args=join_agg_args())
+    joined = broadcast_join(orders, big, "o_orderkey", "l_orderkey",
+                            ["sum_qty"])
     import pyarrow.parquet as pq
     cust = pq.read_table(f"{sf_dir}/customer.parquet",
                          columns=["c_custkey", "c_name"])
     named = broadcast_join(joined, cust, "c_custkey", "c_custkey",
                            ["c_name"])
     return named.map_batches(
-        lambda t: t.select(["l_orderkey", "c_custkey", "c_name",
-                            "o_orderdate_us", "total_c", "sum_qty"])
-                   .rename_columns(["o_orderkey", "c_custkey", "c_name",
-                                    "o_orderdate_us", "total_c",
-                                    "sum_qty"]),
+        lambda t: t.select(["o_orderkey", "c_custkey", "c_name",
+                            "o_orderdate_us", "total_c", "sum_qty"]),
         batch_format="pyarrow")
 
 
