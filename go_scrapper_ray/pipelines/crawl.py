@@ -27,9 +27,11 @@ Scale notes (10^10-URL design points, tested single-node):
   non-goal.
 * per-seed record groups are small (one business), so the finalize "sort"
   is a hash-partitioned per-shard sort, NOT a global sort.
-* the page store is hash-partitioned once; fetch tasks serve stable bucket
-  subsets because the scheduled set is bucket-sorted (shuffle #1), and the
-  BucketCache prefetches next-round buckets DURING the current round.
+* the page store is hash-partitioned + hash-sorted once into mmap-able
+  Arrow IPC; fetch tasks serve stable bucket subsets because the scheduled
+  set is bucket-sorted (shuffle #1) and resolve rows by searchsorted on the
+  bucket's sorted url_hash column — page bytes never enter the object store
+  (pagestore.py module docstring has the measured plasma-ingest pathology).
 * every round writes records/visit-log Parquet + actor checkpoints →
   kill-and-resume re-enters at the last complete round (test_resume.py).
 """
@@ -60,8 +62,7 @@ from ..flow import (
     RetryLedger, SeedOutcome, WindowCursors, status_for_fetch_error,
 )
 from ..gojson import encode_record_b64, record_to_jsonl
-from ..sources.pagestore import (BucketCache, build_page_store,
-                                 fetch_batch_refs)
+from ..sources.pagestore import build_page_store, fetch_batch_store
 from ..stages.extract_stage import extract_batch
 from ..state.frontier import FrontierShard
 from ..state.robots import RobotsRules
@@ -197,13 +198,13 @@ def _round_task(table: pa.Table, start: int, length: int, bundle: dict,
     _dbg = os.environ.get("GSR_TASK_TIMING")
     t0 = time.perf_counter()
     block = table.slice(start, length)
-    f = fetch_batch_refs(block, bundle["buckets"], nb)
+    f = fetch_batch_store(block, bundle["store_dir"], nb)
     t1 = time.perf_counter()
     part = f"part-{f['seq'][0].as_py()}.parquet"
     pq.write_table(f.drop_columns(["html_row"]), f"{visit_dir}/{part}")
     t2 = time.perf_counter()
     ex = extract_batch(f, bundle["seeds"], bundle["cfg"], bundle["wm"],
-                       bundle["buckets"])
+                       bundle["store_dir"])
     t3 = time.perf_counter()
     if _dbg:
         from ..sources.pagestore import FETCH_TIMING
@@ -257,17 +258,13 @@ SCHED_SCHEMA = pa.schema([
 @ray.remote
 def _intake_task(seeds_tbl: pa.Table, start: int, length: int,
                  site_base: str, force_hosts: tuple, force_to: str,
-                 seen_handles: list, nseen: int, nb: int):
+                 seen_handles: list, nseen: int):
     """Build one chunk of the seed wave's frontier entries (canonicalize +
     hash — the O(seeds) Python the driver used to run serially) and submit
     them to the seen shards on the SAME deterministic submit→resolve path
     links use (winner per url_hash = min (page_seq, emit_idx), so chunk
     parallelism cannot change which of two same-URL seeds wins).  Returns
-    (rejected seed ids, page-store buckets this chunk's URLs hash into) —
-    the bucket list lets the driver start round-0's bucket loads as each
-    CHUNK lands instead of after the full intake resolve (the loads are
-    round 0's critical path; chunk-level prefetch hides them under the
-    rest of intake)."""
+    the rejected seed ids."""
     import numpy as np
 
     chunk = seeds_tbl.slice(start, length).to_pylist()
@@ -306,15 +303,13 @@ def _intake_task(seeds_tbl: pa.Table, start: int, length: int,
         "l_rel": pa.array(["seed"] * n, pa.string()),
         "l_src": pa.array([""] * n, pa.string()),
     })
-    buckets: list[int] = []
     if n:
         hashes = t["l_hash"].to_numpy(zero_copy_only=False)
         shard = hashes % nseen
         ray.get([seen_handles[int(s)].submit.remote(
                     t.take(pa.array(np.flatnonzero(shard == s))))
                  for s in np.unique(shard)])
-        buckets = np.unique(hashes % nb).tolist()
-    return rejected, buckets
+    return rejected
 
 
 class CrawlEngine:
@@ -364,12 +359,6 @@ class CrawlEngine:
         build_page_store(str(self.corpus / "pages.parquet"),
                          str(self.corpus / "page_status.parquet"),
                          str(self.store_dir), self.cfg.num_fetch_buckets)
-        # budgeted LRU over bucket tables in plasma: each round loads only
-        # the buckets its scheduled URLs hash into and evicts past the byte
-        # budget — peak object-store residency is bounded by the budget,
-        # not corpus size (SURVEY.md J3 co-partitioned fetch join)
-        self.bucket_cache = BucketCache(str(self.store_dir),
-                                        self.cfg.num_fetch_buckets)
         self._bundle: dict | None = None  # built after seeds_ref/wm_ref
 
         self.seeds = pq.read_table(self.corpus / "seeds.parquet").to_pylist()
@@ -394,9 +383,10 @@ class CrawlEngine:
                          "robots_parquet": str(self.corpus / "robots.parquet")}
         # nested-refs bundle for _round_task (nested refs are not resolved
         # by Ray, so the tasks fetch broadcast state themselves, once per
-        # worker via the kernels' module caches); "buckets" is filled per
-        # round with just the touched buckets' refs
-        self._bundle = {"buckets": {}, "seeds": self.seeds_ref,
+        # worker via the kernels' module caches); pages resolve via the
+        # mmap'd store on disk, so no per-round ref rotation
+        self._bundle = {"store_dir": str(self.store_dir),
+                        "seeds": self.seeds_ref,
                         "cfg": self.cfg_dict, "wm": self.wm_ref,
                         "seen_shards": self.seen}
 
@@ -482,11 +472,6 @@ class CrawlEngine:
             by_fshard.setdefault(h, []).append(entry)
         ray.get([self.frontier[h].push.remote(es)
                  for h, es in by_fshard.items()])
-        # overlap the (disk-bound) page-store bucket reads for these URLs
-        # with the rest of this round / actor startup (fire-and-forget)
-        if final:
-            nb = self.cfg.num_fetch_buckets
-            self.bucket_cache.prefetch({e["url_hash"] % nb for e in final})
         return len(final)
 
     # ------------------------------------------------------------------ run
@@ -547,7 +532,6 @@ class CrawlEngine:
         t0 = time.perf_counter()
         tbl = pq.read_table(self.corpus / "seeds.parquet")
         nseen = len(self.seen)
-        nb = self.cfg.num_fetch_buckets
         ncpu = int(ray.cluster_resources().get("CPU", 8))
         nchunks = max(1, min(max(16, ncpu), tbl.num_rows // 750 + 1))
         t0 = self._t("ik_read", t0)
@@ -557,29 +541,18 @@ class CrawlEngine:
         futs = [_intake_task.remote(tref, int(s), int(e - s),
                                     self.cfg.site_base,
                                     tuple(self.cfg.force_hosts),
-                                    self.cfg.force_to, self.seen, nseen, nb)
+                                    self.cfg.force_to, self.seen, nseen)
                 for s, e in zip(edges[:-1], edges[1:]) if e > s]
-        # consume chunks as they land: each chunk's bucket prefetch fires
-        # immediately, so round-0's (disk-bound) bucket loads overlap the
-        # remaining intake chunks and the seen-shard resolve below instead
-        # of serializing after them (measured 1.3s of round-0 critical path)
         t0 = self._t("ik_submit", t0)
-        pending = list(futs)
-        while pending:
-            done, pending = ray.wait(pending, num_returns=1)
-            rej, bks = ray.get(done[0])
-            if bks:
-                self.bucket_cache.prefetch(bks)
+        for rej in ray.get(futs):
             for sid in rej:
                 out = self.outcomes[sid]
                 out.status = NO_BUSINESS_PAGE
                 out.rejected = True
                 out.no_meta = True
         t0 = self._t("ik_chunks", t0)
-        res = ray.get([s.resolve.remote(nb, False) for s in self.seen])
-        for _edges, _cand, bks in res:  # seed entries produce NO edge rows
-            if bks:
-                self.bucket_cache.prefetch(bks)
+        # seed entries produce NO edge rows and need no bucket hints
+        ray.get([s.resolve.remote(0, False) for s in self.seen])
         self._t("ik_resolve", t0)
 
     def _intake_serial(self):
@@ -685,26 +658,10 @@ class CrawlEngine:
         visit_dir.mkdir(parents=True, exist_ok=True)
         rec_dir = self.workdir / "records" / f"r{rnd}"
         t0 = self._t("bd_prep", t0)
-        # co-partitioned fetch join: load/pin ONLY this round's buckets
-        bundle = dict(self._bundle)
-        bundle["buckets"] = self.bucket_cache.refs_for(
-            np.unique(uh % nb).tolist())
-        # barrier on the round's bucket LOADS before dispatching the wave:
-        # a task that ray.get()s an in-flight bucket blocks AND releases its
-        # CPU, so Ray starts another task that blocks on the same load —
-        # measured 130 core-s of convoy churn in round 0 at 32-wide (vs
-        # 1.8 core-s at 8).  The loads are round 0's critical path either
-        # way; waiting driver-side costs the same wall once, not per task.
-        # fetch_local=False: existence in plasma is enough (zero-copy).
-        # Round 0 waits in full (its loads ARE the critical path; this is
-        # where the convoy was measured).  Later rounds' buckets were
-        # prefetched a round or more ago, so they only lag when the disk is
-        # contended (e.g. several engines sharing one spindle) — there the
-        # wait is bounded and only the straggler buckets convoy.
-        brefs = list(bundle["buckets"].values())
-        ray.wait(brefs, num_returns=len(brefs), fetch_local=False,
-                 timeout=(None if rnd == 0 else
-                          float(os.environ.get("GSR_BUCKET_WAIT_S", "1"))))
+        # co-partitioned fetch join: each task searchsorted-joins its
+        # bucket-sorted slice against the mmap'd store — no loads to wait
+        # on, no plasma residency (pagestore.py module docstring)
+        bundle = self._bundle
         t0 = self._t("build_ds", t0)
 
         # fetch + extract + parquet writes fused into one raw-task wave per
@@ -761,8 +718,7 @@ class CrawlEngine:
         # frontier while the driver chews the event stream below (retries
         # bypass the seen check, so _push_entries ordering is unaffected;
         # actor mailboxes serialize any same-shard calls)
-        nb = self.cfg.num_fetch_buckets
-        resolve_futs = [s.resolve.remote(nb) for s in self.seen]
+        resolve_futs = [s.resolve.remote() for s in self.seen]
         # per-page record counts ride in sort_ts of 'rcnt' rows — columnar sum
         rcnt = ctrl_tbl.filter(pc.equal(ctrl_tbl["out_kind"], "rcnt"))
         if rcnt.num_rows:
@@ -861,14 +817,10 @@ class CrawlEngine:
         # the check anyway)
         res = ray.get(resolve_futs)
         link_seeds: set[int] = set()
-        next_buckets: set[int] = set()
-        for edges, cand_seeds, buckets in res:
+        for edges, cand_seeds, _buckets in res:
             link_seeds.update(cand_seeds)
-            next_buckets.update(buckets)
             if edges is not None and edges.num_rows:
                 self.edge_tables.append(edges)
-        if next_buckets:  # overlap next round's bucket reads with this round
-            self.bucket_cache.prefetch(next_buckets)
         tt = self._t("pl_resolve", tt)
         self.pushed_seeds = {e["seed_id"] for e in to_push} | link_seeds
         tt = time.perf_counter()

@@ -3,19 +3,31 @@
 The reference does live HTTP (colly Visit sites main.go:431,570,...); the
 rebuild resolves scheduled URLs against the Parquet ``pages`` table.  To make
 that an O(scheduled) lookup instead of an O(corpus) scan per round, the store
-is built ONCE as a hash-partitioned Parquet layout:
+is built ONCE as a hash-partitioned, hash-SORTED Arrow IPC layout:
 
-    store_dir/bucket=<url_hash % B>/part.parquet
+    store_dir/bucket=<url_hash % B>/sorted.arrow   (uncompressed, mmap-able)
 
 built distributedly with Ray Data (read → add bucket column via a vectorized
-kernel → write partitioned).  The fetch stage is then an actor-pool
-``map_batches`` whose actors lazily load + LRU-cache bucket dicts — on a
-multi-node cluster each actor ends up serving a stable subset of buckets
-because the scheduled Dataset is sorted by bucket before the stage (SURVEY.md
-"shuffle #1": co-partition scheduled URLs with pages on url_hash)."""
+kernel → write partitioned) plus a per-bucket sort+compact task.  Fetch is
+then a zero-I/O join: each round task ``memory_map``s its buckets and
+``searchsorted``s its scheduled ``url_hash`` column against the bucket's
+sorted hash column — only the matched rows' pages ever leave the page cache.
+
+Why mmap files instead of plasma-resident bucket tables (the round-1/2
+design): ingesting the decompressed store into the object store is a giant
+serialized memcpy into /dev/shm whose kernel page-fault path CONTENDS under
+concurrency — measured at a 96k-seed corpus (~11 GB of html): the bucket
+loads took ~60 s of round-0 critical path at 32 CPUs and made 32 CPUs
+SLOWER end-to-end than 8 (7.7k vs 11.9k URLs/s).  The mmap store never
+copies html anywhere: reads are page-cache-shared across every worker
+process, faults are minor and parallel, and peak object-store usage is
+O(round control rows), not corpus size.  On a multi-node cluster each node
+holds the bucket shards it fetches on node-local disk (or a shared FS) —
+the same layout Common-Crawl-style corpora already ship in."""
 
 from __future__ import annotations
 
+import os
 from pathlib import Path
 
 import pyarrow as pa
@@ -23,6 +35,32 @@ import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 
 from ..urlkit import url_hash_batch
+
+STORE_FMT = 2  # bump to invalidate stores built under an older layout
+
+
+def _compact_bucket(store_dir: str, b: int) -> int:
+    """Sort one bucket by (url_hash, url) and rewrite it as uncompressed
+    Arrow IPC; delete the parquet parts.  Chunked so per-batch string
+    offsets stay well under int32 even for multi-GB buckets."""
+    import pyarrow.compute as pc
+
+    bdir = Path(store_dir) / f"bucket={b}"
+    if not bdir.exists():
+        return 0
+    cols = ["url", "html", "status", "fail_times", "url_hash"]
+    parts = sorted(bdir.glob("*.parquet"))
+    t = pads.dataset([str(p) for p in parts]).to_table(columns=cols)
+    t = t.take(pc.sort_indices(t, sort_keys=[("url_hash", "ascending"),
+                                             ("url", "ascending")]))
+    tmp = bdir / "sorted.arrow.tmp"
+    with pa.OSFile(str(tmp), "wb") as f:
+        with pa.ipc.new_file(f, t.schema) as w:
+            w.write_table(t, max_chunksize=65536)
+    os.replace(tmp, bdir / "sorted.arrow")
+    for p in parts:
+        p.unlink()
+    return t.num_rows
 
 
 def build_page_store(pages_parquet: str, status_parquet: str, store_dir: str,
@@ -44,7 +82,8 @@ def build_page_store(pages_parquet: str, status_parquet: str, store_dir: str,
         # hash — a store partitioned under a different hash silently
         # resolves every lookup to the wrong bucket (= 404s)
         if (meta.get("hash") == URL_HASH_VERSION
-                and meta.get("buckets") == num_buckets):
+                and meta.get("buckets") == num_buckets
+                and meta.get("fmt") == STORE_FMT):
             return meta["rows"]
         import shutil
         shutil.rmtree(out)
@@ -104,171 +143,76 @@ def build_page_store(pages_parquet: str, status_parquet: str, store_dir: str,
             bdir.mkdir(exist_ok=True)
             pq.write_table(extra.filter(mask), bdir / "status_only.parquet")
 
+    # per-bucket sort + IPC compaction, one task per bucket (parallel)
+    compact = ray.remote(_compact_bucket)
+    n = sum(ray.get([compact.remote(str(out), b)
+                     for b in range(num_buckets)]))
+
     import json
-    n = pads.dataset(str(out), partitioning="hive").count_rows()
     (out / "_built.json").write_text(json.dumps(
-        {"rows": n, "buckets": num_buckets, "hash": URL_HASH_VERSION}))
+        {"rows": n, "buckets": num_buckets, "hash": URL_HASH_VERSION,
+         "fmt": STORE_FMT}))
     return n
 
 
-def load_bucket_refs(store_dir: str, num_buckets: int) -> list:
-    """Load each bucket ONCE into the Ray object store (zero-copy Arrow) and
-    return the refs.  Small-corpus variant (tests); the engine uses
-    ``BucketCache``, which bounds plasma residency by a byte budget."""
-    import ray
-
-    refs = []
-    for b in range(num_buckets):
-        refs.append(ray.put(_read_bucket(store_dir, b)))
-    return refs
-
-
 def _read_bucket(store_dir: str, b: int) -> pa.Table:
-    p = Path(store_dir) / f"bucket={b}"
-    if p.exists():
-        return pads.dataset(str(p)).to_table(
-            columns=["url", "html", "status", "fail_times"])
-    return pa.table({"url": pa.array([], pa.string()),
-                     "html": pa.array([], pa.binary()),
-                     "status": pa.array([], pa.int32()),
-                     "fail_times": pa.array([], pa.int32())})
-
-
-class BucketCache:
-    """Driver-side budgeted LRU over page-store buckets in plasma.
-
-    The crawl's fetch join is co-partitioned on ``url_hash % num_buckets``;
-    each round needs only the buckets its scheduled URLs hash into.  This
-    cache loads those on demand (one Ray task per missing bucket — the read
-    itself is distributed) and EVICTS least-recently-used buckets past a
-    byte budget, so peak object-store usage is bounded by
-    max(budget, buckets touched this round), NOT corpus size.  Small corpora
-    stay fully resident (zero behavior change at bench scale); a 100 TB
-    store streams through the window.  Workers hold their own tiny per-
-    process LRU of fetched tables (extract_stage), released as refs rotate."""
-
-    def __init__(self, store_dir: str, num_buckets: int,
-                 budget_bytes: int | None = None):
-        import os
-        self.store_dir = store_dir
-        self.num_buckets = num_buckets
-        self.budget = budget_bytes if budget_bytes is not None else \
-            int(os.environ.get("GSR_BUCKET_BUDGET_MB", "4096")) << 20
-        self._refs: dict[int, object] = {}
-        self._sizes: dict[int, int] = {}
-        self._lru: list[int] = []  # oldest first
-
-    def _ensure_loader(self):
-        import ray
-
-        global _LOAD_REMOTE
-        if _LOAD_REMOTE is None:
-            def _load(store_dir: str, b: int):
-                t = _read_bucket(store_dir, b)
-                return t, t.nbytes
-            _LOAD_REMOTE = ray.remote(num_returns=2)(_load)
-        return _LOAD_REMOTE
-
-    def prefetch(self, buckets) -> None:
-        """Fire-and-forget loads so the (disk-bound) bucket reads overlap
-        actor startup, frontier RPCs and the previous round's extract wave
-        instead of stalling the next round's dispatch.  Sizes stay
-        unresolved ObjectRefs until ``refs_for`` needs them."""
-        loader = self._ensure_loader()
-        for b in buckets:
-            b = int(b)
-            if b not in self._refs:
-                tref, szref = loader.remote(self.store_dir, b)
-                self._refs[b] = tref
-                self._sizes[b] = szref  # resolved lazily
-                self._lru.append(b)
-
-    def _resolve_ready_sizes(self) -> int:
-        """Resolve size futures that are already available WITHOUT blocking
-        (in-flight prefetches keep loading while rounds run); returns the
-        total of resolved sizes.  Unresolved buckets are freshly prefetched
-        (= MRU) so deferring their accounting one round is safe."""
-        import ray
-        total = 0
-        for b, s in list(self._sizes.items()):
-            if not isinstance(s, int):
-                ready, _ = ray.wait([s], timeout=0, fetch_local=False)
-                if not ready:
-                    continue
-                s = self._sizes[b] = int(ray.get(s))
-            total += s
-        return total
-
-    def refs_for(self, buckets) -> dict[int, object]:
-        need = [int(b) for b in buckets]
-        self.prefetch(need)
-        for b in need:
-            self._lru.remove(b)
-            self._lru.append(b)
-        # evict beyond budget, never a bucket needed this round; tasks
-        # ray.get the table refs themselves, so no driver-side wait here
-        total = self._resolve_ready_sizes()
-        needset = set(need)
-        i = 0
-        while total > self.budget and i < len(self._lru):
-            b = self._lru[i]
-            if b in needset or not isinstance(self._sizes[b], int):
-                i += 1
-                continue
-            self._lru.pop(i)
-            total -= self._sizes.pop(b)
-            del self._refs[b]  # plasma frees when workers release
-        return {b: self._refs[b] for b in need}
-
-    def resident_bytes(self) -> int:
-        return sum(self._sizes.values())
+    """Whole-bucket table (tests / small-corpus inspection)."""
+    t, _ = get_bucket(store_dir, b)
+    return t.select(["url", "html", "status", "fail_times"])
 
 
 FETCH_TIMING = {"get": 0.0, "kernel": 0.0}  # per-process debug accumulators
-_LOAD_REMOTE = None  # lazily-created remote loader (BucketCache)
 
-# Per-WORKER-PROCESS LRU of deserialized bucket tables, shared by the fetch
-# and extract kernels.  ray.get re-deserializes on every call (Arrow buffers
-# are zero-copy but table reconstruction is not free: measured 16.6 core-s
-# across one 388-task crawl at 32-wide vs 1.7 s at 8-wide); workers are
-# reused across tasks, so caching on the ObjectRef hex cuts that to
-# once-per-worker-per-bucket.  Keying on the REF (not the bucket id) drops
-# stale pins when the driver's BucketCache rotates refs, letting plasma
-# free evicted buckets.
-from collections import OrderedDict as _ODict
+_EMPTY_SCHEMA = pa.schema([
+    ("url", pa.string()), ("html", pa.binary()), ("status", pa.int32()),
+    ("fail_times", pa.int32()), ("url_hash", pa.uint64())])
 
-_BTAB_LRU: _ODict = _ODict()  # ref_hex -> pa.Table
-_BTAB_CAP = 16
+# Per-WORKER-PROCESS cache of memory-mapped bucket tables + their sorted
+# hash columns.  The mmap'd table owns no heap: buffers are lazy views over
+# the file, shared page-cache pages across every worker on the node, so
+# there is nothing to evict — entries are (address space + fd) only.  The
+# hash column materializes once per (process, bucket) as a contiguous
+# uint64 array (8 B/row) for searchsorted.
+_BUCKET_CACHE: dict = {}  # (store_dir, b) -> (pa.Table, np.ndarray)
 
 
-def get_bucket_table(ref) -> pa.Table:
-    """Resolve a bucket-table ObjectRef through the per-process LRU."""
-    import ray
+def get_bucket(store_dir: str, b: int):
+    """Memory-mapped bucket table + sorted url_hash column, cached
+    per process."""
+    import numpy as np
 
-    key = ref.hex()
-    t = _BTAB_LRU.get(key)
-    if t is None:
-        import time as _time
-        _a = _time.perf_counter()
-        t = ray.get(ref)  # zero-copy plasma read
-        FETCH_TIMING["get"] += _time.perf_counter() - _a
-        _BTAB_LRU[key] = t
-        if len(_BTAB_LRU) > _BTAB_CAP:
-            _BTAB_LRU.popitem(last=False)
+    key = (store_dir, int(b))
+    hit = _BUCKET_CACHE.get(key)
+    if hit is not None:
+        return hit
+    import time as _time
+    _a = _time.perf_counter()
+    p = Path(store_dir) / f"bucket={int(b)}" / "sorted.arrow"
+    if p.exists():
+        t = pa.ipc.open_file(pa.memory_map(str(p))).read_all()
+        hashes = t["url_hash"].to_numpy(zero_copy_only=False)
     else:
-        _BTAB_LRU.move_to_end(key)
-    return t
+        t = pa.table({f.name: [] for f in _EMPTY_SCHEMA},
+                     schema=_EMPTY_SCHEMA)
+        hashes = np.array([], np.uint64)
+    FETCH_TIMING["get"] += _time.perf_counter() - _a
+    _BUCKET_CACHE[key] = (t, hashes)
+    return t, hashes
 
 
-def fetch_batch_refs(batch: pa.Table, refs: list, num_buckets: int) -> pa.Table:
-    """map_batches kernel: scheduled rows in → +status +html out, fully
-    vectorized (``pc.index_in`` + ``take`` + ``if_else``) against the
-    broadcast bucket tables.  The batch arrives bucket-sorted, so buckets
-    are contiguous runs — one index_in per run.
+def fetch_batch_store(batch: pa.Table, store_dir: str,
+                      num_buckets: int) -> pa.Table:
+    """Fetch kernel: scheduled rows in → +status +html_row out, fully
+    vectorized.  The batch arrives bucket-sorted, so buckets are contiguous
+    runs — one searchsorted per run against the bucket's sorted hash column
+    (mmap, zero-copy), then an exact URL-equality confirm on the matched
+    candidates (a 64-bit hash collision must not resolve to the wrong page).
 
     Effective status reproduces the fixture failure model: permanent non-200,
     or fail the first ``fail_times`` attempts with 503 (FIXTURES.md §2); URLs
-    absent from the store are 404."""
+    absent from the store are 404.  html bytes are NEVER copied here: rows
+    reference pages via (bucket, html_row) into the mmap'd store, and the
+    extract kernels resolve bytes lazily per row."""
     import numpy as np
     import pyarrow.compute as pc
 
@@ -277,9 +221,19 @@ def fetch_batch_refs(batch: pa.Table, refs: list, num_buckets: int) -> pa.Table:
     cuts = [0] + (np.flatnonzero(np.diff(buckets)) + 1).tolist() + [len(buckets)]
     status_parts, idx_parts = [], []
     for s, e in zip(cuts[:-1], cuts[1:]):
-        bt = get_bucket_table(refs[int(buckets[s])])
+        bt, h_store = get_bucket(store_dir, int(buckets[s]))
         sub = batch.slice(s, e - s)
-        idx = pc.index_in(sub["canon"], value_set=bt["url"])
+        h_sched = sub["url_hash"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(h_store, h_sched)
+        pos_c = np.minimum(pos, max(len(h_store) - 1, 0)).astype(np.int32)
+        found = (pos < len(h_store)) & \
+            (h_store[pos_c] == h_sched) if len(h_store) else \
+            np.zeros(len(h_sched), bool)
+        idx = pa.array(pos_c, pa.int32(), mask=~found)
+        # hash→row candidates confirmed by exact URL equality
+        cand = pc.take(bt["url"], idx)
+        ok = pc.fill_null(pc.equal(cand, sub["canon"]), False)
+        idx = pc.if_else(ok, idx, pa.scalar(None, pa.int32()))
         st = pc.take(bt["status"], idx)
         ft = pc.take(bt["fail_times"], idx)
         att = sub["attempt"].combine_chunks()
@@ -288,15 +242,12 @@ def fetch_batch_refs(batch: pa.Table, refs: list, num_buckets: int) -> pa.Table:
             pc.fill_null(pc.equal(eff, 200), False),
             pc.fill_null(pc.less_equal(pc.cast(att, pa.int32()), ft), False))
         eff = pc.if_else(retry_mask, pa.scalar(503, pa.int32()), eff)
-        # NO html materialization: pages stay in the shared bucket tables;
-        # downstream resolves bytes lazily via (bucket, html_row).  The
-        # previous take+if_else html copies were the measured scaling
-        # killer (memory-copy contention: 0.15s/block solo -> ~4s at
-        # 32-wide concurrency)
+        # html_row only for rows that will actually be parsed
         idx_out = pc.if_else(pc.fill_null(pc.equal(eff, 200), False),
                              idx, pa.scalar(None, pa.int32()))
         status_parts.append(eff)
         idx_parts.append(idx_out)
+
     def _cat(parts, typ):
         if not parts:
             return pa.array([], typ)

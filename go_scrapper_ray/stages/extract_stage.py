@@ -78,30 +78,27 @@ _gc.set_threshold(50_000, 25, 25)
 
 
 def extract_batch(batch: pa.Table, seeds_ref, cfg_dict: dict,
-                  watermarks_ref, bucket_refs=None) -> pa.Table:
+                  watermarks_ref, store_dir: str | None = None) -> pa.Table:
     key = seeds_ref.hex()
     stage = _STAGE_CACHE.get(key)
     if stage is None:
-        stage = ExtractStage(seeds_ref, cfg_dict, watermarks_ref, bucket_refs)
+        stage = ExtractStage(seeds_ref, cfg_dict, watermarks_ref, store_dir)
         _STAGE_CACHE[key] = stage
-    else:
-        stage.set_bucket_refs(bucket_refs)  # refs rotate per round
     return stage(batch)
 
 
 class ExtractStage:
     def __init__(self, seeds_ref, cfg_dict: dict, watermarks_ref,
-                 bucket_refs=None):
+                 store_dir: str | None = None):
         # once-per-actor state (broadcast refs)
         self.seeds = ray.get(seeds_ref)          # seed_id -> seed config dict
         self.cfg = cfg_dict
         self.watermarks = ray.get(watermarks_ref)  # seed_id -> set(hashes)
-        # zero-copy page-store bucket tables, resolved LAZILY per bucket
-        # through the per-worker LRU shared with the fetch kernel
-        # (pagestore.get_bucket_table); rows reference html via
-        # (bucket, html_row) so no html column is ever materialized between
-        # fetch and extract.
-        self.bucket_refs = bucket_refs
+        # memory-mapped page-store bucket tables, opened LAZILY per bucket
+        # through the per-worker cache shared with the fetch kernel
+        # (pagestore.get_bucket); rows reference html via (bucket, html_row)
+        # so no html column is ever materialized between fetch and extract.
+        self.store_dir = store_dir
         from ..minidom import parse_html  # bind once
         self._parse = parse_html
         # link-filter state, built once per worker: allowed-host set
@@ -202,13 +199,9 @@ class ExtractStage:
                              src))
 
     # ------------------------------------------------------------------ main
-    def set_bucket_refs(self, bucket_refs) -> None:
-        if bucket_refs is not None:
-            self.bucket_refs = bucket_refs
-
     def _btab(self, bucket: int) -> pa.Table:
-        from ..sources.pagestore import get_bucket_table
-        return get_bucket_table(self.bucket_refs[bucket])
+        from ..sources.pagestore import get_bucket
+        return get_bucket(self.store_dir, bucket)[0]
 
     # ------------------------------------------------- fast-path dispatch
     # Each HTML page kind first tries the island scanner (fastpath.scan —
@@ -270,7 +263,7 @@ class ExtractStage:
                 "attempt")}
         c_seed, c_seq, c_kind, c_status = (col["seed_id"], col["seq"],
                                            col["kind"], col["status"])
-        use_store = self.bucket_refs is not None and \
+        use_store = self.store_dir is not None and \
             "html_row" in batch.schema.names
         if use_store:
             c_hrow = batch["html_row"].to_pylist()

@@ -85,8 +85,10 @@ class SeenShard:
         """Returns (edge_table | None, candidate_seed_ids, kept_buckets):
         edges for the KEPT links (src canon rides on the link rows), seed
         ids for ALL candidates (window-growth gating counts attempted
-        pushes, kept or not — parity with the old driver path), and the
-        page-store buckets the kept URLs hash into (driver prefetch)."""
+        pushes, kept or not — parity with the old driver path), and — only
+        when ``num_fetch_buckets`` is non-zero — the page-store buckets the
+        kept URLs hash into (unused since the mmap store; kept for
+        inspection/tests)."""
         import numpy as np
         import pyarrow.compute as pc
 

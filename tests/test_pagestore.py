@@ -39,7 +39,6 @@ def test_status_only_urls_resolve_to_recorded_status(ray_session, tmp_path):
                                    str(tmp_path / "page_status.parquet"),
                                    store, num_buckets=nb)
     assert n == 3  # page row + the two status-only rows
-    refs = pagestore.load_bucket_refs(store, nb)
 
     urls = [URL_OK, URL_TIMEOUT, URL_GONE, URL_ABSENT]
     hashes = url_hash_batch(urls)
@@ -50,7 +49,7 @@ def test_status_only_urls_resolve_to_recorded_status(ray_session, tmp_path):
         "bucket": pa.array([h % nb for _, h in rows], pa.int32()),
         "attempt": pa.array([1] * len(rows), pa.int32()),  # first attempt = 1
     })
-    out = pagestore.fetch_batch_refs(batch, refs, nb)
+    out = pagestore.fetch_batch_store(batch, store, nb)
     got = dict(zip(out["canon"].to_pylist(), out["status"].to_pylist()))
     assert got[URL_OK] == 200
     assert got[URL_TIMEOUT] == 0, "recorded timeout status, not 404"
