@@ -290,8 +290,20 @@ def scaling(n_businesses: int, reps: int = 2, lo: int = 8,
     budget = reps + extra
     runs = 0
     ref = None
+    store = Path(_bench_corpus(n_businesses)) / ".pagestore"
     while runs < budget:
         runs += 1
+        # warm the store's page cache before EACH pair: the legs mmap the
+        # bucket files, and a partially-evicted cache turns the (smaller,
+        # slower-reading) lo leg into a disk benchmark — measured a 1.8x
+        # lo-leg swing (8.4k vs 15.1k urls/s) across otherwise-quiet pairs,
+        # bracketing the ratio anywhere from 0.47 to 1.08.  Both legs of a
+        # pair must see identical (warm) I/O conditions; the cluster analog
+        # is each node's OS cache over its local bucket shards.
+        for f in sorted(store.glob("bucket=*/sorted.arrow")):
+            with open(f, "rb", buffering=1 << 22) as fh:
+                while fh.read(1 << 24):
+                    pass
         pre, ref = wait_quiet(ref)
         a = _scaling_leg(lo, n_businesses)
         b = _scaling_leg(hi, n_businesses)

@@ -268,6 +268,10 @@ class ExtractStage:
         if use_store:
             c_hrow = batch["html_row"].to_pylist()
             c_bucket = batch["bucket"].to_pylist()
+            # html COLUMN cached per bucket: table["html"] builds a fresh
+            # ChunkedArray wrapper per call, pure churn row-wise on the
+            # bucket-sorted batch
+            html_cols: dict[int, object] = {}
         else:
             c_html = batch["html"].to_pylist()
         for i in range(batch.num_rows):
@@ -289,7 +293,11 @@ class ExtractStage:
                                  str(c_status[i])))
                 continue
             if use_store:
-                html = self._btab(c_bucket[i])["html"][c_hrow[i]].as_py()
+                b = c_bucket[i]
+                hc = html_cols.get(b)
+                if hc is None:
+                    hc = html_cols[b] = self._btab(b)["html"]
+                html = hc[c_hrow[i]].as_py()
             else:
                 html = c_html[i]
             seed = self.seeds[sid]
