@@ -66,20 +66,20 @@ def clean_corpus(sf_dir: str, min_words: int = 20, lang: str = "en",
     A doc survives iff it passes the quality/language filter, is the min
     doc_id of its exact-text group among the filtered set, and is the min
     such winner inside its MinHash near-dup cluster."""
-    from ray.data.aggregate import Min
+    from ..agg import hash_agg
 
     kept = docs(sf_dir).map_batches(
         CleanFilter, fn_constructor_args=(min_words, lang),
         batch_format="pyarrow", concurrency=(1, 8), num_cpus=1)
-    exact_winners = (kept.groupby("text_hash")
-                     .aggregate(Min("doc_id", alias_name="doc_id"))
+    exact_winners = (hash_agg(kept, "text_hash",
+                              [("doc_id", "min", "doc_id")])
                      .select_columns(["doc_id"]))
     clusters = dup_clusters(sf_dir, threshold)  # (doc_id, cluster_id)
     joined = exact_winners.join(clusters, "inner", num_partitions=16,
                                 on=("doc_id",),
                                 aggregator_ray_remote_args=join_agg_args())
-    return joined.groupby("cluster_id").aggregate(
-        Min("doc_id", alias_name="doc_id"))
+    return hash_agg(joined, "cluster_id",
+                    [("doc_id", "min", "doc_id")])
 
 
 # ------------------------------------------------------------ resumable sink

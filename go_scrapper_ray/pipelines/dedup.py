@@ -29,6 +29,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
+from ..agg import hash_agg, partition_ids
 from ..joins import join_agg_args
 from .textstats import docs
 
@@ -49,9 +50,10 @@ def exact_dedup(sf_dir: str) -> rd.Dataset:
         return pa.table({"text_hash": pa.array(fps, pa.string()),
                          "doc_id": t["doc_id"]})
 
-    from ray.data.aggregate import Min
-    return (docs(sf_dir).map_batches(hash_batch, batch_format="pyarrow")
-            .groupby("text_hash").aggregate(Min("doc_id", alias_name="doc_id")))
+    from ..agg import hash_agg
+    return hash_agg(docs(sf_dir).map_batches(hash_batch,
+                                             batch_format="pyarrow"),
+                    "text_hash", [("doc_id", "min", "doc_id")])
 
 
 # -------------------------------------------------------------- chunk dedup
@@ -87,11 +89,11 @@ def chunk_dedup(sf_dir: str, chunk_tokens: int = 10) -> rd.Dataset:
             "p_n": pa.array([v[1] for v in agg.values()], pa.int64()),
         })
 
-    from ray.data.aggregate import Min, Sum
-    return (docs(sf_dir).map_batches(hash_chunks, batch_format="pyarrow")
-            .groupby("chunk_hash")
-            .aggregate(Min("p_doc", alias_name="doc_id"),
-                       Sum("p_n", alias_name="n_copies")))
+    from ..agg import hash_agg
+    return hash_agg(docs(sf_dir).map_batches(hash_chunks,
+                                             batch_format="pyarrow"),
+                    "chunk_hash", [("p_doc", "min", "doc_id"),
+                                   ("p_n", "sum", "n_copies")])
 
 
 # ------------------------------------------------------------------- minhash
@@ -414,46 +416,61 @@ def dup_clusters(sf_dir: str, threshold: float = 0.8,
     state = (ids.map_batches(graph_self_rows, batch_format="pyarrow")
              .union(pairs.map_batches(edge_rows, batch_format="pyarrow")))
 
-    def hash_to_min(g: pd.DataFrame) -> pd.DataFrame:
-        members = np.unique(g["member"].to_numpy())  # global distinct here
-        node = int(g["node"].iloc[0])
-        m = min(int(members[0]), node)
-        # send the min to every member; send every member (and the node)
-        # to the min
-        out_node = np.concatenate([members, np.full(len(members) + 1, m)])
-        out_memb = np.concatenate([np.full(len(members), m), members,
-                                   [node]])
-        return pd.DataFrame({"node": out_node, "member": out_memb})
+    # One node-partitioned exchange per round: the per-node hash-to-min
+    # AND the (node, member) distinct both key on `node`, so a single
+    # vectorized sorted-run kernel replaces the old two-shuffle round
+    # (groupby(node).map_groups spent ~1 Python call per NODE per round;
+    # this spends one numpy pass per PARTITION per round).
+    def addpart(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b.append_column("__part", pa.array([], pa.int32()))
+        return b.append_column(
+            "__part", pa.array(partition_ids(b, ["node"], 32)))
+
+    def round_kernel(g: pa.Table) -> pa.Table:
+        node = g["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        memb = g["member"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # distinct (node, member), sorted by (node, member) — all rows of
+        # a node live in this partition, so the distinct is global
+        order = np.lexsort((memb, node))
+        node, memb = node[order], memb[order]
+        keep = np.ones(len(node), dtype=bool)
+        keep[1:] = (node[1:] != node[:-1]) | (memb[1:] != memb[:-1])
+        node, memb = node[keep], memb[keep]
+        starts = np.r_[0, np.flatnonzero(node[1:] != node[:-1]) + 1]
+        sizes = np.diff(np.r_[starts, len(node)])
+        # per-run min: members are sorted within the run; include the node
+        m_run = np.minimum(memb[starts], node[starts])
+        m_rep = np.repeat(m_run, sizes)
+        # min -> every member; every member -> min; node -> min
+        out_node = np.concatenate([memb, m_rep, m_run])
+        out_memb = np.concatenate([m_rep, memb, node[starts]])
+        t = pa.table({"node": pa.array(out_node, pa.int64()),
+                      "member": pa.array(out_memb, pa.int64())})
+        return t.group_by(["node", "member"]).aggregate([])  # local distinct
 
     from ray.data.aggregate import Count, Sum
-
-    def drop_count(t: pa.Table) -> pa.Table:
-        return t.select(["node", "member"])
 
     rounds = max(3, 2 * math.ceil(math.log2(max(n_docs, 2))) + 2)
     prev_fp = None
     for _ in range(rounds):
-        # GLOBAL distinct via the (node, member) groupby — different source
-        # groups emit the same row, and per-batch dedup left duplicates
-        # that made the convergence fingerprint wobble (no early exit).
-        # Count() is a vectorized sort-shuffle aggregate; map_groups here
-        # would spin up one pandas group per distinct row.
-        state = (state.groupby("node")
-                 .map_groups(hash_to_min, batch_format="pandas")
-                 .groupby(["node", "member"])
-                 .aggregate(Count())
-                 .map_batches(drop_count, batch_format="pyarrow")
+        state = (state.map_batches(addpart, batch_format="pyarrow")
+                 .groupby("__part")
+                 .map_groups(round_kernel, batch_format="pyarrow")
                  .materialize())
         # early exit at the deterministic fixpoint (near-dup clusters are
         # tiny, so this usually fires after ~3-4 rounds); the oracle-
-        # checked correctness does not depend on it, the round cap does
+        # checked correctness does not depend on it, the round cap does.
+        # (state may carry cross-partition duplicate rows — the kernel
+        # dedups only within its node partition — but the multiset is
+        # deterministic, so the fingerprint still stabilizes exactly.)
         agg = state.aggregate(Count(), Sum("member"), Sum("node"))
         fp = (agg["count()"], agg["sum(member)"], agg["sum(node)"])
         if fp == prev_fp:
             break
         prev_fp = fp
-    clustered = (state.groupby("node")
-                 .aggregate(Min("member", alias_name="cluster_id"))
+    clustered = (hash_agg(state, "node",
+                          [("member", "min", "cluster_id")])
                  .map_batches(lambda t: t.rename_columns(
                      ["doc_id", "cluster_id"]), batch_format="pyarrow"))
     return clustered.union(
@@ -507,9 +524,9 @@ def ngram_jaccard_dups(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
         g = t.group_by("token").aggregate([("token", "count")])
         return g.rename_columns(["token", "p_n"])
 
-    from ray.data.aggregate import Sum
-    df_ds = (toks.map_batches(df_partial, batch_format="pyarrow")
-             .groupby("token").aggregate(Sum("p_n", alias_name="n")))
+    df_ds = hash_agg(toks.map_batches(df_partial,
+                                      batch_format="pyarrow"),
+                     "token", [("p_n", "sum", "n")])
     vocab, counts = [], []
     for t in df_ds.iter_batches(batch_format="pyarrow"):
         vocab.extend(t["token"].to_pylist())
@@ -603,8 +620,9 @@ def ngram_jaccard_dups(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
             g = t.group_by("token").aggregate([("token", "count")])
             return g.rename_columns(["token", "p_n"])
 
-        gh = (prefix_ds.map_batches(hist_partial, batch_format="pyarrow")
-              .groupby("token").aggregate(Sum("p_n", alias_name="n")))
+        gh = hash_agg(prefix_ds.map_batches(hist_partial,
+                                            batch_format="pyarrow"),
+                      "token", [("p_n", "sum", "n")])
         gsizes = np.array([r["n"] for r in gh.iter_rows()], dtype=np.int64)
         work_prefix = int((gsizes * (gsizes - 1) // 2).sum())
         work_all = n_docs * (n_docs - 1) // 2
@@ -830,10 +848,27 @@ def simhash_dups(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
                              "doc_b": pd.array(b, dtype="int64"),
                              "hamming": pd.array(h, dtype="int64")})
 
+    # buckets are (chunk_id, chunk_val) — up to 4x65536 tiny groups, so a
+    # per-bucket map_groups pays Ray's group machinery per BUCKET; instead
+    # hash-partition on the bucket key and run the per-bucket verify in a
+    # pandas groupby inside each partition (one Python call per partition)
+    def addpart(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b.append_column("__part", pa.array([], pa.int32()))
+        return b.append_column("__part", pa.array(
+            partition_ids(b, ["chunk_id", "chunk_val"], 32)))
+
+    def verify_partition(g: pd.DataFrame) -> pd.DataFrame:
+        outs = [verify_group(gg) for _, gg in
+                g.groupby(["chunk_id", "chunk_val"], sort=False)]
+        if not outs:
+            return verify_group(g.iloc[:0])
+        return pd.concat(outs, ignore_index=True)
+
     cand = (docs(sf_dir).map_batches(sig_batch, batch_format="pyarrow")
-            .repartition(16)
-            .groupby(["chunk_id", "chunk_val"])
-            .map_groups(verify_group, batch_format="pandas"))
+            .map_batches(addpart, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(verify_partition, batch_format="pandas"))
 
     def distinct(t: pa.Table) -> pa.Table:
         return t.group_by(["doc_a", "doc_b"]).aggregate([("hamming", "min")]) \

@@ -15,6 +15,8 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 
+from ..agg import hash_agg, partition_ids
+
 
 def _events(sf_dir: str, columns) -> rd.Dataset:
     return rd.read_parquet(f"{sf_dir}/events.parquet", columns=list(columns))
@@ -37,12 +39,10 @@ def windowed_counts(sf_dir: str, window_s: int = 3600) -> rd.Dataset:
             [("cents", "sum"), ("cents", "count")])
         return g.rename_columns(["event_type", "window_id", "p_cents", "p_n"])
 
-    from ray.data.aggregate import Sum
-    return (_events(sf_dir, ("ts", "event_type", "value"))
-            .map_batches(partial, batch_format="pyarrow")
-            .groupby(["event_type", "window_id"])
-            .aggregate(Sum("p_n", alias_name="n"),
-                       Sum("p_cents", alias_name="cents")))
+    return hash_agg(_events(sf_dir, ("ts", "event_type", "value"))
+                    .map_batches(partial, batch_format="pyarrow"),
+                    ["event_type", "window_id"],
+                    [("p_n", "sum", "n"), ("p_cents", "sum", "cents")])
 
 
 def sessionize(sf_dir: str, gap_s: int = 1800) -> rd.Dataset:
@@ -146,10 +146,9 @@ def top_users_by_value(sf_dir: str, n: int = 10) -> rd.Dataset:
         g = tmp.group_by("user_id").aggregate([("cents", "sum")])
         return g.rename_columns(["user_id", "p_cents"])
 
-    from ray.data.aggregate import Sum
-    agg = (_events(sf_dir, ("user_id", "value"))
-           .map_batches(partial, batch_format="pyarrow")
-           .groupby("user_id").aggregate(Sum("p_cents", alias_name="cents")))
+    agg = hash_agg(_events(sf_dir, ("user_id", "value"))
+                   .map_batches(partial, batch_format="pyarrow"),
+                   "user_id", [("p_cents", "sum", "cents")])
     return agg.sort(["cents", "user_id"], descending=[True, False]).limit(n)
 
 def funnel(sf_dir: str) -> rd.Dataset:
@@ -252,27 +251,28 @@ def daily_active(sf_dir: str) -> rd.Dataset:
     (day, user) per batch; (b) per-batch per-day partials over that
     deduped set, groupby(day) over |days| keys."""
     DAY_US = 86_400_000_000
-    from ray.data.aggregate import Sum
 
     def prep(t: pa.Table) -> pa.Table:
         day = pc.divide(t["ts"].cast(pa.int64()), DAY_US).cast(pa.int64())
         g = (pa.table({"day": day, "user_id": t["user_id"]})
              .group_by(["day", "user_id"]).aggregate([("user_id", "count")]))
-        return g.rename_columns(["day", "user_id", "p_n"])
+        g = g.rename_columns(["day", "user_id", "p_n"])
+        return g.append_column("__part",
+                               pa.array(partition_ids(g, ["day"], 32)))
 
-    per_user_day = (_events(sf_dir, ("ts", "user_id"))
-                    .map_batches(prep, batch_format="pyarrow")
-                    .groupby(["day", "user_id"])
-                    .aggregate(Sum("p_n", alias_name="n")))
+    # both the (day, user) distinct and the per-day rollup key on `day`,
+    # so ONE day-partitioned exchange finishes both — no second shuffle
+    def day_stats(g: pa.Table) -> pa.Table:
+        per_uu = (g.group_by(["day", "user_id"])
+                  .aggregate([("p_n", "sum")]))
+        st = per_uu.group_by("day").aggregate(
+            [("user_id", "count"), ("p_n_sum", "sum")])
+        return st.rename_columns(["day", "dau", "n_events"])
 
-    def day_partial(t: pa.Table) -> pa.Table:
-        g = t.group_by("day").aggregate([("user_id", "count"),
-                                         ("n", "sum")])
-        return g.rename_columns(["day", "p_u", "p_e"])
-
-    return (per_user_day.map_batches(day_partial, batch_format="pyarrow")
-            .groupby("day").aggregate(Sum("p_u", alias_name="dau"),
-                                      Sum("p_e", alias_name="n_events")))
+    return (_events(sf_dir, ("ts", "user_id"))
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby("__part")
+            .map_groups(day_stats, batch_format="pyarrow"))
 
 
 def retention_cohorts(sf_dir: str, shards: int = 64) -> rd.Dataset:
@@ -289,7 +289,6 @@ def retention_cohorts(sf_dir: str, shards: int = 64) -> rd.Dataset:
     3. tiny groupby over |weeks|^2 keys.
     Group-call count is O(shards), never O(users)."""
     WEEK_US = 604_800_000_000
-    from ray.data.aggregate import Sum
 
     def prep(t: pa.Table) -> pa.Table:
         week = pc.divide(t["ts"].cast(pa.int64()), WEEK_US).cast(pa.int64())
@@ -308,12 +307,12 @@ def retention_cohorts(sf_dir: str, shards: int = 64) -> rd.Dataset:
         return out.astype({"cohort_week": "int64", "week": "int64",
                            "p_n": "int64"})
 
-    return (_events(sf_dir, ("ts", "user_id"))
-            .map_batches(prep, batch_format="pyarrow")
-            .groupby("shard")
-            .map_groups(per_shard, batch_format="pandas")
-            .groupby(["cohort_week", "week"])
-            .aggregate(Sum("p_n", alias_name="n_users")))
+    return hash_agg(_events(sf_dir, ("ts", "user_id"))
+                    .map_batches(prep, batch_format="pyarrow")
+                    .groupby("shard")
+                    .map_groups(per_shard, batch_format="pandas"),
+                    ["cohort_week", "week"],
+                    [("p_n", "sum", "n_users")])
 
 
 def type_transitions(sf_dir: str, shards: int = 64) -> rd.Dataset:
@@ -326,7 +325,6 @@ def type_transitions(sf_dir: str, shards: int = 64) -> rd.Dataset:
     (user, ts, event_id), takes the shifted pair arrays, masks user
     boundaries, and emits shard-local pair counts; final groupby over
     |type|^2 keys."""
-    from ray.data.aggregate import Sum
 
     def prep(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -354,12 +352,12 @@ def type_transitions(sf_dir: str, shards: int = 64) -> rd.Dataset:
                .size().rename("p_n").reset_index())
         return out.astype({"p_n": "int64"})
 
-    return (_events(sf_dir, ("ts", "user_id", "event_id", "event_type"))
-            .map_batches(prep, batch_format="pyarrow")
-            .groupby("shard")
-            .map_groups(per_shard, batch_format="pandas")
-            .groupby(["from_type", "to_type"])
-            .aggregate(Sum("p_n", alias_name="n")))
+    return hash_agg(_events(sf_dir, ("ts", "user_id", "event_id",
+                                     "event_type"))
+                    .map_batches(prep, batch_format="pyarrow")
+                    .groupby("shard")
+                    .map_groups(per_shard, batch_format="pandas"),
+                    ["from_type", "to_type"], [("p_n", "sum", "n")])
 
 
 def rolling_value(sf_dir: str, window_s: int = 3600) -> rd.Dataset:

@@ -36,7 +36,7 @@ def pagerank(sf_dir: str, iters: int = 3) -> rd.Dataset:
     all-to-all per iteration, which is the known lower bound for a rank
     sweep.  A zero self-contribution row keeps sink-less nodes present
     without a join against the node list."""
-    from ray.data.aggregate import Sum
+    from ..agg import hash_agg
 
     n = _n_docs(sf_dir)
     base = SCALE * (DAMP_DEN - DAMP_NUM) // DAMP_DEN
@@ -70,8 +70,9 @@ def pagerank(sf_dir: str, iters: int = 3) -> rd.Dataset:
                          "s": pa.array(base + inc, pa.int64())})
 
     for _ in range(iters):
-        scores = (scores.map_batches(contribs, batch_format="pyarrow")
-                  .groupby("dst").aggregate(Sum("p_c", alias_name="inc"))
+        scores = (hash_agg(scores.map_batches(contribs,
+                                              batch_format="pyarrow"),
+                           "dst", [("p_c", "sum", "inc")])
                   .map_batches(renorm, batch_format="pyarrow"))
 
     return scores.map_batches(

@@ -16,6 +16,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
+from ..agg import hash_agg
 from ..joins import join_agg_args
 
 
@@ -61,11 +62,10 @@ def top_suppliers_by_revenue(sf_dir: str, n: int = 10) -> rd.Dataset:
         g = tmp.group_by("l_suppkey").aggregate([("cents", "sum")])
         return g.rename_columns(["l_suppkey", "p_cents"])
 
-    from ray.data.aggregate import Sum
-    agg = (_read(sf_dir, "lineitem",
-                 ["l_suppkey", "l_extendedprice", "l_discount"])
-           .map_batches(partial, batch_format="pyarrow")
-           .groupby("l_suppkey").aggregate(Sum("p_cents", alias_name="cents")))
+    agg = hash_agg(_read(sf_dir, "lineitem",
+                         ["l_suppkey", "l_extendedprice", "l_discount"])
+                   .map_batches(partial, batch_format="pyarrow"),
+                   "l_suppkey", [("p_cents", "sum", "cents")])
     joined = broadcast_join(agg, sup, "l_suppkey", "s_suppkey", ["s_name"])
     return (joined.map_batches(
         lambda t: t.select(["s_name", "cents"]), batch_format="pyarrow")
@@ -81,10 +81,9 @@ def order_priority_counts(sf_dir: str) -> rd.Dataset:
                                                       "count")])
         return g.rename_columns(["o_orderpriority", "p_n"])
 
-    from ray.data.aggregate import Sum
-    return (_read(sf_dir, "orders", ["o_orderpriority"])
-            .map_batches(partial, batch_format="pyarrow")
-            .groupby("o_orderpriority").aggregate(Sum("p_n", alias_name="n")))
+    return hash_agg(_read(sf_dir, "orders", ["o_orderpriority"])
+                    .map_batches(partial, batch_format="pyarrow"),
+                    "o_orderpriority", [("p_n", "sum", "n")])
 
 
 def nation_customer_revenue(sf_dir: str) -> rd.Dataset:
@@ -105,13 +104,11 @@ def nation_customer_revenue(sf_dir: str) -> rd.Dataset:
         g = tmp.group_by("c_nationkey").aggregate([("cents", "sum")])
         return g.rename_columns(["c_nationkey", "p_cents"])
 
-    from ray.data.aggregate import Sum
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     with_nat = broadcast_join(orders, cust, "o_custkey", "c_custkey",
                               ["c_nationkey"])
-    agg = (with_nat.map_batches(partial, batch_format="pyarrow")
-           .groupby("c_nationkey").aggregate(Sum("p_cents",
-                                                 alias_name="cents")))
+    agg = hash_agg(with_nat.map_batches(partial, batch_format="pyarrow"),
+                   "c_nationkey", [("p_cents", "sum", "cents")])
     named = broadcast_join(agg, nation, "c_nationkey", "n_nationkey",
                            ["n_name"])
     return named.map_batches(lambda t: t.select(["n_name", "cents"]),
@@ -155,17 +152,15 @@ def pricing_summary(sf_dir: str, cutoff: str = "1998-09-02") -> rd.Dataset:
         return g.rename_columns(["l_returnflag", "l_linestatus", "p_qty",
                                  "p_base", "p_disc", "p_charge", "p_n"])
 
-    from ray.data.aggregate import Sum
-    return (_read(sf_dir, "lineitem",
-                  ["l_returnflag", "l_linestatus", "l_quantity",
-                   "l_extendedprice", "l_discount", "l_tax", "l_shipdate"])
-            .map_batches(partial, batch_format="pyarrow")
-            .groupby(["l_returnflag", "l_linestatus"])
-            .aggregate(Sum("p_qty", alias_name="sum_qty_c"),
-                       Sum("p_base", alias_name="sum_base_c"),
-                       Sum("p_disc", alias_name="sum_disc_c"),
-                       Sum("p_charge", alias_name="sum_charge_c"),
-                       Sum("p_n", alias_name="n_rows")))
+    return hash_agg(
+        _read(sf_dir, "lineitem",
+              ["l_returnflag", "l_linestatus", "l_quantity",
+               "l_extendedprice", "l_discount", "l_tax", "l_shipdate"])
+        .map_batches(partial, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        [("p_qty", "sum", "sum_qty_c"), ("p_base", "sum", "sum_base_c"),
+         ("p_disc", "sum", "sum_disc_c"),
+         ("p_charge", "sum", "sum_charge_c"), ("p_n", "sum", "n_rows")])
 
 
 def shipping_priority(sf_dir: str, segment: str = "BUILDING",
@@ -185,7 +180,6 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING",
        hash join on l_orderkey = o_orderkey.
     4. global top-N on the tiny aggregate."""
     import numpy as np
-    from ray.data.aggregate import Sum
     cutoff_us = int(np.datetime64(cutoff, "us").astype(np.int64))
 
     def li_partial(t: pa.Table) -> pa.Table:
@@ -202,12 +196,11 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING",
              .group_by("l_orderkey").aggregate([("rev", "sum")]))
         return g.rename_columns(["l_orderkey", "p_rev"])
 
-    rev_per_order = (_read(sf_dir, "lineitem",
-                           ["l_orderkey", "l_extendedprice", "l_discount",
-                            "l_shipdate"])
-                     .map_batches(li_partial, batch_format="pyarrow")
-                     .groupby("l_orderkey")
-                     .aggregate(Sum("p_rev", alias_name="revenue_c")))
+    rev_per_order = hash_agg(
+        _read(sf_dir, "lineitem",
+              ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+        .map_batches(li_partial, batch_format="pyarrow"),
+        "l_orderkey", [("p_rev", "sum", "revenue_c")])
 
     cust = pq_segment_custkeys(sf_dir, segment)
     cust_ref = ray.put(cust)
@@ -299,16 +292,13 @@ def cust_order_histogram(sf_dir: str) -> pa.Table:
     it is ``count(customer) - count(active custkeys)``, two scalar
     aggregates — the only driver-side work is assembling a <100-row
     histogram table."""
-    from ray.data.aggregate import Sum
-
     def count_per_cust(t: pa.Table) -> pa.Table:
         g = t.group_by("o_custkey").aggregate([("o_custkey", "count")])
         return g.rename_columns(["o_custkey", "p_n"])
 
-    per_cust = (_read(sf_dir, "orders", ["o_custkey"])
-                .map_batches(count_per_cust, batch_format="pyarrow")
-                .groupby("o_custkey")
-                .aggregate(Sum("p_n", alias_name="n_orders")))
+    per_cust = hash_agg(_read(sf_dir, "orders", ["o_custkey"])
+                        .map_batches(count_per_cust, batch_format="pyarrow"),
+                        "o_custkey", [("p_n", "sum", "n_orders")])
 
     def hist_partial(t: pa.Table) -> pa.Table:
         g = t.group_by("n_orders").aggregate([("n_orders", "count")])
@@ -394,7 +384,6 @@ def promo_revenue(sf_dir: str) -> rd.Dataset:
     carries one row per (part, month) per batch, not per line item — and
     part is projected to (key, is_promo int).  After the join the final
     groupby's domain is |months|."""
-    from ray.data.aggregate import Sum
 
     def li_partial(t: pa.Table) -> pa.Table:
         month = pc.add(pc.multiply(pc.year(t["l_shipdate"]), 100),
@@ -435,10 +424,10 @@ def promo_revenue(sf_dir: str) -> rd.Dataset:
              .aggregate([("promo", "sum"), ("total", "sum")]))
         return g.rename_columns(["ship_month", "pp", "pt"])
 
-    return (joined.map_batches(month_partial, batch_format="pyarrow")
-            .groupby("ship_month")
-            .aggregate(Sum("pp", alias_name="promo_c"),
-                       Sum("pt", alias_name="total_c")))
+    return hash_agg(joined.map_batches(month_partial,
+                                       batch_format="pyarrow"),
+                    "ship_month",
+                    [("pp", "sum", "promo_c"), ("pt", "sum", "total_c")])
 
 
 def top_orders_per_cust(sf_dir: str, n: int = 3,
@@ -501,7 +490,6 @@ def returned_item_revenue(sf_dir: str, date_from: str = "1996-01-01",
     attach via broadcast (dimension tables)."""
     import numpy as np
     import pyarrow.parquet as pq
-    from ray.data.aggregate import Sum
     lo_us = int(np.datetime64(date_from, "us").astype(np.int64))
     hi_us = int(np.datetime64(date_to, "us").astype(np.int64))
 
@@ -517,11 +505,11 @@ def returned_item_revenue(sf_dir: str, date_from: str = "1996-01-01",
              .group_by("l_orderkey").aggregate([("cents", "sum")]))
         return g.rename_columns(["l_orderkey", "p_rev"])
 
-    rev = (_read(sf_dir, "lineitem",
-                 ["l_orderkey", "l_returnflag", "l_extendedprice",
-                  "l_discount"])
-           .map_batches(li_partial, batch_format="pyarrow")
-           .groupby("l_orderkey").aggregate(Sum("p_rev", alias_name="rev")))
+    rev = hash_agg(_read(sf_dir, "lineitem",
+                         ["l_orderkey", "l_returnflag", "l_extendedprice",
+                          "l_discount"])
+                   .map_batches(li_partial, batch_format="pyarrow"),
+                   "l_orderkey", [("p_rev", "sum", "rev")])
 
     def o_kernel(t: pa.Table) -> pa.Table:
         d = t["o_orderdate"].cast(pa.int64())
@@ -542,9 +530,9 @@ def returned_item_revenue(sf_dir: str, date_from: str = "1996-01-01",
              .group_by("o_custkey").aggregate([("rev", "sum")]))
         return g.rename_columns(["o_custkey", "p_cents"])
 
-    per_cust = (joined.map_batches(cust_partial, batch_format="pyarrow")
-                .groupby("o_custkey")
-                .aggregate(Sum("p_cents", alias_name="cents")))
+    per_cust = hash_agg(joined.map_batches(cust_partial,
+                                           batch_format="pyarrow"),
+                        "o_custkey", [("p_cents", "sum", "cents")])
     cust = pq.read_table(f"{sf_dir}/customer.parquet",
                          columns=["c_custkey", "c_name", "c_nationkey"])
     nation = pq.read_table(f"{sf_dir}/nation.parquet",
@@ -577,7 +565,6 @@ def large_volume_orders(sf_dir: str, qty_gt: int = 250) -> rd.Dataset:
     few hundred keys.  Customer name via the same broadcast pattern.
     Quantities are whole numbers in [1, 50] stored as double, so the
     int64 cast is exact."""
-    from ray.data.aggregate import Sum
 
     def li_partial(t: pa.Table) -> pa.Table:
         qty = t["l_quantity"].cast(pa.int64())
@@ -586,9 +573,9 @@ def large_volume_orders(sf_dir: str, qty_gt: int = 250) -> rd.Dataset:
         return g.rename_columns(["l_orderkey", "p_q"])
 
     big_blocks = [b for b in (ray.get(r) for r in (
-        _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
-        .map_batches(li_partial, batch_format="pyarrow")
-        .groupby("l_orderkey").aggregate(Sum("p_q", alias_name="sum_qty"))
+        hash_agg(_read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+                 .map_batches(li_partial, batch_format="pyarrow"),
+                 "l_orderkey", [("p_q", "sum", "sum_qty")])
         .filter(expr=f"sum_qty > {qty_gt}")
         .to_arrow_refs())) if b.num_rows]
     big = (pa.concat_tables(big_blocks).combine_chunks() if big_blocks
@@ -678,11 +665,10 @@ def high_balance_inactive(sf_dir: str,
              .aggregate([("cents", "sum"), ("cents", "count")]))
         return g.rename_columns(["c_nationkey", "p_c", "p_n"])
 
-    agg = (_read(sf_dir, "customer", cust_cols)
-           .map_batches(c_partial, batch_format="pyarrow")
-           .groupby("c_nationkey")
-           .aggregate(Sum("p_n", alias_name="n_custs"),
-                      Sum("p_c", alias_name="acctbal_c")))
+    agg = hash_agg(_read(sf_dir, "customer", cust_cols)
+                   .map_batches(c_partial, batch_format="pyarrow"),
+                   "c_nationkey",
+                   [("p_n", "sum", "n_custs"), ("p_c", "sum", "acctbal_c")])
     nation = pq.read_table(f"{sf_dir}/nation.parquet",
                            columns=["n_nationkey", "n_name"])
     named = broadcast_join(agg, nation, "c_nationkey", "n_nationkey",
@@ -705,7 +691,6 @@ def volume_shipping(sf_dir: str, nation_a: str = "NATION_3",
     via broadcast dimension); the pair filter and the final tiny groupby
     run on id-sized rows throughout."""
     import pyarrow.parquet as pq
-    from ray.data.aggregate import Sum
     nat = pq.read_table(f"{sf_dir}/nation.parquet",
                         columns=["n_nationkey", "n_name"])
     name_of = dict(zip(nat["n_nationkey"].to_pylist(),
@@ -785,9 +770,10 @@ def volume_shipping(sf_dir: str, nation_a: str = "NATION_3",
              .aggregate([("cents", "sum")]))
         return g.rename_columns(["s_nat", "c_nat", "l_year", "p_c"])
 
-    agg = (joined.map_batches(pair_partial, batch_format="pyarrow")
-           .groupby(["s_nat", "c_nat", "l_year"])
-           .aggregate(Sum("p_c", alias_name="cents")))
+    agg = hash_agg(joined.map_batches(pair_partial,
+                                      batch_format="pyarrow"),
+                   ["s_nat", "c_nat", "l_year"],
+                   [("p_c", "sum", "cents")])
 
     def name_kernel(t: pa.Table) -> pa.Table:
         sn = pa.array([name_of[k] for k in t["s_nat"].to_pylist()],
@@ -815,7 +801,6 @@ def market_share(sf_dir: str, region: str = "ASIA",
     broadcast; the orderkey hash join and the per-year groupby move
     id-sized rows only."""
     import pyarrow.parquet as pq
-    from ray.data.aggregate import Sum
     nat = pq.read_table(f"{sf_dir}/nation.parquet",
                         columns=["n_nationkey", "n_name", "n_regionkey"])
     reg = pq.read_table(f"{sf_dir}/region.parquet",
@@ -890,10 +875,10 @@ def market_share(sf_dir: str, region: str = "ASIA",
              .aggregate([("nat", "sum"), ("tot", "sum")]))
         return g.rename_columns(["o_year", "pn", "pt"])
 
-    return (joined.map_batches(year_partial, batch_format="pyarrow")
-            .groupby("o_year")
-            .aggregate(Sum("pn", alias_name="nation_c"),
-                       Sum("pt", alias_name="total_c")))
+    return hash_agg(joined.map_batches(year_partial,
+                                       batch_format="pyarrow"),
+                    "o_year",
+                    [("pn", "sum", "nation_c"), ("pt", "sum", "total_c")])
 
 
 def small_qty_revenue(sf_dir: str, brand: str = "Brand#13",
@@ -928,11 +913,10 @@ def small_qty_revenue(sf_dir: str, brand: str = "Brand#13",
         return g.rename_columns(["l_partkey", "p_q", "p_n"])
 
     li_cols = ["l_partkey", "l_quantity", "l_extendedprice"]
-    stats = (_read(sf_dir, "lineitem", li_cols[:2])
-             .map_batches(qty_partial, batch_format="pyarrow")
-             .groupby("l_partkey")
-             .aggregate(Sum("p_q", alias_name="sq"),
-                        Sum("p_n", alias_name="n")))
+    stats = hash_agg(_read(sf_dir, "lineitem", li_cols[:2])
+                     .map_batches(qty_partial, batch_format="pyarrow"),
+                     "l_partkey",
+                     [("p_q", "sum", "sq"), ("p_n", "sum", "n")])
     # drop empty aggregate blocks: they carry an EMPTY schema, which
     # poisons concat_tables (observed on groupby outputs at sf0.1)
     blocks = [b for b in (ray.get(r) for r in stats.to_arrow_refs())
@@ -1064,12 +1048,11 @@ def ship_lag_stats(sf_dir: str) -> rd.Dataset:
              .aggregate([("lag", "count"), ("lag", "sum"), ("lag", "max")]))
         return g.rename_columns(["o_orderpriority", "p_n", "p_sum", "p_max"])
 
-    from ray.data.aggregate import Max, Sum
-    return (joined.map_batches(lag_partial, batch_format="pyarrow")
-            .groupby("o_orderpriority")
-            .aggregate(Sum("p_n", alias_name="n"),
-                       Sum("p_sum", alias_name="sum_lag_days"),
-                       Max("p_max", alias_name="max_lag_days")))
+    return hash_agg(joined.map_batches(lag_partial,
+                                       batch_format="pyarrow"),
+                    "o_orderpriority",
+                    [("p_n", "sum", "n"), ("p_sum", "sum", "sum_lag_days"),
+                     ("p_max", "max", "max_lag_days")])
 
 
 def top_supplier_revenue(sf_dir: str, date_from: str = "1996-01-01",
@@ -1097,14 +1080,12 @@ def top_supplier_revenue(sf_dir: str, date_from: str = "1996-01-01",
              .group_by("s_suppkey").aggregate([("cents", "sum")]))
         return g.rename_columns(["s_suppkey", "p_c"])
 
-    from ray.data.aggregate import Sum
-    per_supp = (_read(sf_dir, "lineitem",
-                      ["l_suppkey", "l_extendedprice", "l_discount",
-                       "l_shipdate"])
-                .map_batches(partial, batch_format="pyarrow")
-                .groupby("s_suppkey")
-                .aggregate(Sum("p_c", alias_name="cents"))
-                .materialize())
+    per_supp = hash_agg(_read(sf_dir, "lineitem",
+                              ["l_suppkey", "l_extendedprice", "l_discount",
+                               "l_shipdate"])
+                        .map_batches(partial, batch_format="pyarrow"),
+                        "s_suppkey",
+                        [("p_c", "sum", "cents")]).materialize()
     best = per_supp.max("cents")
 
     winners = per_supp.map_batches(
@@ -1123,8 +1104,6 @@ def order_supplier_diversity(sf_dir: str) -> rd.Dataset:
     each order draws from — the per-key count-distinct class over the
     biggest table.  Shuffle (a) carries per-batch-deduped (order,
     supplier) pairs; shuffle (b) is |distinct counts| keys wide."""
-    from ray.data.aggregate import Sum
-
     def prep(t: pa.Table) -> pa.Table:
         g = (pa.table({"l_orderkey": t["l_orderkey"],
                        "l_suppkey": t["l_suppkey"]})
@@ -1132,26 +1111,37 @@ def order_supplier_diversity(sf_dir: str) -> rd.Dataset:
              .aggregate([("l_suppkey", "count")]))
         return g.rename_columns(["l_orderkey", "l_suppkey", "p_n"])
 
-    per_pair = (_read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
-                .map_batches(prep, batch_format="pyarrow")
-                .groupby(["l_orderkey", "l_suppkey"])
-                .aggregate(Sum("p_n", alias_name="n")))
+    # the (order, supplier) dedup and the per-order distinct count share
+    # the SAME partition key prefix (l_orderkey), so both collapse inside
+    # one hash_agg partition pass — dedup pairs, then count per order
+    def pair_then_count(g: pa.Table) -> pa.Table:
+        pairs = (g.group_by(["l_orderkey", "l_suppkey"])
+                 .aggregate([("p_n", "sum")]))
+        per_order = (pairs.group_by("l_orderkey")
+                     .aggregate([("l_suppkey", "count")]))
+        return per_order.rename_columns(["l_orderkey", "n_suppliers"])
 
-    def count_partial(t: pa.Table) -> pa.Table:
-        g = t.group_by("l_orderkey").aggregate([("l_suppkey", "count")])
-        return g.rename_columns(["l_orderkey", "p_ns"])
+    from ..agg import partition_ids
 
-    per_order = (per_pair.map_batches(count_partial, batch_format="pyarrow")
-                 .groupby("l_orderkey")
-                 .aggregate(Sum("p_ns", alias_name="n_suppliers")))
+    def addpart(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b.append_column("__part", pa.array([], pa.int32()))
+        return b.append_column(
+            "__part", pa.array(partition_ids(b, ["l_orderkey"], 32)))
+
+    per_order = (_read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+                 .map_batches(prep, batch_format="pyarrow")
+                 .map_batches(addpart, batch_format="pyarrow")
+                 .groupby("__part")
+                 .map_groups(pair_then_count, batch_format="pyarrow"))
 
     def hist_partial(t: pa.Table) -> pa.Table:
         g = t.group_by("n_suppliers").aggregate([("n_suppliers", "count")])
         return g.rename_columns(["n_suppliers", "p_n"])
 
-    return (per_order.map_batches(hist_partial, batch_format="pyarrow")
-            .groupby("n_suppliers")
-            .aggregate(Sum("p_n", alias_name="n_orders")))
+    return hash_agg(per_order.map_batches(hist_partial,
+                                          batch_format="pyarrow"),
+                    "n_suppliers", [("p_n", "sum", "n_orders")])
 
 
 def waiting_suppliers(sf_dir: str, late_days: int = 90) -> rd.Dataset:
@@ -1175,7 +1165,6 @@ def waiting_suppliers(sf_dir: str, late_days: int = 90) -> rd.Dataset:
     to (orderkey, suppkey, late) candidate rows; every later exchange
     carries id-sized rows; the final groupby is supplier-count wide;
     names come from a broadcast of the small supplier table."""
-    from ray.data.aggregate import Count, Max, Sum
     DAY_US = 86_400_000_000
 
     def o_proj(t: pa.Table) -> pa.Table:
@@ -1211,22 +1200,35 @@ def waiting_suppliers(sf_dir: str, late_days: int = 90) -> rd.Dataset:
              .aggregate([("late", "max")]))
         return g.rename_columns(["l_orderkey", "l_suppkey", "late"])
 
-    pairs = (joined.map_batches(pair_partial, batch_format="pyarrow")
-             .groupby(["l_orderkey", "l_suppkey"])
-             .aggregate(Max("late", alias_name="late")))
+    # The pair dedup (max late per (order, supplier)) and the per-order
+    # EXISTS stats share the l_orderkey partition key, so ONE hash_agg-
+    # style partition pass computes both — no second shuffle.
+    # late*suppkey: when exactly one supplier is late on the order,
+    # max() of this recovers WHO without joining back to the pairs.
+    from ..agg import partition_ids
 
-    def pair_stats(t: pa.Table) -> pa.Table:
-        # late*suppkey: when exactly one supplier is late on the order,
-        # max() of this recovers WHO without joining back to the pairs
-        return pa.table({
-            "l_orderkey": t["l_orderkey"], "late": t["late"],
-            "lsk": pc.multiply(t["late"], t["l_suppkey"])})
+    def addpart(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b.append_column("__part", pa.array([], pa.int32()))
+        return b.append_column(
+            "__part", pa.array(partition_ids(b, ["l_orderkey"], 32)))
 
-    stats = (pairs.map_batches(pair_stats, batch_format="pyarrow")
-             .groupby("l_orderkey")
-             .aggregate(Count(alias_name="n_supp"),
-                        Sum("late", alias_name="n_late"),
-                        Max("lsk", alias_name="late_sk")))
+    def order_stats(g: pa.Table) -> pa.Table:
+        pairs = (g.group_by(["l_orderkey", "l_suppkey"])
+                 .aggregate([("late", "max")])
+                 .rename_columns(["l_orderkey", "l_suppkey", "late"]))
+        tmp = pa.table({
+            "l_orderkey": pairs["l_orderkey"], "late": pairs["late"],
+            "lsk": pc.multiply(pairs["late"], pairs["l_suppkey"])})
+        st = tmp.group_by("l_orderkey").aggregate(
+            [([], "count_all"), ("late", "sum"), ("lsk", "max")])
+        return st.rename_columns(
+            ["l_orderkey", "n_supp", "n_late", "late_sk"])
+
+    stats = (joined.map_batches(pair_partial, batch_format="pyarrow")
+             .map_batches(addpart, batch_format="pyarrow")
+             .groupby("__part")
+             .map_groups(order_stats, batch_format="pyarrow"))
 
     def supp_partial(t: pa.Table) -> pa.Table:
         t = t.filter(pc.and_(pc.greater_equal(t["n_supp"], 2),
@@ -1235,9 +1237,9 @@ def waiting_suppliers(sf_dir: str, late_days: int = 90) -> rd.Dataset:
              .group_by("l_suppkey").aggregate([("l_suppkey", "count")]))
         return g.rename_columns(["l_suppkey", "p_w"])
 
-    waits = (stats.map_batches(supp_partial, batch_format="pyarrow")
-             .groupby("l_suppkey")
-             .aggregate(Sum("p_w", alias_name="numwait")))
+    waits = hash_agg(stats.map_batches(supp_partial,
+                                       batch_format="pyarrow"),
+                     "l_suppkey", [("p_w", "sum", "numwait")])
 
     import pyarrow.parquet as pq
     names = pq.read_table(f"{sf_dir}/supplier.parquet",

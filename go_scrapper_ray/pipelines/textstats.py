@@ -17,6 +17,8 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 
+from ..agg import hash_agg
+
 TOKEN_RE = re.compile(r"\S+")
 PUNCT_RE = re.compile(r"[!-/:-@\[-`{-~]")
 DIGIT_RE = re.compile(r"[0-9]")
@@ -86,10 +88,9 @@ def lang_dist(sf_dir: str) -> rd.Dataset:
         counts = t.group_by("lang").aggregate([("lang", "count")])
         return counts.rename_columns(["lang", "partial_n"])
 
-    from ray.data.aggregate import Sum
-    return (docs(sf_dir, columns=("lang",))
-            .map_batches(partial, batch_format="pyarrow")
-            .groupby("lang").aggregate(Sum("partial_n", alias_name="n")))
+    return hash_agg(docs(sf_dir, columns=("lang",))
+                    .map_batches(partial, batch_format="pyarrow"),
+                    "lang", [("partial_n", "sum", "n")])
 
 
 # ---------------------------------------------------------------- fingerprint
@@ -140,18 +141,15 @@ def source_rollup(sf_dir: str) -> rd.Dataset:
     RefinedWeb per-domain accounting step) — combiner-before-shuffle: each
     batch pre-aggregates, the groupby shuffles only source-cardinality
     rows."""
-    from ray.data.aggregate import Sum
-
     def partial(t: pa.Table) -> pa.Table:
         g = t.group_by("source").aggregate(
             [("source", "count"), ("n_chars", "sum")])
         return g.rename_columns(["source", "p_docs", "p_chars"])
 
-    return (docs(sf_dir, columns=("source", "n_chars"))
-            .map_batches(partial, batch_format="pyarrow")
-            .groupby("source")
-            .aggregate(Sum("p_docs", alias_name="n_docs"),
-                       Sum("p_chars", alias_name="total_chars")))
+    return hash_agg(docs(sf_dir, columns=("source", "n_chars"))
+                    .map_batches(partial, batch_format="pyarrow"),
+                    "source", [("p_docs", "sum", "n_docs"),
+                               ("p_chars", "sum", "total_chars")])
 
 
 WINNOW_B = 65599          # k-gram hash base (codepoint polynomial)
@@ -347,9 +345,9 @@ def topk_ngrams(sf_dir: str, k: int = 100) -> rd.Dataset:
         return pa.table({"gram": pa.array(list(c.keys()), pa.string()),
                          "p_n": pa.array(list(c.values()), pa.int64())})
 
-    from ray.data.aggregate import Sum
-    agg = (docs(sf_dir).map_batches(partial, batch_format="pyarrow")
-           .groupby("gram").aggregate(Sum("p_n", alias_name="n")))
+    agg = hash_agg(docs(sf_dir).map_batches(partial,
+                                            batch_format="pyarrow"),
+                   "gram", [("p_n", "sum", "n")])
     return agg.sort(["n", "gram"], descending=[True, False]).limit(k)
 
 
@@ -420,8 +418,6 @@ def length_quantiles(sf_dir: str) -> pa.Table:
     histogram partials, one groupby on n_tokens (distinct token counts
     ~O(10^4) regardless of corpus size), then the quantile walk happens
     driver-side on that tiny histogram — exact without a global sort."""
-    from ray.data.aggregate import Sum
-
     def partial(t: pa.Table) -> pa.Table:
         n = pa.array([len(TOKEN_RE.findall(s))
                       for s in t["text"].to_pylist()], pa.int64())
@@ -429,9 +425,9 @@ def length_quantiles(sf_dir: str) -> pa.Table:
                      ).group_by("n").aggregate([("one", "sum")])
         return g.rename_columns(["n", "p_cnt"])
 
-    hist = (docs(sf_dir, columns=("text",))
-            .map_batches(partial, batch_format="pyarrow")
-            .groupby("n").aggregate(Sum("p_cnt", alias_name="cnt"))
+    hist = (hash_agg(docs(sf_dir, columns=("text",))
+                     .map_batches(partial, batch_format="pyarrow"),
+                     "n", [("p_cnt", "sum", "cnt")])
             .sort("n").take_all())
     vals = np.array([r["n"] for r in hist], dtype=np.int64)
     cnts = np.array([r["cnt"] for r in hist], dtype=np.int64)
@@ -467,9 +463,9 @@ def doc_frequency(sf_dir: str, k: int = 200) -> rd.Dataset:
         return pa.table({"token": pa.array(list(c.keys()), pa.string()),
                          "p_n": pa.array(list(c.values()), pa.int64())})
 
-    from ray.data.aggregate import Sum
-    agg = (docs(sf_dir).map_batches(partial, batch_format="pyarrow")
-           .groupby("token").aggregate(Sum("p_n", alias_name="df")))
+    agg = hash_agg(docs(sf_dir).map_batches(partial,
+                                            batch_format="pyarrow"),
+                   "token", [("p_n", "sum", "df")])
     return agg.sort(["df", "token"], descending=[True, False]).limit(k)
 
 
@@ -487,7 +483,6 @@ def top_terms(sf_dir: str, k: int = 3) -> rd.Dataset:
     add a min_df cut (df=1 hapaxes dominate vocab but can be ranked
     locally since their df is knowably 1)."""
     import ray
-    from ray.data.aggregate import Sum
 
     def _doc_tokens(t: pa.Table) -> tuple[pa.Array, pa.Array]:
         """Vectorized (doc_index, token) expansion: re2 \\s+ split (the
@@ -510,8 +505,9 @@ def top_terms(sf_dir: str, k: int = 3) -> rd.Dataset:
     # empty aggregate output blocks carry an EMPTY schema — drop them
     # before concat (seen at sf0.1 where the groupby emits many blocks)
     parts = [t for t in ray.get(
-        (docs(sf_dir).map_batches(df_partial, batch_format="pyarrow")
-         .groupby("token").aggregate(Sum("p_n", alias_name="df")))
+        hash_agg(docs(sf_dir).map_batches(df_partial,
+                                          batch_format="pyarrow"),
+                 "token", [("p_n", "sum", "df")])
         .to_arrow_refs()) if t.num_rows]
     df_tbl = pa.concat_tables(parts).combine_chunks()
     df_ref = ray.put(df_tbl)
@@ -557,8 +553,6 @@ def dup_rate(sf_dir: str) -> rd.Dataset:
     source-cardinality wide.  n_docs rides along as a Sum over the SAME
     pair rows (count of pre-dedup rows per pair), so one pass serves
     both aggregates."""
-    from ray.data.aggregate import Count, Sum
-
     def pair_partial(t: pa.Table) -> pa.Table:
         fps = [hashlib.md5(s.encode("utf-8")).digest()
                for s in t["text"].to_pylist()]
@@ -567,16 +561,15 @@ def dup_rate(sf_dir: str) -> rd.Dataset:
              .group_by(["source", "fp"]).aggregate([("fp", "count")]))
         return g.rename_columns(["source", "fp", "p_n"])
 
-    pairs = (docs(sf_dir, columns=("source", "text"))
-             .map_batches(pair_partial, batch_format="pyarrow")
-             .groupby(["source", "fp"])
-             .aggregate(Sum("p_n", alias_name="n")))
+    pairs = hash_agg(docs(sf_dir, columns=("source", "text"))
+                     .map_batches(pair_partial, batch_format="pyarrow"),
+                     ["source", "fp"], [("p_n", "sum", "n")])
 
     def src_partial(t: pa.Table) -> pa.Table:
         g = t.group_by("source").aggregate([("n", "sum"), ("fp", "count")])
         return g.rename_columns(["source", "p_docs", "p_uniq"])
 
-    return (pairs.map_batches(src_partial, batch_format="pyarrow")
-            .groupby("source")
-            .aggregate(Sum("p_docs", alias_name="n_docs"),
-                       Sum("p_uniq", alias_name="n_unique")))
+    return hash_agg(pairs.map_batches(src_partial,
+                                      batch_format="pyarrow"),
+                    "source", [("p_docs", "sum", "n_docs"),
+                               ("p_uniq", "sum", "n_unique")])
