@@ -257,6 +257,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "waiting_suppliers": relational.waiting_suppliers,
         "label_doc_stats": similarity.label_doc_stats,
         "docs_dup_rate": textstats.dup_rate,
+        "supplier_profit": relational.supplier_profit,
+        "events_value_percentiles": events.value_percentiles,
     }
 
 
@@ -1147,4 +1149,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, count(*)::BIGINT AS n_docs,
                    count(DISTINCT md5(text))::BIGINT AS n_unique
             FROM documents GROUP BY source""",
+        "supplier_profit": """
+            SELECT n_name AS nation, year(o_orderdate)::BIGINT AS o_year,
+                   sum(CAST(round(l_extendedprice*(1-l_discount)*100)
+                            AS BIGINT))::BIGINT AS cents
+            FROM lineitem
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON n_nationkey = s_nationkey
+            JOIN orders ON o_orderkey = l_orderkey
+            GROUP BY 1, 2""",
+        "events_value_percentiles": """
+            WITH c AS (SELECT event_type,
+                         CAST(round(value*100) AS BIGINT) AS cents
+                       FROM events)
+            SELECT event_type, count(*)::BIGINT AS n,
+                   quantile_disc(cents, 0.25)::BIGINT AS p25_cents,
+                   quantile_disc(cents, 0.5)::BIGINT AS p50_cents,
+                   quantile_disc(cents, 0.75)::BIGINT AS p75_cents,
+                   quantile_disc(cents, 0.9)::BIGINT AS p90_cents
+            FROM c GROUP BY event_type""",
     }

@@ -312,7 +312,7 @@ def retention_cohorts(sf_dir: str, shards: int = 64) -> rd.Dataset:
                     .groupby("shard")
                     .map_groups(per_shard, batch_format="pandas"),
                     ["cohort_week", "week"],
-                    [("p_n", "sum", "n_users")])
+                    [("p_n", "sum", "n_users")], small=True)
 
 
 def type_transitions(sf_dir: str, shards: int = 64) -> rd.Dataset:
@@ -357,7 +357,7 @@ def type_transitions(sf_dir: str, shards: int = 64) -> rd.Dataset:
                     .map_batches(prep, batch_format="pyarrow")
                     .groupby("shard")
                     .map_groups(per_shard, batch_format="pandas"),
-                    ["from_type", "to_type"], [("p_n", "sum", "n")])
+                    ["from_type", "to_type"], [("p_n", "sum", "n")], small=True)
 
 
 def rolling_value(sf_dir: str, window_s: int = 3600) -> rd.Dataset:
@@ -587,7 +587,7 @@ def hourly_profile(sf_dir: str) -> rd.Dataset:
     daily_active: shuffle (a) groupby(hour, user) over per-batch-deduped
     pairs, shuffle (b) groupby(hour) over 24 keys."""
     HOUR_US = 3_600_000_000
-    from ray.data.aggregate import Sum
+    from ..agg import hash_agg
 
     def prep(t: pa.Table) -> pa.Table:
         h = pc.divide(t["ts"].cast(pa.int64()), HOUR_US)
@@ -596,19 +596,19 @@ def hourly_profile(sf_dir: str) -> rd.Dataset:
              .group_by(["hour", "user_id"]).aggregate([("user_id", "count")]))
         return g.rename_columns(["hour", "user_id", "p_n"])
 
-    per_hour_user = (_events(sf_dir, ("ts", "user_id"))
-                     .map_batches(prep, batch_format="pyarrow")
-                     .groupby(["hour", "user_id"])
-                     .aggregate(Sum("p_n", alias_name="n")))
+    per_hour_user = hash_agg(_events(sf_dir, ("ts", "user_id"))
+                             .map_batches(prep, batch_format="pyarrow"),
+                             ["hour", "user_id"], [("p_n", "sum", "n")])
 
     def hour_partial(t: pa.Table) -> pa.Table:
         g = t.group_by("hour").aggregate([("user_id", "count"),
                                           ("n", "sum")])
         return g.rename_columns(["hour", "p_u", "p_e"])
 
-    return (per_hour_user.map_batches(hour_partial, batch_format="pyarrow")
-            .groupby("hour").aggregate(Sum("p_u", alias_name="n_users"),
-                                       Sum("p_e", alias_name="n_events")))
+    return hash_agg(per_hour_user.map_batches(hour_partial,
+                                              batch_format="pyarrow"),
+                    "hour", [("p_u", "sum", "n_users"),
+                             ("p_e", "sum", "n_events")], small=True)
 
 
 def median_value(sf_dir: str) -> rd.Dataset:
@@ -621,7 +621,7 @@ def median_value(sf_dir: str) -> rd.Dataset:
     rows, never events), and shuffle (b) groups that table by type — the
     per-group kernel walks the cumulative histogram, O(distinct cents),
     bounded by the value domain (price-like values), not by event count."""
-    from ray.data.aggregate import Sum
+    from ..agg import hash_agg
 
     def prep(t: pa.Table) -> pa.Table:
         cents = pc.round(pc.multiply(t["value"], 100),
@@ -631,10 +631,9 @@ def median_value(sf_dir: str) -> rd.Dataset:
              .aggregate([("cents", "count")]))
         return g.rename_columns(["event_type", "cents", "p_n"])
 
-    counts = (_events(sf_dir, ("event_type", "value"))
-              .map_batches(prep, batch_format="pyarrow")
-              .groupby(["event_type", "cents"])
-              .aggregate(Sum("p_n", alias_name="n_c")))
+    counts = hash_agg(_events(sf_dir, ("event_type", "value"))
+                      .map_batches(prep, batch_format="pyarrow"),
+                      ["event_type", "cents"], [("p_n", "sum", "n_c")])
 
     def per_type(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("cents")
@@ -647,6 +646,49 @@ def median_value(sf_dir: str) -> rd.Dataset:
             "event_type": [g["event_type"].iloc[0]], "n": [n],
             "min_cents": [int(cents[0])], "med_cents": [med],
             "max_cents": [int(cents[-1])]})
+
+    return counts.groupby("event_type").map_groups(
+        per_type, batch_format="pandas")
+
+
+def value_percentiles(sf_dir: str) -> rd.Dataset:
+    """(event_type, n, p25_cents, p50_cents, p75_cents, p90_cents): exact
+    per-type discrete percentiles (DuckDB quantile_disc convention —
+    element at 1-based rank ceil(q*n), probed cell-by-cell in tests).
+
+    Same two-shuffle histogram shape as median_value: shuffle (a) builds
+    the (event_type, cents) COUNT table from per-batch-combined partials,
+    shuffle (b) groups that value-domain-bounded table by type; the
+    per-group kernel walks the cumulative histogram once for all four
+    ranks — O(distinct cents), never O(events)."""
+    from ..agg import hash_agg
+
+    QS = (0.25, 0.5, 0.75, 0.9)
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.round(pc.multiply(t["value"], 100),
+                         round_mode="half_towards_infinity").cast(pa.int64())
+        g = (pa.table({"event_type": t["event_type"], "cents": cents})
+             .group_by(["event_type", "cents"])
+             .aggregate([("cents", "count")]))
+        return g.rename_columns(["event_type", "cents", "p_n"])
+
+    counts = hash_agg(_events(sf_dir, ("event_type", "value"))
+                      .map_batches(prep, batch_format="pyarrow"),
+                      ["event_type", "cents"], [("p_n", "sum", "n_c")])
+
+    def per_type(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("cents")
+        n_c = g["n_c"].to_numpy()
+        cents = g["cents"].to_numpy()
+        n = int(n_c.sum())
+        cum = np.cumsum(n_c)
+        ranks = [min(max(int(np.ceil(q * n)), 1), n) for q in QS]
+        vals = [int(cents[np.searchsorted(cum, r)]) for r in ranks]
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]], "n": [n],
+            "p25_cents": [vals[0]], "p50_cents": [vals[1]],
+            "p75_cents": [vals[2]], "p90_cents": [vals[3]]})
 
     return counts.groupby("event_type").map_groups(
         per_type, batch_format="pandas")

@@ -83,7 +83,7 @@ def order_priority_counts(sf_dir: str) -> rd.Dataset:
 
     return hash_agg(_read(sf_dir, "orders", ["o_orderpriority"])
                     .map_batches(partial, batch_format="pyarrow"),
-                    "o_orderpriority", [("p_n", "sum", "n")])
+                    "o_orderpriority", [("p_n", "sum", "n")], small=True)
 
 
 def nation_customer_revenue(sf_dir: str) -> rd.Dataset:
@@ -108,7 +108,7 @@ def nation_customer_revenue(sf_dir: str) -> rd.Dataset:
     with_nat = broadcast_join(orders, cust, "o_custkey", "c_custkey",
                               ["c_nationkey"])
     agg = hash_agg(with_nat.map_batches(partial, batch_format="pyarrow"),
-                   "c_nationkey", [("p_cents", "sum", "cents")])
+                   "c_nationkey", [("p_cents", "sum", "cents")], small=True)
     named = broadcast_join(agg, nation, "c_nationkey", "n_nationkey",
                            ["n_name"])
     return named.map_batches(lambda t: t.select(["n_name", "cents"]),
@@ -427,7 +427,8 @@ def promo_revenue(sf_dir: str) -> rd.Dataset:
     return hash_agg(joined.map_batches(month_partial,
                                        batch_format="pyarrow"),
                     "ship_month",
-                    [("pp", "sum", "promo_c"), ("pt", "sum", "total_c")])
+                    [("pp", "sum", "promo_c"), ("pt", "sum", "total_c")],
+                    small=True)
 
 
 def top_orders_per_cust(sf_dir: str, n: int = 3,
@@ -668,7 +669,8 @@ def high_balance_inactive(sf_dir: str,
     agg = hash_agg(_read(sf_dir, "customer", cust_cols)
                    .map_batches(c_partial, batch_format="pyarrow"),
                    "c_nationkey",
-                   [("p_n", "sum", "n_custs"), ("p_c", "sum", "acctbal_c")])
+                   [("p_n", "sum", "n_custs"), ("p_c", "sum", "acctbal_c")],
+                   small=True)
     nation = pq.read_table(f"{sf_dir}/nation.parquet",
                            columns=["n_nationkey", "n_name"])
     named = broadcast_join(agg, nation, "c_nationkey", "n_nationkey",
@@ -773,7 +775,7 @@ def volume_shipping(sf_dir: str, nation_a: str = "NATION_3",
     agg = hash_agg(joined.map_batches(pair_partial,
                                       batch_format="pyarrow"),
                    ["s_nat", "c_nat", "l_year"],
-                   [("p_c", "sum", "cents")])
+                   [("p_c", "sum", "cents")], small=True)
 
     def name_kernel(t: pa.Table) -> pa.Table:
         sn = pa.array([name_of[k] for k in t["s_nat"].to_pylist()],
@@ -878,7 +880,8 @@ def market_share(sf_dir: str, region: str = "ASIA",
     return hash_agg(joined.map_batches(year_partial,
                                        batch_format="pyarrow"),
                     "o_year",
-                    [("pn", "sum", "nation_c"), ("pt", "sum", "total_c")])
+                    [("pn", "sum", "nation_c"), ("pt", "sum", "total_c")],
+                    small=True)
 
 
 def small_qty_revenue(sf_dir: str, brand: str = "Brand#13",
@@ -1052,7 +1055,7 @@ def ship_lag_stats(sf_dir: str) -> rd.Dataset:
                                        batch_format="pyarrow"),
                     "o_orderpriority",
                     [("p_n", "sum", "n"), ("p_sum", "sum", "sum_lag_days"),
-                     ("p_max", "max", "max_lag_days")])
+                     ("p_max", "max", "max_lag_days")], small=True)
 
 
 def top_supplier_revenue(sf_dir: str, date_from: str = "1996-01-01",
@@ -1141,7 +1144,7 @@ def order_supplier_diversity(sf_dir: str) -> rd.Dataset:
 
     return hash_agg(per_order.map_batches(hist_partial,
                                           batch_format="pyarrow"),
-                    "n_suppliers", [("p_n", "sum", "n_orders")])
+                    "n_suppliers", [("p_n", "sum", "n_orders")], small=True)
 
 
 def waiting_suppliers(sf_dir: str, late_days: int = 90) -> rd.Dataset:
@@ -1249,4 +1252,71 @@ def waiting_suppliers(sf_dir: str, late_days: int = 90) -> rd.Dataset:
         lambda t: pa.table({"s_suppkey": t["l_suppkey"],
                             "s_name": t["s_name"],
                             "numwait": t["numwait"]}),
+        batch_format="pyarrow")
+
+
+def supplier_profit(sf_dir: str) -> rd.Dataset:
+    """(nation, o_year, cents): TPC-H-Q9-shaped profit rollup — revenue by
+    the SUPPLYING nation per ORDER year (Q9 minus partsupp cost, which the
+    testdata schema has no table for; reference analog: the per-seed
+    revenue rollups of main.go:1080+ generalized to a two-table join).
+
+    Scale shape: supplier broadcasts as a suppkey→nationkey map (the small
+    dimension); lineitem pre-aggregates cents per (orderkey, nation)
+    in-batch so the exchange carries ~|orders| rows; orders project to
+    (orderkey, year) id-sized rows; the orderkey equi-join runs on the
+    actor-free co-partitioned hash_join; the final (nation, year) rollup
+    has a bounded key domain → sort-free small aggregate."""
+    import pyarrow.parquet as pq
+    from ..agg import hash_join
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    sup_ref = ray.put(sup)
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        s = ray.get(sup_ref)
+        sidx = pc.index_in(t["l_suppkey"], value_set=s["s_suppkey"])
+        nat = pc.take(s["s_nationkey"], sidx).cast(pa.int64())
+        cents = pc.round(
+            pc.multiply(pc.multiply(t["l_extendedprice"],
+                                    pc.subtract(pa.scalar(1.0),
+                                                t["l_discount"])),
+                        100),
+            round_mode="half_towards_infinity").cast(pa.int64())
+        g = (pa.table({"l_orderkey": t["l_orderkey"], "s_nat": nat,
+                       "c": cents})
+             .group_by(["l_orderkey", "s_nat"]).aggregate([("c", "sum")]))
+        return g.rename_columns(["l_orderkey", "s_nat", "p_c"])
+
+    def o_proj(t: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_year": pc.year(t["o_orderdate"]).cast(pa.int64())})
+
+    li = (_read(sf_dir, "lineitem",
+                ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+          .map_batches(li_partial, batch_format="pyarrow"))
+    orders = (_read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+              .map_batches(o_proj, batch_format="pyarrow"))
+    joined = hash_join(li, orders, on="l_orderkey",
+                       right_on="o_orderkey",
+                       left_cols={"s_nat": pa.int64(), "p_c": pa.int64()},
+                       right_cols={"o_year": pa.int64()})
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        g = (t.select(["s_nat", "o_year", "p_c"])
+             .group_by(["s_nat", "o_year"]).aggregate([("p_c", "sum")]))
+        return g.rename_columns(["s_nat", "o_year", "pp"])
+
+    agg = hash_agg(joined.map_batches(pair_partial, batch_format="pyarrow"),
+                   ["s_nat", "o_year"], [("pp", "sum", "cents")],
+                   small=True)
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    nation = nation.set_column(0, "n_nationkey",
+                               nation["n_nationkey"].cast(pa.int64()))
+    named = broadcast_join(agg, nation, "s_nat", "n_nationkey", ["n_name"])
+    return named.map_batches(
+        lambda t: pa.table({"nation": t["n_name"], "o_year": t["o_year"],
+                            "cents": t["cents"]}),
         batch_format="pyarrow")

@@ -90,7 +90,7 @@ def lang_dist(sf_dir: str) -> rd.Dataset:
 
     return hash_agg(docs(sf_dir, columns=("lang",))
                     .map_batches(partial, batch_format="pyarrow"),
-                    "lang", [("partial_n", "sum", "n")])
+                    "lang", [("partial_n", "sum", "n")], small=True)
 
 
 # ---------------------------------------------------------------- fingerprint
@@ -149,7 +149,7 @@ def source_rollup(sf_dir: str) -> rd.Dataset:
     return hash_agg(docs(sf_dir, columns=("source", "n_chars"))
                     .map_batches(partial, batch_format="pyarrow"),
                     "source", [("p_docs", "sum", "n_docs"),
-                               ("p_chars", "sum", "total_chars")])
+                               ("p_chars", "sum", "total_chars")], small=True)
 
 
 WINNOW_B = 65599          # k-gram hash base (codepoint polynomial)
@@ -427,7 +427,7 @@ def length_quantiles(sf_dir: str) -> pa.Table:
 
     hist = (hash_agg(docs(sf_dir, columns=("text",))
                      .map_batches(partial, batch_format="pyarrow"),
-                     "n", [("p_cnt", "sum", "cnt")])
+                     "n", [("p_cnt", "sum", "cnt")], small=True)
             .sort("n").take_all())
     vals = np.array([r["n"] for r in hist], dtype=np.int64)
     cnts = np.array([r["cnt"] for r in hist], dtype=np.int64)
@@ -572,4 +572,4 @@ def dup_rate(sf_dir: str) -> rd.Dataset:
     return hash_agg(pairs.map_batches(src_partial,
                                       batch_format="pyarrow"),
                     "source", [("p_docs", "sum", "n_docs"),
-                               ("p_uniq", "sum", "n_unique")])
+                               ("p_uniq", "sum", "n_unique")], small=True)

@@ -62,6 +62,14 @@ def test_multi_key(ray_session, table):
     pd.testing.assert_frame_equal(got, want, check_like=True)
 
 
+def test_small_path_matches_partitioned(ray_session, table):
+    ds = rd.from_arrow(table)
+    aggs = [("v", "sum", "s"), ("w", "min", "lo"), ("v", "count", "n")]
+    got = _sorted_df(hash_agg(ds, "sk", aggs, small=True), ["sk"])
+    want = _sorted_df(hash_agg(ds, "sk", aggs, 8), ["sk"])
+    pd.testing.assert_frame_equal(got, want, check_like=True)
+
+
 def test_every_key_in_one_partition(table):
     """Exactness precondition: a key never spans two partitions."""
     from go_scrapper_ray.agg import partition_ids
