@@ -107,8 +107,8 @@ def hash_join(
     left,
     right,
     *,
-    on: str,
-    right_on: str | None = None,
+    on: Union[str, Sequence[str]],
+    right_on: Union[str, Sequence[str], None] = None,
     left_cols: dict[str, pa.DataType],
     right_cols: dict[str, pa.DataType],
     num_partitions: int = 32,
@@ -127,17 +127,25 @@ def hash_join(
     ``left_cols`` / ``right_cols``: payload (non-key) columns each side
     contributes, with their Arrow types (needed to build the padded
     union schema without executing the lazy datasets).  Output columns:
-    ``[on] + left_cols + right_cols``; names must not collide.
+    ``list(on) + left_cols + right_cols`` (key names from the LEFT side);
+    names must not collide.  Multi-key equi-joins pass ``on`` /
+    ``right_on`` as same-length sequences.  Arrow's hash join rejects
+    list-typed PAYLOAD columns — callers with list payloads keep the
+    native Dataset.join.
     """
-    r_on = right_on or on
+    on_list = [on] if isinstance(on, str) else list(on)
+    r_list = on_list if right_on is None else (
+        [right_on] if isinstance(right_on, str) else list(right_on))
+    nk = len(on_list)
+    klabels = [f"__k{i}" for i in range(nk)]
     lnames, rnames = list(left_cols), list(right_cols)
     P = int(num_partitions)
 
-    def _tag(key_col, have, sideval):
-        # canonical column order ([__k] + left + right) on BOTH sides so
+    def _tag(key_cols, have, sideval):
+        # canonical column order ([__k*] + left + right) on BOTH sides so
         # the union schemas match exactly
         def fn(b: pa.Table) -> pa.Table:
-            cols: dict = {"__k": b[key_col]}
+            cols: dict = {kl: b[kc] for kl, kc in zip(klabels, key_cols)}
             for nm, typ in {**left_cols, **right_cols}.items():
                 cols[nm] = b[nm] if nm in have \
                     else pa.nulls(b.num_rows, typ)
@@ -148,20 +156,20 @@ def hash_join(
                 return t.append_column("__part",
                                        pa.array([], pa.int32()))
             return t.append_column(
-                "__part", pa.array(partition_ids(t, ["__k"], P)))
+                "__part", pa.array(partition_ids(t, klabels, P)))
         return fn
 
     def _part_join(g: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
-        lt = g.filter(pc.equal(g["__side"], 0)).select(["__k"] + lnames)
-        rt = g.filter(pc.equal(g["__side"], 1)).select(["__k"] + rnames)
-        res = lt.join(rt, keys=["__k"], join_type=join_type)
-        # arrow join output: left fields (key first) then right payload
-        return res.rename_columns([on] + lnames + rnames)
+        lt = g.filter(pc.equal(g["__side"], 0)).select(klabels + lnames)
+        rt = g.filter(pc.equal(g["__side"], 1)).select(klabels + rnames)
+        res = lt.join(rt, keys=klabels, join_type=join_type)
+        # arrow join output: left fields (keys first) then right payload
+        return res.rename_columns(on_list + lnames + rnames)
 
-    u = (left.map_batches(_tag(on, left_cols, 0),
+    u = (left.map_batches(_tag(on_list, left_cols, 0),
                           batch_format="pyarrow")
-         .union(right.map_batches(_tag(r_on, right_cols, 1),
+         .union(right.map_batches(_tag(r_list, right_cols, 1),
                                   batch_format="pyarrow")))
     return u.groupby("__part").map_groups(_part_join,
                                           batch_format="pyarrow")

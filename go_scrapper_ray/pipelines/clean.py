@@ -27,7 +27,6 @@ import pyarrow as pa
 
 import ray.data as rd
 
-from ..joins import join_agg_args
 from .dedup import dup_clusters
 from .textstats import TOKEN_RE, LangIdStage, docs
 
@@ -75,9 +74,9 @@ def clean_corpus(sf_dir: str, min_words: int = 20, lang: str = "en",
                               [("doc_id", "min", "doc_id")])
                      .select_columns(["doc_id"]))
     clusters = dup_clusters(sf_dir, threshold)  # (doc_id, cluster_id)
-    joined = exact_winners.join(clusters, "inner", num_partitions=16,
-                                on=("doc_id",),
-                                aggregator_ray_remote_args=join_agg_args())
+    from ..agg import hash_join
+    joined = hash_join(exact_winners, clusters, on="doc_id",
+                       left_cols={}, right_cols={"cluster_id": pa.int64()})
     return hash_agg(joined, "cluster_id",
                     [("doc_id", "min", "doc_id")])
 

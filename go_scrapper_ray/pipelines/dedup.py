@@ -208,9 +208,10 @@ def minhash_dups(sf_dir: str, threshold: float = 0.8, seed: int = 42) -> rd.Data
         t = t.filter(keep)
         return t.select(["doc_a", "doc_b"])
 
-    cand = (sig_a.join(sig_b, "inner", num_partitions=16,
-                       on=("band_id", "band_hash"),
-                       aggregator_ray_remote_args=join_agg_args())
+    from ..agg import hash_join
+    cand = (hash_join(sig_a, sig_b, on=["band_id", "band_hash"],
+                      left_cols={"doc_a": pa.int64()},
+                      right_cols={"doc_b": pa.int64()})
             .map_batches(ordered, batch_format="pyarrow"))
 
     # candidate pairs can surface from several bands → distinct.  The pair
@@ -278,15 +279,19 @@ def minhash_dups(sf_dir: str, threshold: float = 0.8, seed: int = 42) -> rd.Data
             return t.rename_columns(cols)
         return k
 
-    joined = (cand_ds
-              .join(sets_m.map_batches(rename(["doc_a", "sh_a"]),
-                                       batch_format="pyarrow"),
-                    "inner", num_partitions=16, on=("doc_a",),
-                    aggregator_ray_remote_args=join_agg_args())
-              .join(sets_m.map_batches(rename(["doc_b", "sh_b"]),
-                                       batch_format="pyarrow"),
-                    "inner", num_partitions=16, on=("doc_b",),
-                    aggregator_ray_remote_args=join_agg_args()))
+    from ..agg import hash_join
+    j1 = hash_join(cand_ds,
+                   sets_m.map_batches(rename(["doc_a", "sh_a"]),
+                                      batch_format="pyarrow"),
+                   on="doc_a", left_cols={"doc_b": pa.int64()},
+                   right_cols={"sh_a": pa.binary()})
+    joined = hash_join(j1,
+                       sets_m.map_batches(rename(["doc_b", "sh_b"]),
+                                          batch_format="pyarrow"),
+                       on="doc_b",
+                       left_cols={"doc_a": pa.int64(),
+                                  "sh_a": pa.binary()},
+                       right_cols={"sh_b": pa.binary()})
 
     def verify(t: pa.Table) -> pa.Table:
         out_a, out_b = [], []

@@ -17,7 +17,6 @@ import ray
 import ray.data as rd
 
 from ..agg import hash_agg
-from ..joins import join_agg_args
 
 
 def _read(sf_dir: str, table: str, columns: list[str]) -> rd.Dataset:
@@ -222,9 +221,12 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING",
                      "o_orderpriority"])
               .map_batches(o_kernel, batch_format="pyarrow"))
 
-    joined = rev_per_order.join(orders, "inner", num_partitions=8,
-                                on=("l_orderkey",), right_on=("o_orderkey",),
-                                aggregator_ray_remote_args=join_agg_args())
+    from ..agg import hash_join
+    joined = hash_join(rev_per_order, orders, on="l_orderkey",
+                       right_on="o_orderkey",
+                       left_cols={"revenue_c": pa.int64()},
+                       right_cols={"o_orderdate_us": pa.int64(),
+                                   "o_orderpriority": pa.string()})
     top = (joined.sort(["revenue_c", "l_orderkey"],
                        descending=[True, False]).limit(n))
     return top.map_batches(
@@ -412,9 +414,11 @@ def promo_revenue(sf_dir: str) -> rd.Dataset:
 
     part = (_read(sf_dir, "part", ["p_partkey", "p_type"])
             .map_batches(part_proj, batch_format="pyarrow"))
-    joined = li.join(part, "inner", num_partitions=8,
-                     on=("l_partkey",), right_on=("p_partkey",),
-                     aggregator_ray_remote_args=join_agg_args())
+    from ..agg import hash_join
+    joined = hash_join(li, part, on="l_partkey", right_on="p_partkey",
+                       left_cols={"ship_month": pa.int64(),
+                                  "p_cents": pa.int64()},
+                       right_cols={"is_promo": pa.int64()})
 
     def month_partial(t: pa.Table) -> pa.Table:
         g = (pa.table({"ship_month": t["ship_month"],
@@ -522,9 +526,11 @@ def returned_item_revenue(sf_dir: str, date_from: str = "1996-01-01",
     orders = (_read(sf_dir, "orders",
                     ["o_orderkey", "o_custkey", "o_orderdate"])
               .map_batches(o_kernel, batch_format="pyarrow"))
-    joined = rev.join(orders, "inner", num_partitions=8,
-                      on=("l_orderkey",), right_on=("o_orderkey",),
-                      aggregator_ray_remote_args=join_agg_args())
+    from ..agg import hash_join
+    joined = hash_join(rev, orders, on="l_orderkey",
+                       right_on="o_orderkey",
+                       left_cols={"rev": pa.int64()},
+                       right_cols={"o_custkey": pa.int64()})
 
     def cust_partial(t: pa.Table) -> pa.Table:
         g = (pa.table({"o_custkey": t["o_custkey"], "rev": t["rev"]})
@@ -758,9 +764,13 @@ def volume_shipping(sf_dir: str, nation_a: str = "NATION_3",
 
     orders = (_read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
               .map_batches(o_kernel, batch_format="pyarrow"))
-    joined = li.join(orders, "inner", num_partitions=8,
-                     on=("l_orderkey",), right_on=("o_orderkey",),
-                     aggregator_ray_remote_args=join_agg_args())
+    from ..agg import hash_join
+    joined = hash_join(li, orders, on="l_orderkey",
+                       right_on="o_orderkey",
+                       left_cols={"s_nat": pa.int32(),
+                                  "l_year": pa.int64(),
+                                  "p_c": pa.int64()},
+                       right_cols={"c_nat": pa.int32()})
 
     def pair_partial(t: pa.Table) -> pa.Table:
         # keep only cross-nation pairs (both directions)
@@ -866,9 +876,12 @@ def market_share(sf_dir: str, region: str = "ASIA",
     orders = (_read(sf_dir, "orders",
                     ["o_orderkey", "o_custkey", "o_orderdate"])
               .map_batches(o_kernel, batch_format="pyarrow"))
-    joined = li.join(orders, "inner", num_partitions=8,
-                     on=("l_orderkey",), right_on=("o_orderkey",),
-                     aggregator_ray_remote_args=join_agg_args())
+    from ..agg import hash_join
+    joined = hash_join(li, orders, on="l_orderkey",
+                       right_on="o_orderkey",
+                       left_cols={"p_nat": pa.int64(),
+                                  "p_tot": pa.int64()},
+                       right_cols={"o_year": pa.int64()})
 
     def year_partial(t: pa.Table) -> pa.Table:
         g = (pa.table({"o_year": t["o_year"], "nat": t["p_nat"],
@@ -1035,14 +1048,16 @@ def ship_lag_stats(sf_dir: str) -> rd.Dataset:
             "order_day": pc.divide(t["o_orderdate"].cast(pa.int64()),
                                    DAY_US).cast(pa.int64())})
 
+    from ..agg import hash_join
     li = (_read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
           .map_batches(li_proj, batch_format="pyarrow"))
     orders = (_read(sf_dir, "orders",
                     ["o_orderkey", "o_orderpriority", "o_orderdate"])
               .map_batches(o_proj, batch_format="pyarrow"))
-    joined = li.join(orders, join_type="inner", num_partitions=16,
-                     on=("l_orderkey",), right_on=("o_orderkey",),
-                     aggregator_ray_remote_args=join_agg_args())
+    joined = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey",
+                       left_cols={"ship_day": pa.int64()},
+                       right_cols={"o_orderpriority": pa.string(),
+                                   "order_day": pa.int64()})
 
     def lag_partial(t: pa.Table) -> pa.Table:
         lag = pc.subtract(t["ship_day"], t["order_day"])
@@ -1189,9 +1204,12 @@ def waiting_suppliers(sf_dir: str, late_days: int = 90) -> rd.Dataset:
     orders = (_read(sf_dir, "orders",
                     ["o_orderkey", "o_orderstatus", "o_orderdate"])
               .map_batches(o_proj, batch_format="pyarrow"))
-    joined = li.join(orders, join_type="inner", num_partitions=16,
-                     on=("l_orderkey",), right_on=("o_orderkey",),
-                     aggregator_ray_remote_args=join_agg_args())
+    from ..agg import hash_join
+    joined = hash_join(li, orders, on="l_orderkey",
+                       right_on="o_orderkey",
+                       left_cols={"l_suppkey": pa.int64(),
+                                  "ship_day": pa.int64()},
+                       right_cols={"order_day": pa.int64()})
 
     def pair_partial(t: pa.Table) -> pa.Table:
         late = pc.cast(pc.greater(pc.subtract(t["ship_day"],

@@ -22,7 +22,6 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from ..joins import join_agg_args
 
 
 def _emb(sf_dir: str) -> rd.Dataset:
@@ -194,9 +193,12 @@ def knn_ivf(sf_dir: str, k: int = 5, query_stride: int = 50,
         "qv": pa.array([Q[i].tobytes() for i in range(len(q_ids))
                         for _ in range(n_probe)], pa.binary())})
 
-    joined = rd.from_arrow(q_tbl).join(vec_tbl, "inner", num_partitions=8,
-                                       on=("list_id",),
-                                       aggregator_ray_remote_args=join_agg_args())
+    from ..agg import hash_join
+    joined = hash_join(rd.from_arrow(q_tbl), vec_tbl, on="list_id",
+                       left_cols={"query_id": pa.int64(),
+                                  "qv": pa.binary()},
+                       right_cols={"vec_id": pa.int64(),
+                                   "v": pa.binary()})
     return _score_candidates(joined, k)
 
 
@@ -260,9 +262,13 @@ def knn_lsh(sf_dir: str, k: int = 5, query_stride: int = 50,
                       "query_id": pa.array(rows_q, pa.int64()),
                       "qv": pa.array(rows_v, pa.binary())})
 
-    joined = rd.from_arrow(q_tbl).join(vec_tbl, "inner", num_partitions=8,
-                                       on=("table_id", "code"),
-                                       aggregator_ray_remote_args=join_agg_args())
+    from ..agg import hash_join
+    joined = hash_join(rd.from_arrow(q_tbl), vec_tbl,
+                       on=["table_id", "code"],
+                       left_cols={"query_id": pa.int64(),
+                                  "qv": pa.binary()},
+                       right_cols={"vec_id": pa.int64(),
+                                   "v": pa.binary()})
     return _score_candidates(joined, k)
 
 def emb_norm_stats(sf_dir: str) -> rd.Dataset:
@@ -340,9 +346,10 @@ def label_doc_stats(sf_dir: str) -> rd.Dataset:
                            columns=["doc_id", "n_chars"])
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "label"])
-    joined = emb.join(docs, join_type="inner", num_partitions=16,
-                      on=("vec_id",), right_on=("doc_id",),
-                      aggregator_ray_remote_args=join_agg_args())
+    from ..agg import hash_join
+    joined = hash_join(emb, docs, on="vec_id", right_on="doc_id",
+                       left_cols={"label": pa.int32()},
+                       right_cols={"n_chars": pa.int64()})
 
     def partial(t: pa.Table) -> pa.Table:
         g = (pa.table({"label": t["label"].cast(pa.int64()),
