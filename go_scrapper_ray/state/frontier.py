@@ -206,6 +206,12 @@ class FrontierShard:
     def pending(self) -> int:
         return sum(t.num_rows for t in self.pending_tables)
 
+    def warm(self, t: pa.Table) -> int:
+        """Arg-deserialization warmup (see SeenShard.warm): pre-pays the
+        actor process's first-table-argument serializer setup off the
+        resolve→push critical path."""
+        return t.num_rows
+
     def cancel_seed(self, seed_id: int) -> int:
         """Drop a seed's queued URLs (incremental stop-on-match)."""
         dropped = 0
