@@ -50,3 +50,22 @@ def test_cuckoo_filter_reports_overfull():
         if not cf.add(h):
             failed += 1
     assert failed > 0, "filter must signal over-full instead of lying"
+
+
+def test_filter_backlog_flushes_at_checkpoint(ray_session, tmp_path):
+    """Deferred cuckoo inserts (off the resolve critical path) must land in
+    the filter before any boundary that could consult it: after checkpoint
+    the flushed filter answers positively for every inserted hash."""
+    s = SeenShard.remote(0)
+    hashes = list(range(1000, 2000))
+    ray.get(s.add_if_new.remote(hashes, [f"u{h}" for h in hashes]))
+    p = str(tmp_path / "seen.parquet")
+    assert ray.get(s.checkpoint.remote(p)) == len(hashes)
+
+    # restore into a fresh shard: exact set and filter rebuilt together
+    s2 = SeenShard.remote(1)
+    assert ray.get(s2.restore.remote(p)) == len(hashes)
+    assert ray.get(s2.contains.remote(hashes)) == [True] * len(hashes)
+    # previously-seen stays non-new after the deferred-flush round trip
+    again = ray.get(s2.add_if_new.remote(hashes[:10], ["x"] * 10))
+    assert again == [False] * 10
