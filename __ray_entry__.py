@@ -259,6 +259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dup_rate": textstats.dup_rate,
         "supplier_profit": relational.supplier_profit,
         "events_value_percentiles": events.value_percentiles,
+        "events_hopping": events.hopping_counts,
     }
 
 
@@ -1168,4 +1169,14 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(cents, 0.75)::BIGINT AS p75_cents,
                    quantile_disc(cents, 0.9)::BIGINT AS p90_cents
             FROM c GROUP BY event_type""",
+        "events_hopping": """
+            WITH c AS (SELECT event_type, epoch_us(ts) AS us,
+                         CAST(round(value*100) AS BIGINT) AS cents
+                       FROM events),
+            k AS (SELECT unnest(range(4)) AS k)
+            SELECT event_type,
+                   (us // 900000000 - k.k)::BIGINT AS window_id,
+                   count(*)::BIGINT AS n,
+                   sum(cents)::BIGINT AS cents
+            FROM c CROSS JOIN k GROUP BY 1, 2""",
     }

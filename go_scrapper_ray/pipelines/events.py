@@ -692,3 +692,43 @@ def value_percentiles(sf_dir: str) -> rd.Dataset:
 
     return counts.groupby("event_type").map_groups(
         per_type, batch_format="pandas")
+
+
+def hopping_counts(sf_dir: str, window_s: int = 3600,
+                   hop_s: int = 900) -> rd.Dataset:
+    """(event_type, window_id, n, cents): HOPPING (sliding) window
+    aggregate — windows of ``window_s`` starting every ``hop_s``
+    (window/hop must divide evenly; each event lands in window/hop
+    overlapping windows, identified by their start hop index).
+
+    The tumbling ``windowed_counts`` shape plus a vectorized fan-out:
+    each batch np.repeat-expands events into their window/hop memberships
+    BEFORE the in-batch combine, so the shuffle still carries
+    (type, window)-cardinality partials, never the expanded events."""
+    assert window_s % hop_s == 0, "window must be a multiple of hop"
+    from ..agg import hash_agg
+
+    fan = window_s // hop_s
+    HOP_US = 1_000_000 * hop_s
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cents = pc.round(pc.multiply(t["value"], 100),
+                         round_mode="half_towards_infinity"
+                         ).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        base = us // HOP_US
+        wid = np.repeat(base, fan) - np.tile(np.arange(fan, dtype=np.int64),
+                                             len(base))
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        g = (pa.table({"event_type": pa.array(np.repeat(et, fan)),
+                       "window_id": pa.array(wid),
+                       "cents": pa.array(np.repeat(cents, fan))})
+             .group_by(["event_type", "window_id"])
+             .aggregate([("cents", "sum"), ("cents", "count")]))
+        return g.rename_columns(["event_type", "window_id",
+                                 "p_cents", "p_n"])
+
+    return hash_agg(_events(sf_dir, ("ts", "event_type", "value"))
+                    .map_batches(partial, batch_format="pyarrow"),
+                    ["event_type", "window_id"],
+                    [("p_n", "sum", "n"), ("p_cents", "sum", "cents")])
