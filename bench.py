@@ -441,8 +441,12 @@ def main() -> None:
         return
     if args.scaling:
         # the scaling criterion needs a workload where round compute
-        # dominates fixed costs — bump the corpus unless explicitly set
-        n_biz = args.businesses if args.businesses != 400 else 24000
+        # dominates the O(rounds+seeds) serial terms — at 24k businesses
+        # (220k URLs) those terms cap whole-job efficiency near 0.55; at
+        # 96k (882k URLs) they amortize and the measured ratio reaches the
+        # box's own ALU ceiling (0.804 recorded, BASELINE.md).  Bump the
+        # corpus unless explicitly set.
+        n_biz = args.businesses if args.businesses != 400 else 96000
         print(json.dumps(scaling(n_biz, lo=args.scale_lo,
                                  hi=args.scale_hi)))
         return
