@@ -154,7 +154,7 @@ def _q_canonicalize(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """50 of 59 queries carry a DuckDB oracle (oracle_sql()).  The 9
+    """75 of 84 queries carry a DuckDB oracle (oracle_sql()).  The 9
     without one are structurally non-SQL, each for a stated reason:
     the 5 crawl_* outputs encode an iterative politeness-scheduled
     frontier loop (ordering depends on the virtual clock + retry state
@@ -260,6 +260,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_profit": relational.supplier_profit,
         "events_value_percentiles": events.value_percentiles,
         "events_hopping": events.hopping_counts,
+        "local_supplier_volume": relational.local_supplier_volume,
+        "events_props_stats": events.props_stats,
     }
 
 
@@ -1179,4 +1181,28 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n,
                    sum(cents)::BIGINT AS cents
             FROM c CROSS JOIN k GROUP BY 1, 2""",
+        "local_supplier_volume": """
+            SELECT n_name,
+                   sum(CAST(round(l_extendedprice*(1-l_discount)*100)
+                            AS BIGINT))::BIGINT AS cents
+            FROM lineitem
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN supplier ON s_suppkey = l_suppkey
+                         AND s_nationkey = c_nationkey
+            JOIN nation ON n_nationkey = s_nationkey
+            JOIN region ON r_regionkey = n_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o_orderdate < TIMESTAMP '1996-01-01'
+            GROUP BY 1""",
+        "events_props_stats": """
+            WITH k AS (SELECT event_type,
+                         CAST(NULLIF(regexp_extract(props,
+                                '"k":\\s*(\\d+)', 1), '') AS BIGINT) AS k
+                       FROM events)
+            SELECT event_type, count(k)::BIGINT AS n,
+                   sum(k)::BIGINT AS k_sum, min(k)::BIGINT AS k_min,
+                   max(k)::BIGINT AS k_max
+            FROM k GROUP BY 1""",
     }

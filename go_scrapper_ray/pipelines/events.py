@@ -732,3 +732,29 @@ def hopping_counts(sf_dir: str, window_s: int = 3600,
                     .map_batches(partial, batch_format="pyarrow"),
                     ["event_type", "window_id"],
                     [("p_n", "sum", "n"), ("p_cents", "sum", "cents")])
+
+
+def props_stats(sf_dir: str) -> rd.Dataset:
+    """(event_type, n, k_sum, k_min, k_max): stats over the schema-less
+    JSON ``props`` column — the reference's dynamic hovercard map pattern
+    (SURVEY.md M4 / §1.4: dynamic JSON stays INSIDE the batch kernel, a
+    fixed Arrow schema comes out).  One vectorized ``pc.extract_regex``
+    pulls the ``k`` field per batch (no per-row json.loads), the combine
+    is the usual in-batch partial before a type-cardinality groupby."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t["props"], r'"k":\s*(?P<k>\d+)')
+        k = pc.struct_field(m, "k").cast(pa.int64())
+        g = (pa.table({"event_type": t["event_type"], "k": k})
+             .group_by(["event_type"])
+             .aggregate([("k", "count"), ("k", "sum"),
+                         ("k", "min"), ("k", "max")]))
+        return g.rename_columns(["event_type", "p_n", "p_sum",
+                                 "p_min", "p_max"])
+
+    return hash_agg(_events(sf_dir, ("event_type", "props"))
+                    .map_batches(partial, batch_format="pyarrow"),
+                    ["event_type"],
+                    [("p_n", "sum", "n"), ("p_sum", "sum", "k_sum"),
+                     ("p_min", "min", "k_min"), ("p_max", "max", "k_max")],
+                    small=True)

@@ -1338,3 +1338,108 @@ def supplier_profit(sf_dir: str) -> rd.Dataset:
         lambda t: pa.table({"nation": t["n_name"], "o_year": t["o_year"],
                             "cents": t["cents"]}),
         batch_format="pyarrow")
+
+
+def local_supplier_volume(sf_dir: str, region: str = "ASIA",
+                          date_from: str = "1995-01-01",
+                          date_to: str = "1996-01-01") -> rd.Dataset:
+    """(n_name, cents): TPC-H-Q5-shaped — revenue from orders whose
+    customer and lineitem supplier sit in the SAME nation of one region.
+
+    Scale shape: region→nation→{supplier, customer} are broadcast-size
+    dimension tables; lineitem (the 100 TB side) semi-joins the
+    region-filtered supplier via broadcast ``index_in`` and pre-aggregates
+    cents per (orderkey, supp_nation) in-batch; date-filtered orders
+    attach the customer nation the same way; the two id-sized streams
+    meet in an orderkey hash join, the same-nation equality filter and
+    the nation-sized final groupby run on id rows only."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    lo_us = int(np.datetime64(date_from, "us").astype(np.int64))
+    hi_us = int(np.datetime64(date_to, "us").astype(np.int64))
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name", "n_regionkey"])
+    reg = pq.read_table(f"{sf_dir}/region.parquet",
+                        columns=["r_regionkey", "r_name"])
+    rkeys = set(reg.filter(pc.equal(reg["r_name"], region))
+                ["r_regionkey"].to_pylist())
+    nat = nat.filter(pc.is_in(nat["n_regionkey"],
+                              value_set=pa.array(sorted(rkeys))))
+    name_of = dict(zip(nat["n_nationkey"].to_pylist(),
+                       nat["n_name"].to_pylist()))
+    keyset = pa.array(sorted(name_of))
+
+    empty = pa.table({"n_name": pa.array([], pa.string()),
+                      "cents": pa.array([], pa.int64())})
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    sup = sup.filter(pc.is_in(sup["s_nationkey"], value_set=keyset))
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    cust = cust.filter(pc.is_in(cust["c_nationkey"], value_set=keyset))
+    if sup.num_rows == 0 or cust.num_rows == 0:
+        return rd.from_arrow(empty)
+    sup_ref, cust_ref = ray.put(sup), ray.put(cust)
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        s = ray.get(sup_ref)
+        idx = pc.index_in(t["l_suppkey"], value_set=s["s_suppkey"])
+        hit = pc.is_valid(idx)
+        t = t.filter(hit)
+        snat = pc.take(s["s_nationkey"], pc.filter(idx, hit))
+        cents = pc.round(
+            pc.multiply(pc.multiply(t["l_extendedprice"],
+                                    pc.subtract(pa.scalar(1.0),
+                                                t["l_discount"])),
+                        100),
+            round_mode="half_towards_infinity").cast(pa.int64())
+        g = (pa.table({"l_orderkey": t["l_orderkey"], "s_nat": snat,
+                       "cents": cents})
+             .group_by(["l_orderkey", "s_nat"])
+             .aggregate([("cents", "sum")]))
+        return g.rename_columns(["l_orderkey", "s_nat", "p_c"])
+
+    li = (_read(sf_dir, "lineitem",
+                ["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"])
+          .map_batches(li_partial, batch_format="pyarrow"))
+
+    def o_kernel(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"].cast(pa.int64())
+        keep = pc.and_(pc.greater_equal(d, pa.scalar(lo_us, pa.int64())),
+                       pc.less(d, pa.scalar(hi_us, pa.int64())))
+        t = t.filter(keep)
+        c = ray.get(cust_ref)
+        idx = pc.index_in(t["o_custkey"], value_set=c["c_custkey"])
+        hit = pc.is_valid(idx)
+        t = t.filter(hit)
+        cnat = pc.take(c["c_nationkey"], pc.filter(idx, hit))
+        return pa.table({"o_orderkey": t["o_orderkey"], "c_nat": cnat})
+
+    orders = (_read(sf_dir, "orders",
+                    ["o_orderkey", "o_custkey", "o_orderdate"])
+              .map_batches(o_kernel, batch_format="pyarrow"))
+    from ..agg import hash_join
+    joined = hash_join(li, orders, on="l_orderkey",
+                       right_on="o_orderkey",
+                       left_cols={"s_nat": pa.int32(),
+                                  "p_c": pa.int64()},
+                       right_cols={"c_nat": pa.int32()})
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["s_nat"], t["c_nat"]))
+        g = (pa.table({"s_nat": t["s_nat"], "cents": t["p_c"]})
+             .group_by(["s_nat"]).aggregate([("cents", "sum")]))
+        return g.rename_columns(["s_nat", "p_c"])
+
+    agg = hash_agg(joined.map_batches(pair_partial,
+                                      batch_format="pyarrow"),
+                   ["s_nat"], [("p_c", "sum", "cents")], small=True)
+
+    def name_kernel(t: pa.Table) -> pa.Table:
+        nn = pa.array([name_of[k] for k in t["s_nat"].to_pylist()],
+                      pa.string())
+        return pa.table({"n_name": nn, "cents": t["cents"]})
+
+    return agg.map_batches(name_kernel, batch_format="pyarrow")
