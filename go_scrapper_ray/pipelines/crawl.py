@@ -319,7 +319,8 @@ class CrawlEngine:
                  fetch_concurrency: int = 4, extract_concurrency: int = 4,
                  batch_size: int = 256, checkpoints: bool = True,
                  store_dir: str | None = None,
-                 max_per_host_per_round: int = 0):
+                 max_per_host_per_round: int = 0,
+                 seeds_override: "pa.Table | None" = None):
         self.corpus = Path(corpus_dir)
         self.workdir = Path(workdir)
         self.workdir.mkdir(parents=True, exist_ok=True)
@@ -370,7 +371,11 @@ class CrawlEngine:
                          str(self.store_dir), self.cfg.num_fetch_buckets)
         self._bundle: dict | None = None  # built after seeds_ref/wm_ref
 
-        self.seeds = pq.read_table(self.corpus / "seeds.parquet").to_pylist()
+        # seeds_override: the CLI's one-Spider-per-invocation mode
+        # (reference main.go:179-220) supplies a seeds table directly
+        self._seeds_tbl = (seeds_override if seeds_override is not None
+                           else pq.read_table(self.corpus / "seeds.parquet"))
+        self.seeds = self._seeds_tbl.to_pylist()
         rb = pq.read_table(self.corpus / "robots.parquet")
         self.robots = {h: RobotsRules.parse(t) for h, t in
                        zip(rb["host"].to_pylist(), rb["robots_txt"].to_pylist())}
@@ -539,7 +544,7 @@ class CrawlEngine:
         prefetch: no edges for seed entries, and window gating only reads
         pushed_seeds during the round loop."""
         t0 = time.perf_counter()
-        tbl = pq.read_table(self.corpus / "seeds.parquet")
+        tbl = self._seeds_tbl
         nseen = len(self.seen)
         ncpu = int(ray.cluster_resources().get("CPU", 8))
         # ~3000 rows/chunk: the canon kernel is ~25 us/row, so a chunk is
