@@ -154,7 +154,7 @@ def _q_canonicalize(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """75 of 84 queries carry a DuckDB oracle (oracle_sql()).  The 9
+    """76 of 85 queries carry a DuckDB oracle (oracle_sql()).  The 9
     without one are structurally non-SQL, each for a stated reason:
     the 5 crawl_* outputs encode an iterative politeness-scheduled
     frontier loop (ordering depends on the virtual clock + retry state
@@ -262,6 +262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping": events.hopping_counts,
         "local_supplier_volume": relational.local_supplier_volume,
         "events_props_stats": events.props_stats,
+        "events_dau_hll": events.dau_hll,
     }
 
 
@@ -1205,4 +1206,34 @@ def oracle_sql() -> dict[str, str]:
                    sum(k)::BIGINT AS k_sum, min(k)::BIGINT AS k_min,
                    max(k)::BIGINT AS k_max
             FROM k GROUP BY 1""",
+        # HLL sketch twin: identical md5-upper64 hash, register merge, and
+        # EXACT-integer raw estimator; ln() in the small-range branch is
+        # verified exhaustively (all 4095 n_zero values at p=12) to round
+        # identically in CPython and DuckDB — see events.dau_hll.
+        "events_dau_hll": """
+            WITH u AS (SELECT DISTINCT epoch_us(ts)//86400000000 AS day,
+                                       user_id FROM events),
+            h AS (SELECT day,
+                    md5_number_upper(user_id::VARCHAR)::UBIGINT AS h FROM u),
+            b AS (SELECT day, (h >> 52)::BIGINT AS bucket,
+                    (h & ((1::UBIGINT << 52) - 1)) AS w FROM h),
+            r AS (SELECT day, bucket,
+                    CASE WHEN w = 0 THEN 53
+                         ELSE 52 - length(ltrim(bin(w), '0')) + 1 END AS rho
+                  FROM b),
+            mx AS (SELECT day, bucket, max(rho) AS rho FROM r GROUP BY 1, 2),
+            s AS (SELECT day,
+                    (sum(1::HUGEINT << (53 - rho))
+                     + ((4096 - count(*))::HUGEINT << 53)) AS S,
+                    (4096 - count(*))::BIGINT AS n_zero
+                  FROM mx GROUP BY 1),
+            e AS (SELECT day, n_zero,
+                    ((7213::HUGEINT * 4096 * 4096 * 4096 * (1::HUGEINT << 53))
+                     // ((10000*4096 + 10790)::HUGEINT * S))::BIGINT AS raw
+                  FROM s)
+            SELECT day::BIGINT AS day, n_zero,
+                   CASE WHEN n_zero > 0 AND raw <= 5 * 4096 // 2
+                        THEN round(4096 * ln(4096::DOUBLE / n_zero))::BIGINT
+                        ELSE raw END AS est
+            FROM e""",
     }

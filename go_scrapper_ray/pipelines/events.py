@@ -758,3 +758,79 @@ def props_stats(sf_dir: str) -> rd.Dataset:
                     [("p_n", "sum", "n"), ("p_sum", "sum", "k_sum"),
                      ("p_min", "min", "k_min"), ("p_max", "max", "k_max")],
                     small=True)
+
+
+def dau_hll(sf_dir: str, p: int = 12) -> rd.Dataset:
+    """(day, n_zero, est): APPROXIMATE daily-active-users via a
+    HyperLogLog sketch (Flajolet et al. 2007) — the mergeable-sketch
+    primitive a 100 TB pipeline uses where exact count-distinct
+    (``daily_active``) would shuffle every (day, user) pair.
+
+    Scale shape: each batch reduces to its (day, bucket)->max(rho)
+    registers BEFORE the shuffle, so the exchange carries at most
+    days x 2^p rows regardless of corpus size; register merge is an
+    associative groupby-max; the estimator runs once on the
+    register table (output-sized).
+
+    Determinism (the DuckDB twin hashes bit-identically):
+    * hash = md5-upper64 of the decimal user_id (``md5_number_upper``);
+    * bucket = top ``p`` bits; rho = leading-zeros+1 of the remaining
+      64-p bits (exact via np.frexp — sub-2^53 ints are exact doubles);
+    * raw estimate in EXACT integer arithmetic: with Q = 64-p+1 and
+      S = sum_j 2^(Q - rho_j) (empty registers contribute 2^Q),
+      est = 7213 * m^3 * 2^Q // ((10000*m + 10790) * S)
+      (alpha_m = 0.7213/(1+1.079/m) as an exact rational);
+    * small-range correction (n_zero > 0 and raw <= 5m/2):
+      round(m * ln(m / n_zero)) — the one float op; verified
+      EXHAUSTIVELY over the full domain (all 4095 n_zero values at
+      p=12) to round identically in CPython libm and DuckDB."""
+    import hashlib
+
+    M, W = 1 << p, 64 - p
+    Q = W + 1
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.divide(t["ts"].cast(pa.int64()),
+                        86_400_000_000).cast(pa.int64())
+        u = (pa.table({"day": day, "user_id": t["user_id"]})
+             .group_by(["day", "user_id"]).aggregate([]))
+        uids = u["user_id"].to_pylist()
+        h = np.fromiter(
+            (int.from_bytes(hashlib.md5(str(x).encode()).digest()[:8],
+                            "little") for x in uids),
+            dtype=np.uint64, count=len(uids))
+        bucket = (h >> np.uint64(W)).astype(np.int64)
+        w = h & np.uint64((1 << W) - 1)
+        # bit_length via frexp: w < 2^52 <= 2^53 so the double is exact
+        blen = np.frexp(w.astype(np.float64))[1]
+        rho = np.where(w == 0, Q, W - blen + 1).astype(np.int64)
+        g = (pa.table({"day": u["day"], "bucket": pa.array(bucket),
+                       "rho": pa.array(rho)})
+             .group_by(["day", "bucket"]).aggregate([("rho", "max")]))
+        return g.rename_columns(["day", "bucket", "p_rho"])
+
+    regs = hash_agg(_events(sf_dir, ("ts", "user_id"))
+                    .map_batches(partial, batch_format="pyarrow"),
+                    ["day", "bucket"], [("p_rho", "max", "rho")])
+
+    def finalize(t: pa.Table) -> pa.Table:
+        import math
+        if t.num_rows == 0:
+            return pa.table({"day": pa.array([], pa.int64()),
+                             "n_zero": pa.array([], pa.int64()),
+                             "est": pa.array([], pa.int64())})
+        df = t.to_pandas()
+        days, zeros, ests = [], [], []
+        for day, g in df.groupby("day", sort=True):
+            S = (sum(1 << (Q - r) for r in g["rho"]) +
+                 (M - len(g)) * (1 << Q))
+            raw = (7213 * M**3 * (1 << Q)) // ((10000 * M + 10790) * S)
+            v = M - len(g)
+            est = (round(M * math.log(M / v))
+                   if v > 0 and raw <= 5 * M // 2 else raw)
+            days.append(int(day)); zeros.append(v); ests.append(est)
+        return pa.table({"day": pa.array(days, pa.int64()),
+                         "n_zero": pa.array(zeros, pa.int64()),
+                         "est": pa.array(ests, pa.int64())})
+
+    return regs.repartition(1).map_batches(finalize, batch_format="pyarrow")

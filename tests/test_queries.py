@@ -252,3 +252,17 @@ def test_dup_clusters_assigns_components(ray_session, tmp_path,
     assert labels == expect
     assert labels[3] == 3 and labels[5] == 5  # singletons
     assert labels[0] == labels[1] == labels[2] == labels[4] == 0
+
+
+def test_dau_hll_accuracy(ray_session, qmap):
+    """HLL estimate tracks exact count-distinct (the SQL twin pins
+    bit-exactness; this pins that the sketch is a sane estimator —
+    p=12 linear-counting regime: well under 1.04/sqrt(m) ~ 1.6% typical)."""
+    queries, _ = qmap
+    est = {r["day"]: r["est"]
+           for r in _to_df(queries["events_dau_hll"](SF)).to_dict("records")}
+    exact = {r["day"]: r["dau"]
+             for r in _to_df(queries["events_dau"](SF)).to_dict("records")}
+    assert set(est) == set(exact)
+    for day, n in exact.items():
+        assert abs(est[day] - n) <= max(3, 0.05 * n), (day, est[day], n)
