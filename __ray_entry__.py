@@ -154,7 +154,7 @@ def _q_canonicalize(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """76 of 85 queries carry a DuckDB oracle (oracle_sql()).  The 9
+    """77 of 86 queries carry a DuckDB oracle (oracle_sql()).  The 9
     without one are structurally non-SQL, each for a stated reason:
     the 5 crawl_* outputs encode an iterative politeness-scheduled
     frontier loop (ordering depends on the virtual clock + retry state
@@ -263,6 +263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_supplier_volume": relational.local_supplier_volume,
         "events_props_stats": events.props_stats,
         "events_dau_hll": events.dau_hll,
+        "docs_substring_dup": dedup.substring_dup,
     }
 
 
@@ -1236,4 +1237,23 @@ def oracle_sql() -> dict[str, str]:
                         THEN round(4096 * ln(4096::DOUBLE / n_zero))::BIGINT
                         ELSE raw END AS est
             FROM e""",
+        # exact substring-duplication twin: same k-char every-offset
+        # windows (substr/length count code points = Python len), same
+        # md5 window hash, same total>=2 rule — see dedup.substring_dup
+        "docs_substring_dup": """
+            WITH d AS (SELECT doc_id, text, length(text) AS L
+                       FROM documents),
+            w AS (SELECT doc_id,
+                    md5_number_upper(substr(text, i, 40)) AS h
+                  FROM d, unnest(generate_series(1, L - 39)) AS t(i)
+                  WHERE L >= 40),
+            c AS (SELECT h, doc_id, count(*) AS c FROM w GROUP BY 1, 2),
+            tot AS (SELECT h, sum(c) AS tot FROM c GROUP BY 1),
+            dup AS (SELECT doc_id,
+                      sum(CASE WHEN tot >= 2 THEN c ELSE 0 END)::BIGINT
+                        AS n_dup
+                    FROM c JOIN tot USING (h) GROUP BY 1)
+            SELECT d.doc_id, greatest(L - 39, 0)::BIGINT AS n_win,
+                   COALESCE(n_dup, 0)::BIGINT AS n_dup
+            FROM d LEFT JOIN dup USING (doc_id)""",
     }

@@ -1036,3 +1036,89 @@ def decontaminate(sf_dir: str, mod: int = 97, k: int = 3) -> rd.Dataset:
                          "contaminated": pc.greater(n, 0)})
 
     return docs(sf_dir).map_batches(flag, batch_format="pyarrow")
+
+
+def substring_dup(sf_dir: str, k: int = 40,
+                  num_partitions: int = 32) -> rd.Dataset:
+    """(doc_id, n_win, n_dup): EXACT substring-duplication rate — for
+    every doc, how many of its k-char windows (every offset, the
+    Lee et al. 2022 "Deduplicating Training Data" granularity — finer
+    than ``chunk_dedup``'s disjoint chunks) occur anywhere else in the
+    corpus (any doc incl. itself, any other offset).
+
+    Scale shape: the window stream never materializes — each batch
+    reduces its windows to (window_hash, doc_id, c, n_win) partials
+    in-kernel (n_win rides along so no second corpus scan / join is
+    needed; docs shorter than k emit one null-hash row so they surface
+    with n_win=0); shuffle #1 hash-partitions on window_hash (the
+    corpus-sized exchange the exact algorithm requires — payload is
+    4 ints/row, never text); within a partition, a window occurrence
+    is duplicated iff its hash's corpus-wide total >= 2 (the partition
+    holds ALL rows of each hash); shuffle #2 re-keys per-doc partials
+    (id-sized).
+
+    Hashes are md5-upper64 of the raw window text, so the DuckDB twin
+    (substr + generate_series + md5_number_upper) is bit-identical."""
+
+    def window_partial(t: pa.Table) -> pa.Table:
+        hs: list[int | None] = []
+        ids: list[int] = []
+        cs: list[int] = []
+        wins: list[int] = []
+        for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            n = len(s) - k + 1
+            if n <= 0:
+                hs.append(None)       # short doc: surfaces with n_win=0
+                ids.append(did)
+                cs.append(0)
+                wins.append(0)
+                continue
+            loc: dict[int, int] = {}  # per-doc combine (repeats in-doc)
+            for i in range(n):
+                h = md5_upper64(s[i:i + k].encode("utf-8"))
+                loc[h] = loc.get(h, 0) + 1
+            hs.extend(np.array(list(loc), dtype=np.uint64)
+                      .astype(np.int64).tolist())
+            cs.extend(loc.values())
+            ids.extend([did] * len(loc))
+            wins.extend([n] * len(loc))
+        return pa.table({"h": pa.array(hs, pa.int64()),
+                         "doc_id": pa.array(ids, pa.int64()),
+                         "c": pa.array(cs, pa.int64()),
+                         "n_win": pa.array(wins, pa.int64())})
+
+    def addpart(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("__part", pa.array([], pa.int32()))
+        return t.append_column(
+            "__part", pa.array(partition_ids(t, ["h"], num_partitions)))
+
+    def dup_in_part(g: pa.Table) -> pa.Table:
+        # all occurrences of a hash land in this partition: corpus-wide
+        # total >= 2 marks every one of its occurrences duplicated
+        # (null-hash short-doc rows have c=0, so their group never trips)
+        tot = (g.select(["h", "c"]).group_by("h")
+               .aggregate([("c", "sum")]).rename_columns(["h", "tot"]))
+        idx = pc.index_in(g["h"], value_set=tot["h"])
+        tt = pc.take(tot["tot"], idx)
+        dup = pc.if_else(pc.greater_equal(tt, 2), g["c"],
+                         pa.scalar(0, pa.int64()))
+        out = (pa.table({"doc_id": g["doc_id"], "dup": dup,
+                         "n_win": g["n_win"]})
+               .group_by("doc_id")
+               .aggregate([("dup", "sum"), ("n_win", "max")]))
+        return out.rename_columns(["doc_id", "p_dup", "p_win"])
+
+    # the window kernel is the compute-heavy stage (~2 us/window): split
+    # the read so it runs corpus-wide-parallel (at 100 TB the many input
+    # files give this for free; a single sandbox file needs the hint)
+    ncpu = (int(ray.cluster_resources().get("CPU", 8))
+            if ray.is_initialized() else 8)
+    src = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "text"],
+                          override_num_blocks=ncpu)
+    return hash_agg(
+        src.map_batches(window_partial, batch_format="pyarrow")
+        .map_batches(addpart, batch_format="pyarrow")
+        .groupby("__part").map_groups(dup_in_part, batch_format="pyarrow"),
+        "doc_id", [("p_win", "max", "n_win"), ("p_dup", "sum", "n_dup")])
