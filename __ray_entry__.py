@@ -154,7 +154,7 @@ def _q_canonicalize(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """77 of 86 queries carry a DuckDB oracle (oracle_sql()).  The 9
+    """80 of 89 queries carry a DuckDB oracle (oracle_sql()).  The 9
     without one are structurally non-SQL, each for a stated reason:
     the 5 crawl_* outputs encode an iterative politeness-scheduled
     frontier loop (ordering depends on the virtual clock + retry state
@@ -264,6 +264,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_stats": events.props_stats,
         "events_dau_hll": events.dau_hll,
         "docs_substring_dup": dedup.substring_dup,
+        "docs_url_mentions": textstats.url_mentions,
+        "docs_lang_confusion": textstats.lang_confusion,
+        "docs_oov_rate": textstats.oov_rate,
     }
 
 
@@ -1256,4 +1259,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, greatest(L - 39, 0)::BIGINT AS n_win,
                    COALESCE(n_dup, 0)::BIGINT AS n_dup
             FROM d LEFT JOIN dup USING (doc_id)""",
+        "docs_url_mentions": r"""
+            WITH a AS (SELECT doc_id,
+                text || ' Contact u' || doc_id || '@mail-' || (doc_id % 7)
+                     || '.example.com or https://host-' || (doc_id % 13)
+                     || '.example.org/p/' || doc_id || '?s=1 at 10.'
+                     || (doc_id % 200) || '.' || (doc_id % 100) || '.'
+                     || (doc_id % 50) || ' now' AS t0
+              FROM documents),
+            h AS (SELECT doc_id,
+                    unnest(regexp_extract_all(t0,
+                        'https?://([^/\s?#]+)', 1)) AS host
+                  FROM a)
+            SELECT host, count(DISTINCT doc_id)::BIGINT AS n_docs,
+                   count(*)::BIGINT AS n_mentions
+            FROM h GROUP BY 1""",
+        "docs_lang_confusion": f"""
+            SELECT d.lang, p.pred_lang, count(*)::BIGINT AS n
+            FROM documents d JOIN ({_langid_sql()}) p USING (doc_id)
+            GROUP BY 1, 2""",
+        "docs_oov_rate": r"""
+            WITH tok AS (SELECT doc_id,
+                    unnest(regexp_extract_all(lower(text), '\S+')) AS tk
+                  FROM documents),
+            df AS (SELECT tk, count(DISTINCT doc_id) AS df
+                   FROM tok GROUP BY 1),
+            vocab AS (SELECT tk FROM df ORDER BY df DESC, tk LIMIT 100),
+            agg AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                      sum(CASE WHEN tk NOT IN (SELECT tk FROM vocab)
+                               THEN 1 ELSE 0 END)::BIGINT AS n_oov
+                    FROM tok GROUP BY 1)
+            SELECT d.doc_id, COALESCE(n_tokens, 0)::BIGINT AS n_tokens,
+                   COALESCE(n_oov, 0)::BIGINT AS n_oov
+            FROM documents d LEFT JOIN agg USING (doc_id)""",
     }

@@ -15,6 +15,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray
 import ray.data as rd
 
 from ..agg import hash_agg
@@ -573,3 +574,110 @@ def dup_rate(sf_dir: str) -> rd.Dataset:
                                       batch_format="pyarrow"),
                     "source", [("p_docs", "sum", "n_docs"),
                                ("p_uniq", "sum", "n_unique")], small=True)
+
+
+# ------------------------------------------------------- webtext link mining
+
+URL_HOST_RE = re.compile(r"https?://([^/\s?#]+)")
+
+
+def url_mentions(sf_dir: str) -> rd.Dataset:
+    """(host, n_docs, n_mentions): outbound-link host profile of the corpus
+    — the link-mining pass a webtext pipeline runs to build citation/spam
+    signals.  Same deterministic ``pii_suffix`` device as pii_scrub (the
+    synthetic corpus has no organic URLs).
+
+    Scale shape: mirror of the exact count-distinct (daily_active): each
+    batch dedupes (host, doc) and pre-counts mentions, the (host, doc)
+    groupby is the only wide exchange (payload already one row per pair),
+    then a host-cardinality rollup counts docs and sums mentions."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        agg: dict[tuple[str, int], int] = {}
+        for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            for h in URL_HOST_RE.findall(s + pii_suffix(did)):
+                key = (h, did)
+                agg[key] = agg.get(key, 0) + 1
+        return pa.table({
+            "host": pa.array([k[0] for k in agg], pa.string()),
+            "doc_id": pa.array([k[1] for k in agg], pa.int64()),
+            "c": pa.array(list(agg.values()), pa.int64())})
+
+    pairs = hash_agg(docs(sf_dir).map_batches(partial,
+                                              batch_format="pyarrow"),
+                     ["host", "doc_id"], [("c", "sum", "c")])
+
+    def host_partial(t: pa.Table) -> pa.Table:
+        g = (t.group_by("host")
+             .aggregate([([], "count_all"), ("c", "sum")]))
+        return g.rename_columns(["host", "p_docs", "p_m"])
+
+    return hash_agg(pairs.map_batches(host_partial, batch_format="pyarrow"),
+                    "host", [("p_docs", "sum", "n_docs"),
+                             ("p_m", "sum", "n_mentions")], small=True)
+
+
+# --------------------------------------------------- language confusion matrix
+
+def lang_confusion(sf_dir: str, concurrency: int = 8) -> rd.Dataset:
+    """(lang, pred_lang, n): declared-vs-predicted language confusion
+    matrix — the eval rollup that decides whether the langid gate is safe
+    to apply to a corpus slice.  Actor-pool langid (state in __init__),
+    language²-cardinality aggregate (small=True sort-free reduce)."""
+
+    class Stage(LangIdStage):
+        def __call__(self, t: pa.Table) -> pa.Table:
+            preds = LangIdStage.__call__(self, t)["pred_lang"]
+            g = (pa.table({"lang": t["lang"], "pred_lang": preds})
+                 .group_by(["lang", "pred_lang"])
+                 .aggregate([([], "count_all")]))
+            return g.rename_columns(["lang", "pred_lang", "p_n"])
+
+    src = docs(sf_dir, columns=("doc_id", "text", "lang"))
+    return hash_agg(src.map_batches(Stage, batch_format="pyarrow",
+                                    concurrency=(1, concurrency), num_cpus=1),
+                    ["lang", "pred_lang"], [("p_n", "sum", "n")], small=True)
+
+
+# -------------------------------------------------------------------- OOV rate
+
+def oov_rate(sf_dir: str, vocab_size: int = 100) -> rd.Dataset:
+    """(doc_id, n_tokens, n_oov): per-doc out-of-vocabulary token count
+    against the corpus' top-``vocab_size`` document-frequency vocabulary —
+    the coverage stat that sizes a tokenizer/vocab for a corpus.
+
+    Scale shape: pass 1 is the doc_frequency build (per-batch deduped
+    Counter combine, token-keyed groupby — vocab-bounded rows, never
+    (doc, token) pairs); the top-V cut (df desc, token asc — the
+    deterministic tie-break the SQL twin replicates) collects only V rows
+    to the driver and broadcasts a frozenset; pass 2 is one streaming
+    map_batches over the corpus."""
+    from collections import Counter
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for s in t["text"].to_pylist():
+            c.update(set(s.lower().split()))
+        return pa.table({"token": pa.array(list(c.keys()), pa.string()),
+                         "p_df": pa.array(list(c.values()), pa.int64())})
+
+    df = hash_agg(docs(sf_dir).map_batches(df_partial,
+                                           batch_format="pyarrow"),
+                  "token", [("p_df", "sum", "df")])
+    top = (df.sort(["df", "token"], descending=[True, False])
+           .limit(vocab_size).to_pandas())
+    vocab = frozenset(top["token"])
+    vocab_ref = ray.put(vocab)
+
+    def kernel(t: pa.Table) -> pa.Table:
+        v = ray.get(vocab_ref)
+        n_tok, n_oov = [], []
+        for s in t["text"].to_pylist():
+            toks = s.lower().split()
+            n_tok.append(len(toks))
+            n_oov.append(sum(1 for w in toks if w not in v))
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_tokens": pa.array(n_tok, pa.int64()),
+                         "n_oov": pa.array(n_oov, pa.int64())})
+
+    return docs(sf_dir).map_batches(kernel, batch_format="pyarrow")
