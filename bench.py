@@ -386,16 +386,10 @@ def scaling(n_businesses: int, reps: int = 2, lo: int = 8,
     # conservative estimate of the quiet-window ratio, while any hi-leg
     # dip only understates it.  Fall back to quietest-brackets when no
     # pair has a healthy lo leg.
-    lo_ref_path = Path(f"/tmp/gsr_lo_ref_{n_businesses}_{lo}.json")
-    try:
-        best_lo = float(json.loads(lo_ref_path.read_text())["best"])
-    except Exception:
-        best_lo = 0.0
-    best_lo = max([best_lo] + [p[0]["urls_per_sec"] for p in pairs])
-    try:
-        lo_ref_path.write_text(json.dumps({"best": round(best_lo, 1)}))
-    except Exception:
-        pass
+    # within-run best only: an all-time lo reference drifts upward with
+    # cache state and engine fixes, making ever-stricter gates that
+    # systematically select the ratio-worst pairs of later runs
+    best_lo = max(p[0]["urls_per_sec"] for p in pairs)
     healthy = [p for p in pairs
                if max(p[0]["steal_pct"], p[1]["steal_pct"]) <= max_steal
                and p[0]["urls_per_sec"] >= 0.95 * best_lo]
@@ -430,6 +424,13 @@ def scaling(n_businesses: int, reps: int = 2, lo: int = 8,
             "all_pair_urls_per_sec": [
                 [round(p["urls_per_sec"], 1), round(q["urls_per_sec"], 1)]
                 for p, q in pairs],
+            # each leg's best across this run's pairs is a lower bound on
+            # its quiet-window throughput; their ratio is the run's best
+            # point ESTIMATE (not a bound) of the quiet-window efficiency
+            # when no single pair is provably undisturbed
+            "peak_legs_eff": round(
+                max(q["urls_per_sec"] for _, q in pairs)
+                / max(p["urls_per_sec"] for p, _ in pairs) / (hi / lo), 3),
             "all_pair_effs": [
                 round((q["urls_per_sec"] / p["urls_per_sec"]) / (hi / lo), 3)
                 for p, q in pairs],
