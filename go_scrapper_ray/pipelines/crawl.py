@@ -900,6 +900,22 @@ class CrawlEngine:
             "biz": self.biz,
         }
         (ckdir / "driver.json").write_text(json.dumps(state))
+        # per-checkpoint lineage + metrics: which shard files belong to this
+        # round (lineage is the round=N directory layout itself) plus the
+        # driver's cumulative stage timers and progress counters, so an
+        # operator inspecting a killed run sees where time went and how far
+        # it got without replaying anything.
+        (ckdir / "metrics.json").write_text(json.dumps({
+            "round": rnd,
+            "seq": self.seq,
+            "frontier_shards": len(self.frontier),
+            "seen_shards": len(self.seen),
+            "records_so_far": sum(self.record_counts.values()),
+            "seeds": len(self.outcomes),
+            "retry_urls": len(self.ledger.counts),
+            "timings_s": {k: round(v, 4)
+                          for k, v in sorted(self.timings.items())},
+        }, separators=(",", ":")))
         (ckdir / "_complete").write_text("ok")
 
     def _edges_table(self) -> pa.Table:

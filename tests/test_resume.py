@@ -52,6 +52,31 @@ def test_resume_from_mid_checkpoint(full_run, tmp_path_factory):
     assert got == want
 
 
+def test_checkpoint_metrics(full_run):
+    """Every complete checkpoint carries a metrics.json (lineage = the
+    round=N shard-file layout; metrics = driver timers + progress)."""
+    import json
+
+    _, wd, full = full_run
+    cks = [p for p in (wd / "checkpoint").iterdir()
+           if (p / "_complete").exists()]
+    assert cks
+    for ck in cks:
+        m = json.loads((ck / "metrics.json").read_text())
+        assert m["round"] == int(ck.name.split("=")[1])
+        assert m["frontier_shards"] >= 1 and m["seen_shards"] >= 1
+        assert m["seq"] >= 0 and m["seeds"] >= 1
+        assert isinstance(m["timings_s"], dict)
+    # records_so_far counts RAW extracted records (pre-watermark-truncation,
+    # pre-finalize), so it bounds the final line count from above and grows
+    # monotonically across rounds
+    counts = [json.loads((ck / "metrics.json").read_text())["records_so_far"]
+              for ck in sorted(cks, key=lambda p: int(p.name.split("=")[1]))]
+    assert counts == sorted(counts)
+    assert counts[-1] >= sum(
+        len(full.jsonl_lines(s)) for s in full.outcomes)
+
+
 def test_resume_from_round_zero(full_run, tmp_path_factory):
     from go_scrapper_ray.pipelines.crawl import CrawlEngine
 
