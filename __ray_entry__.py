@@ -202,6 +202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_jaccard_dups": dedup.ngram_jaccard_dups,    # exact, SQL-checked
         "docs_dup_clusters": dedup.dup_clusters,          # CC over minhash pairs
         "docs_clean_corpus": clean.clean_corpus,          # composed pipeline
+        "docs_train_shards": clean.train_shards,          # shard writer
         "emb_cosine_dups": lambda sf: dedup.embedding_dups(sf, threshold=0.45),
         # --- similarity search ---
         "knn_bruteforce": similarity.knn_bruteforce,
@@ -590,6 +591,15 @@ _NORMALIZE_SQL = r"""
     FROM n"""
 
 
+_TRAIN_SHARDS_SQL = """
+    WITH h AS (SELECT doc_id, md5_number_upper(doc_id::VARCHAR) AS h
+               FROM documents)
+    SELECT doc_id, (h % 16)::INTEGER AS shard,
+           (row_number() OVER (PARTITION BY h % 16
+                               ORDER BY h, doc_id) - 1)::BIGINT AS pos
+    FROM h"""
+
+
 _SAMPLE_SQL = """
     SELECT doc_id, lang FROM documents
     WHERE md5_number_upper(doc_id::VARCHAR) % 10 = 0"""
@@ -670,6 +680,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_minhash_dups": _minhash_sql(0.8),
         "docs_dup_clusters": _dup_clusters_sql(0.8),
         "docs_clean_corpus": _clean_corpus_sql(),
+        "docs_train_shards": _TRAIN_SHARDS_SQL,
         "docs_simhash_dups": _SIMHASH_SQL,
         "docs_winnow_fp": _winnow_sql(),
         "docs_lang_dist":

@@ -127,6 +127,70 @@ def write_partitioned_resumable(ds: rd.Dataset, out_dir: str,
     return todo
 
 
+def train_shards(sf_dir: str, n_shards: int = 16,
+                 out_dir: str | None = None) -> rd.Dataset:
+    """(doc_id, shard, pos): deterministic global shuffle into fixed
+    training shards — the last-mile writer of a corpus pipeline.
+
+    ``shard = md5_upper64(decimal doc_id) % n_shards`` (stable across
+    runs, cluster widths and block orders — unlike ``ds.random_shuffle``)
+    and ``pos`` is the rank of (hash, doc_id) inside the shard, so a
+    trainer reading shard K streams the same pseudo-random document order
+    every time, and a killed write resumes per shard.
+
+    Scale shape: the hash/shard stamp is one streaming ``map_batches``;
+    the single exchange is the ``groupby(shard)`` — id-sized rows unless
+    ``out_dir`` asks for the text to ride along, which IS the unavoidable
+    shuffle any global-shuffle shard writer pays.  Each shard orders
+    locally inside ``map_groups``; pick n_shards so corpus/n_shards fits
+    one worker (at 100 TB that is O(10^4-10^5) shards, far above any
+    per-group-overhead regime).  With ``out_dir`` each shard lands as
+    ``shard=K/part.parquet`` + ``_done`` marker (resume contract of
+    ``write_partitioned_resumable``: marked shards are skipped)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from .dedup import md5_upper64
+
+    cols = ("doc_id", "text") if out_dir else ("doc_id",)
+
+    def stamp(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        h = np.fromiter((md5_upper64(str(i).encode()) for i in ids),
+                        dtype=np.uint64, count=len(ids))
+        t = t.append_column("h", pa.array(h, pa.uint64()))
+        return t.append_column(
+            "shard", pa.array((h % np.uint64(n_shards)).astype(np.int32)))
+
+    stamped = docs(sf_dir, columns=cols).map_batches(
+        stamp, batch_format="pyarrow")
+
+    out = Path(out_dir) if out_dir else None
+    if out is not None:
+        out.mkdir(parents=True, exist_ok=True)
+
+    def one_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", "doc_id"], kind="mergesort",
+                          ignore_index=True)
+        g["pos"] = np.arange(len(g), dtype=np.int64)
+        if out is not None:
+            k = int(g["shard"].iloc[0])
+            d = out / f"shard={k}"
+            if not (d / "_done").exists():
+                shutil.rmtree(d, ignore_errors=True)
+                d.mkdir(parents=True)
+                pq.write_table(
+                    pa.Table.from_pandas(
+                        g[["pos", "doc_id", "text"]], preserve_index=False),
+                    str(d / "part.parquet"))
+                (d / "_done").touch()
+        return g[["doc_id", "shard", "pos"]]
+
+    return stamped.groupby("shard").map_groups(
+        one_shard, batch_format="pandas")
+
+
 def read_partitioned(out_dir: str) -> rd.Dataset:
     """Read a ``write_partitioned_resumable`` output back (all buckets)."""
     paths = sorted(str(p) for p in Path(out_dir).glob("bucket=*/*.parquet"))

@@ -57,6 +57,41 @@ def test_resumable_partitioned_write(ray_session, tmp_path):
     pd.testing.assert_frame_equal(got2, want, check_dtype=False)
 
 
+def test_train_shards_writer(ray_session, tmp_path):
+    """Deterministic shuffle-shard writer: every doc in exactly one shard,
+    pos dense 0..n-1 per shard and ordered by (md5-upper64, doc_id);
+    out_dir writes one parquet + _done per shard; marked shards are
+    skipped on re-run."""
+    import duckdb
+
+    from go_scrapper_ray.pipelines import clean
+
+    out = tmp_path / "shards"
+    df = clean.train_shards(SF, n_shards=4, out_dir=str(out)).to_pandas()
+
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF}/documents.parquet')"
+    ).fetchone()[0]
+    assert len(df) == n_docs == df["doc_id"].nunique()
+    for k, g in df.groupby("shard"):
+        assert sorted(g["pos"]) == list(range(len(g))), k
+        d = out / f"shard={k}"
+        assert (d / "_done").exists()
+        back = pd.read_parquet(d / "part.parquet")
+        assert list(back["pos"]) == list(range(len(back)))
+        assert set(back["doc_id"]) == set(g["doc_id"])
+        assert back["text"].notna().all()
+
+    # determinism + resume: re-run returns identical assignment and does
+    # not rewrite marked shards
+    mtimes = {p: p.stat().st_mtime_ns for p in out.rglob("*.parquet")}
+    df2 = clean.train_shards(SF, n_shards=4, out_dir=str(out)).to_pandas()
+    pd.testing.assert_frame_equal(
+        df.sort_values("doc_id", ignore_index=True),
+        df2.sort_values("doc_id", ignore_index=True))
+    assert {p: p.stat().st_mtime_ns for p in out.rglob("*.parquet")} == mtimes
+
+
 def test_clean_corpus_gates_are_real(ray_session):
     """Survivors must pass every gate: no near-dup pair among survivors,
     no exact-hash dup, all predicted-en, all >= min_words tokens."""
