@@ -190,6 +190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_doc_frequency": textstats.doc_frequency,
         "docs_normalize": textstats.normalize,
         "docs_sample": textstats.sample_stratified,
+        "docs_mixture_quota": textstats.mixture_quota,
         "docs_length_quantiles": textstats.length_quantiles,
         # --- text analysis (SQL-checked via md5-upper64 twins) ---
         "docs_winnow_fp": textstats.fingerprint_winnow,
@@ -600,6 +601,18 @@ _TRAIN_SHARDS_SQL = """
     FROM h"""
 
 
+_MIXTURE_QUOTA_SQL = """
+    WITH h AS (SELECT doc_id, source,
+                      md5_number_upper(doc_id::VARCHAR) AS h
+               FROM documents)
+    SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY h, doc_id) AS rn
+        FROM h)
+    WHERE rn <= 50"""
+
+
 _SAMPLE_SQL = """
     SELECT doc_id, lang FROM documents
     WHERE md5_number_upper(doc_id::VARCHAR) % 10 = 0"""
@@ -681,6 +694,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_dup_clusters": _dup_clusters_sql(0.8),
         "docs_clean_corpus": _clean_corpus_sql(),
         "docs_train_shards": _TRAIN_SHARDS_SQL,
+        "docs_mixture_quota": _MIXTURE_QUOTA_SQL,
         "docs_simhash_dups": _SIMHASH_SQL,
         "docs_winnow_fp": _winnow_sql(),
         "docs_lang_dist":

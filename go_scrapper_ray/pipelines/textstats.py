@@ -407,6 +407,41 @@ def sample_stratified(sf_dir: str, mod: int = 10, keep: int = 0,
             .map_batches(kernel, batch_format="pyarrow"))
 
 
+def mixture_quota(sf_dir: str, per_source: int = 50) -> rd.Dataset:
+    """(doc_id, source): deterministic per-source QUOTA sample — the
+    mixture-construction primitive (pick exactly K docs per source for a
+    training mix), complementing ``sample_stratified``'s fixed RATE.
+
+    The quota is the K smallest (md5_upper64(doc_id), doc_id) per source —
+    uniform within each stratum yet stable across runs, cluster widths and
+    block orders.  Scale shape: a per-batch partial top-K per source (each
+    batch forwards at most K x n_sources id-sized rows — a combiner, the
+    text never moves), then one tiny groupby(source) over partials whose
+    total size is O(blocks x K x sources), independent of corpus rows."""
+    import pandas as pd
+
+    from .dedup import md5_upper64
+
+    k = per_source
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["h"] = np.fromiter(
+            (md5_upper64(str(i).encode()) for i in df["doc_id"]),
+            dtype=np.uint64, count=len(df))
+        df = (df.sort_values(["source", "h", "doc_id"])
+                .groupby("source", sort=False).head(k))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", "doc_id"]).head(k)
+        return g[["doc_id", "source"]]
+
+    return (docs(sf_dir, columns=("doc_id", "source"))
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("source").map_groups(final, batch_format="pandas"))
+
+
 # ----------------------------------------------------------- exact quantiles
 
 QUANTILES = (0.25, 0.5, 0.75, 0.9, 0.99)
