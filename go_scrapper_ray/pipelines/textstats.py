@@ -407,7 +407,8 @@ def sample_stratified(sf_dir: str, mod: int = 10, keep: int = 0,
             .map_batches(kernel, batch_format="pyarrow"))
 
 
-def mixture_quota(sf_dir: str, per_source: int = 50) -> rd.Dataset:
+def mixture_quota(sf_dir: str, per_source: int = 50,
+                  batch_size: int | None = None) -> rd.Dataset:
     """(doc_id, source): deterministic per-source QUOTA sample — the
     mixture-construction primitive (pick exactly K docs per source for a
     training mix), complementing ``sample_stratified``'s fixed RATE.
@@ -437,8 +438,9 @@ def mixture_quota(sf_dir: str, per_source: int = 50) -> rd.Dataset:
         g = g.sort_values(["h", "doc_id"]).head(k)
         return g[["doc_id", "source"]]
 
+    kw = {"batch_size": batch_size} if batch_size else {}
     return (docs(sf_dir, columns=("doc_id", "source"))
-            .map_batches(partial, batch_format="pyarrow")
+            .map_batches(partial, batch_format="pyarrow", **kw)
             .groupby("source").map_groups(final, batch_format="pandas"))
 
 

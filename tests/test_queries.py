@@ -266,3 +266,29 @@ def test_dau_hll_accuracy(ray_session, qmap):
     assert set(est) == set(exact)
     for day, n in exact.items():
         assert abs(est[day] - n) <= max(3, 0.05 * n), (day, est[day], n)
+
+
+def test_mixture_quota_multibatch_combiner(ray_session):
+    """The per-batch partial top-K is a real combiner: forcing many small
+    batches (so no batch sees a whole stratum) must give the identical
+    quota as the single-batch path and as DuckDB's rank window."""
+    import duckdb
+
+    from go_scrapper_ray.pipelines import textstats
+
+    one = _to_df(textstats.mixture_quota(SF, per_source=7)) \
+        .sort_values("doc_id", ignore_index=True)
+    many = _to_df(textstats.mixture_quota(SF, per_source=7, batch_size=16)) \
+        .sort_values("doc_id", ignore_index=True)
+    pd.testing.assert_frame_equal(one, many)
+
+    want = duckdb.sql(f"""
+        WITH h AS (SELECT doc_id, source,
+                          md5_number_upper(doc_id::VARCHAR) AS h
+                   FROM read_parquet('{SF}/documents.parquet'))
+        SELECT doc_id, source FROM (
+            SELECT doc_id, source,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY h, doc_id) AS rn FROM h)
+        WHERE rn <= 7 ORDER BY doc_id""").fetchdf()
+    pd.testing.assert_frame_equal(many, want, check_dtype=False)
