@@ -154,7 +154,7 @@ def _q_canonicalize(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """82 of 91 queries carry a DuckDB oracle (oracle_sql()).  The 9
+    """83 of 92 queries carry a DuckDB oracle (oracle_sql()).  The 9
     without one are structurally non-SQL, each for a stated reason:
     the 5 crawl_* outputs encode an iterative politeness-scheduled
     frontier loop (ordering depends on the virtual clock + retry state
@@ -238,6 +238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filtered_revenue": relational.filtered_revenue,
         "promo_revenue": relational.promo_revenue,
         "emb_label_centroids": similarity.label_centroids,
+        "emb_ivf_assign": similarity.ivf_assign,
         "docs_pagerank": graph.pagerank,
         "returned_items": relational.returned_item_revenue,
         "large_orders": relational.large_volume_orders,
@@ -949,6 +950,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT token, count(*)::BIGINT AS df
             FROM tok GROUP BY token
             ORDER BY df DESC, token LIMIT 200""",
+        "emb_ivf_assign": """
+            WITH q AS (SELECT vec_id,
+                         list_transform(embedding,
+                           x -> CAST(round(CAST(x AS DOUBLE) * 1000)
+                                     AS DOUBLE)) AS qv
+                       FROM embeddings),
+                 c AS (SELECT vec_id AS cid, qv AS cv FROM q
+                       ORDER BY vec_id LIMIT 8),
+                 s AS (SELECT q.vec_id, c.cid,
+                              CAST(list_inner_product(q.qv, c.cv)
+                                   AS BIGINT) AS score
+                       FROM q CROSS JOIN c)
+            SELECT vec_id, cid AS list_id, score
+            FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                              ORDER BY score DESC, cid) AS rn FROM s)
+            WHERE rn = 1""",
         "emb_label_centroids": """
             WITH e AS (SELECT label,
                          generate_subscripts(embedding, 1) AS dim,

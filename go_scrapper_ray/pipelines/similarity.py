@@ -292,6 +292,51 @@ def emb_norm_stats(sf_dir: str) -> rd.Dataset:
     return _emb(sf_dir).map_batches(kernel, batch_format="pyarrow")
 
 
+def ivf_assign(sf_dir: str, n_centroids: int = 8) -> rd.Dataset:
+    """(vec_id, list_id, score): the IVF coarse-quantizer ASSIGNMENT step
+    in quantized integer space — the SQL-checkable intermediate of the IVF
+    ANN path (knn_ivf itself is approximate and recall-gated; this pins
+    the partitioning math bit-exactly against DuckDB's
+    ``list_inner_product`` over the same quantization).
+
+    Centroids are the ``n_centroids`` smallest-vec_id vectors
+    (deterministic; sample-sized broadcast — the same contract as
+    knn_ivf's sampled centroids).  Components quantize to 1/1000 units
+    round-half-away (the ``label_centroids`` convention), scores are
+    int64 dot products (|score| <= dims x 2000^2 ~ 2.6e8 — exact in
+    DuckDB's double), ties break to the smallest centroid id.
+
+    Scale shape: one streaming ``map_batches`` over the corpus with a
+    vectorized (batch x centroids) integer matmul; no shuffle, driver
+    state is centroid-sized."""
+    import pyarrow.parquet as pq
+
+    ct = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "<", n_centroids)])
+    C = np.array(ct["embedding"].to_pylist(), dtype=np.float64) * 1000.0
+    CQ = np.copysign(np.floor(np.abs(C) + 0.5), C).astype(np.int64)
+    cids = ct["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    o = np.argsort(cids)
+    cids, CQ = cids[o], CQ[o]
+    c_ref = ray.put((cids, CQ))
+
+    def kernel(t: pa.Table) -> pa.Table:
+        cc, cq = ray.get(c_ref)
+        M = np.array(t["embedding"].to_pylist(), dtype=np.float64) * 1000.0
+        Q = np.copysign(np.floor(np.abs(M) + 0.5), M).astype(np.int64)
+        S = Q @ cq.T
+        # np.argmax takes the FIRST max; cids ascend, so ties land on the
+        # smallest centroid id — same as the twin's ORDER BY score DESC, cid
+        best = np.argmax(S, axis=1)
+        return pa.table({
+            "vec_id": t["vec_id"],
+            "list_id": pa.array(cc[best], pa.int64()),
+            "score": pa.array(S[np.arange(len(best)), best], pa.int64())})
+
+    return _emb(sf_dir).map_batches(kernel, batch_format="pyarrow")
+
+
 def label_centroids(sf_dir: str) -> rd.Dataset:
     """(label, dim, q_sum, n_vecs): per-label centroid of the embedding
     column in QUANTIZED integer space (components rounded half-away to

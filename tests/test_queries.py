@@ -292,3 +292,22 @@ def test_mixture_quota_multibatch_combiner(ray_session):
                                       ORDER BY h, doc_id) AS rn FROM h)
         WHERE rn <= 7 ORDER BY doc_id""").fetchdf()
     pd.testing.assert_frame_equal(many, want, check_dtype=False)
+
+
+def test_ivf_assign_centroids_self(ray_session):
+    """Each centroid vector must assign to itself (its self-dot dominates
+    by Cauchy-Schwarz in the quantized space unless an exact duplicate
+    ties, where the smaller id wins — either way list_id == vec_id for
+    the smallest-id copy), and every corpus vector gets exactly one row."""
+    import duckdb
+
+    from go_scrapper_ray.pipelines import similarity
+
+    df = _to_df(similarity.ivf_assign(SF))
+    n = duckdb.sql(f"SELECT count(*) FROM "
+                   f"read_parquet('{SF}/embeddings.parquet')").fetchone()[0]
+    assert len(df) == n == df["vec_id"].nunique()
+    byv = dict(zip(df["vec_id"], df["list_id"]))
+    for cid in range(8):
+        assert byv[cid] <= cid, (cid, byv[cid])
+    assert set(df["list_id"]) <= set(range(8))
