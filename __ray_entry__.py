@@ -154,7 +154,7 @@ def _q_canonicalize(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """83 of 92 queries carry a DuckDB oracle (oracle_sql()).  The 9
+    """84 of 93 queries carry a DuckDB oracle (oracle_sql()).  The 9
     without one are structurally non-SQL, each for a stated reason:
     the 5 crawl_* outputs encode an iterative politeness-scheduled
     frontier loop (ordering depends on the virtual clock + retry state
@@ -239,6 +239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promo_revenue": relational.promo_revenue,
         "emb_label_centroids": similarity.label_centroids,
         "emb_ivf_assign": similarity.ivf_assign,
+        "emb_lsh_code": similarity.lsh_code,
         "docs_pagerank": graph.pagerank,
         "returned_items": relational.returned_item_revenue,
         "large_orders": relational.large_volume_orders,
@@ -950,6 +951,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT token, count(*)::BIGINT AS df
             FROM tok GROUP BY token
             ORDER BY df DESC, token LIMIT 200""",
+        "emb_lsh_code": """
+            WITH q AS (SELECT vec_id,
+                         list_transform(embedding,
+                           x -> CAST(round(CAST(x AS DOUBLE) * 1000)
+                                     AS BIGINT)) AS qv
+                       FROM embeddings),
+                 sgn AS (SELECT r1.range AS t, r2.range AS b, r3.range AS d,
+                           CASE WHEN md5_number_upper(
+                                  r1.range::VARCHAR || '_' ||
+                                  r2.range::VARCHAR || '_' ||
+                                  r3.range::VARCHAR) % 2 = 0
+                                THEN 1 ELSE -1 END AS s
+                         FROM range(4) r1, range(8) r2, range(64) r3),
+                 comp AS (SELECT vec_id,
+                            generate_subscripts(qv, 1) - 1 AS d,
+                            unnest(qv) AS v
+                          FROM q),
+                 dots AS (SELECT c.vec_id, s.t, s.b, sum(s.s * c.v) AS dot
+                          FROM comp c JOIN sgn s USING (d)
+                          GROUP BY 1, 2, 3)
+            SELECT vec_id, t::BIGINT AS table_id,
+                   sum(CASE WHEN dot >= 0
+                            THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS code
+            FROM dots GROUP BY 1, 2""",
         "emb_ivf_assign": """
             WITH q AS (SELECT vec_id,
                          list_transform(embedding,

@@ -337,6 +337,52 @@ def ivf_assign(sf_dir: str, n_centroids: int = 8) -> rd.Dataset:
     return _emb(sf_dir).map_batches(kernel, batch_format="pyarrow")
 
 
+def lsh_code(sf_dir: str, n_tables: int = 4, n_bits: int = 8,
+             dims: int = 64) -> rd.Dataset:
+    """(vec_id, table_id, code): multi-table sign-LSH bucket codes — the
+    SQL-checkable intermediate of the LSH ANN path (knn_lsh itself is
+    recall-gated; this pins the bucketing math bit-exactly).
+
+    Hyperplanes are DETERMINISTIC ±1 vectors: component sign for
+    (table t, bit b, dim d) is the parity of md5_upper64("t_b_d") — a
+    valid random-sign projection family that DuckDB reproduces exactly.
+    Components quantize to 1/1000 units round-half-away (the
+    ``label_centroids`` convention); bit b of a table's code is 1 iff
+    the int64 dot with that hyperplane is >= 0.
+
+    Scale shape: the (tables x bits x dims) sign tensor is constant-sized
+    broadcast state; one streaming ``map_batches`` with a vectorized
+    integer matmul per batch — no shuffle.  Downstream, near-dup
+    candidates are pairs sharing (table_id, code): a groupby on this
+    output, exactly the emb-dedup bucketing already used in
+    dedup.embedding_dups."""
+    from .dedup import md5_upper64
+
+    S = np.empty((n_tables * n_bits, dims), np.int64)
+    for t in range(n_tables):
+        for b in range(n_bits):
+            for d in range(dims):
+                S[t * n_bits + b, d] = \
+                    1 if md5_upper64(f"{t}_{b}_{d}".encode()) % 2 == 0 else -1
+    s_ref = ray.put(S)
+    weights = (1 << np.arange(n_bits, dtype=np.int64))
+
+    def kernel(t: pa.Table) -> pa.Table:
+        sg = ray.get(s_ref)
+        M = np.array(t["embedding"].to_pylist(), dtype=np.float64) * 1000.0
+        Q = np.copysign(np.floor(np.abs(M) + 0.5), M).astype(np.int64)
+        bits = (Q @ sg.T >= 0).astype(np.int64)          # (n, T*B)
+        codes = bits.reshape(len(Q), n_tables, n_bits) @ weights  # (n, T)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "vec_id": pa.array(np.repeat(ids, n_tables), pa.int64()),
+            "table_id": pa.array(np.tile(np.arange(n_tables, dtype=np.int64),
+                                         len(Q)), pa.int64()),
+            "code": pa.array(codes.reshape(-1), pa.int64())})
+
+    return _emb(sf_dir).map_batches(kernel, batch_format="pyarrow")
+
+
 def label_centroids(sf_dir: str) -> rd.Dataset:
     """(label, dim, q_sum, n_vecs): per-label centroid of the embedding
     column in QUANTIZED integer space (components rounded half-away to

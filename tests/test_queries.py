@@ -311,3 +311,37 @@ def test_ivf_assign_centroids_self(ray_session):
     for cid in range(8):
         assert byv[cid] <= cid, (cid, byv[cid])
     assert set(df["list_id"]) <= set(range(8))
+
+
+def test_lsh_code_buckets_duplicates(ray_session, tmp_path):
+    """Identical embeddings must land in identical buckets in every table
+    (sign-LSH is a pure function of the vector), and codes stay in
+    [0, 2^n_bits)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from go_scrapper_ray.pipelines import similarity
+
+    df = _to_df(similarity.lsh_code(SF))
+    assert df["code"].between(0, 255).all()
+    n = duckdb.sql(f"SELECT count(*) FROM "
+                   f"read_parquet('{SF}/embeddings.parquet')").fetchone()[0]
+    assert len(df) == n * 4
+
+    # plant an exact duplicate: vec 999 copies vec 0
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    first = t.slice(0, 1).to_pydict()
+    first["vec_id"] = [999]
+    dup = pa.Table.from_pydict(first, schema=t.schema)
+    pq.write_table(pa.concat_tables([t, dup]),
+                   str(tmp_path / "embeddings.parquet"))
+    df2 = _to_df(similarity.lsh_code(str(tmp_path)))
+    key = df2.set_index(["vec_id", "table_id"])["code"]
+    v0 = int(t["vec_id"][0].as_py())
+    for tb in range(4):
+        assert key[(999, tb)] == key[(v0, tb)], tb
+    # and the original ids' codes are unchanged by the extra row
+    base = df.set_index(["vec_id", "table_id"])["code"]
+    assert key.drop(index=999, level=0).sort_index().equals(
+        base.sort_index())
