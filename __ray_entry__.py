@@ -154,7 +154,7 @@ def _q_canonicalize(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """84 of 93 queries carry a DuckDB oracle (oracle_sql()).  The 9
+    """85 of 94 queries carry a DuckDB oracle (oracle_sql()).  The 9
     without one are structurally non-SQL, each for a stated reason:
     the 5 crawl_* outputs encode an iterative politeness-scheduled
     frontier loop (ordering depends on the virtual clock + retry state
@@ -204,6 +204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dup_clusters": dedup.dup_clusters,          # CC over minhash pairs
         "docs_clean_corpus": clean.clean_corpus,          # composed pipeline
         "docs_train_shards": clean.train_shards,          # shard writer
+        "docs_dedup_keep_best": clean.dedup_keep_best,    # quality-aware dedup
         "emb_cosine_dups": lambda sf: dedup.embedding_dups(sf, threshold=0.45),
         # --- similarity search ---
         "knn_bruteforce": similarity.knn_bruteforce,
@@ -401,6 +402,31 @@ def _dup_clusters_sql(threshold: float = 0.8) -> str:
           UNION
           SELECT e.b AS d, r.m FROM r JOIN e ON e.a = r.d)
         SELECT d AS doc_id, min(m) AS cluster_id FROM r GROUP BY d"""
+
+
+def _keep_best_sql(threshold: float = 0.8) -> str:
+    """DuckDB twin of clean.dedup_keep_best: minhash near-dup clusters
+    (recursive-CTE reachability, min-id label) joined to whitespace token
+    counts; survivor = rank-1 under (n_tokens DESC, doc_id)."""
+    return rf"""
+        WITH RECURSIVE mh AS ({_minhash_sql(threshold)}),
+        e AS (SELECT doc_a AS a, doc_b AS b FROM mh
+              UNION ALL SELECT doc_b, doc_a FROM mh),
+        r AS (
+          SELECT doc_id AS d, doc_id AS m FROM documents
+          UNION
+          SELECT e.b AS d, r.m FROM r JOIN e ON e.a = r.d),
+        cl AS (SELECT d AS doc_id, min(m) AS cluster_id FROM r GROUP BY d),
+        tok AS (SELECT doc_id,
+                  length(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens
+                FROM documents)
+        SELECT cluster_id, doc_id, n_tokens FROM (
+          SELECT cl.cluster_id, cl.doc_id, tok.n_tokens,
+                 row_number() OVER (PARTITION BY cl.cluster_id
+                                    ORDER BY tok.n_tokens DESC,
+                                             cl.doc_id) AS rn
+          FROM cl JOIN tok USING (doc_id))
+        WHERE rn = 1"""
 
 
 def _clean_corpus_sql(min_words: int = 20, lang: str = "en",
@@ -695,6 +721,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_minhash_dups": _minhash_sql(0.8),
         "docs_dup_clusters": _dup_clusters_sql(0.8),
         "docs_clean_corpus": _clean_corpus_sql(),
+        "docs_dedup_keep_best": _keep_best_sql(),
         "docs_train_shards": _TRAIN_SHARDS_SQL,
         "docs_mixture_quota": _MIXTURE_QUOTA_SQL,
         "docs_simhash_dups": _SIMHASH_SQL,

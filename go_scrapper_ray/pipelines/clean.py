@@ -127,6 +127,45 @@ def write_partitioned_resumable(ds: rd.Dataset, out_dir: str,
     return todo
 
 
+def dedup_keep_best(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
+    """(cluster_id, doc_id, n_tokens): QUALITY-AWARE near-dup dedup — the
+    survivor per MinHash near-dup cluster is the LONGEST document (most
+    whitespace tokens; ties → smallest doc_id), not the min-id copy.
+    Production corpus dedup keeps the best duplicate, not an arbitrary
+    one (e.g. the un-truncated mirror of a page).
+
+    Scale shape: clusters and token counts are id-sized tables; one
+    co-partitioned ``hash_join`` on doc_id, a per-batch best-per-cluster
+    partial (combiner), then a groupby(cluster_id) final over one row per
+    (cluster x block) — the text never crosses an exchange."""
+    import pandas as pd
+
+    from ..agg import hash_join
+    from .dedup import dup_clusters
+    from .textstats import token_count
+
+    clusters = dup_clusters(sf_dir, threshold)       # (doc_id, cluster_id)
+    toks = token_count(sf_dir)                       # (doc_id, n_tokens, ...)
+    joined = hash_join(clusters, toks, on="doc_id",
+                       left_cols={"cluster_id": pa.int64()},
+                       right_cols={"n_tokens": pa.int64()})
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = (df.sort_values(["cluster_id", "n_tokens", "doc_id"],
+                             ascending=[True, False, True])
+                .groupby("cluster_id", sort=False).head(1))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_tokens", "doc_id"],
+                          ascending=[False, True]).head(1)
+        return g[["cluster_id", "doc_id", "n_tokens"]]
+
+    return (joined.map_batches(partial, batch_format="pyarrow")
+            .groupby("cluster_id").map_groups(final, batch_format="pandas"))
+
+
 def train_shards(sf_dir: str, n_shards: int = 16,
                  out_dir: str | None = None) -> rd.Dataset:
     """(doc_id, shard, pos): deterministic global shuffle into fixed

@@ -121,3 +121,28 @@ def test_clean_corpus_gates_are_real(ray_session):
     for d in surv:
         assert lang_of[d] == "en"
         assert ntok[d] >= 20
+
+
+def test_dedup_keep_best_picks_longest(ray_session):
+    """Every cluster survives exactly once, the survivor is a member, and
+    no member has more tokens (or equal tokens with a smaller id)."""
+    from go_scrapper_ray.pipelines import clean, dedup, textstats
+
+    best = clean.dedup_keep_best(SF).to_pandas()
+    cl = dedup.dup_clusters(SF).to_pandas()
+    nt = dict(zip(*(textstats.token_count(SF).to_pandas()[c]
+                    for c in ("doc_id", "n_tokens"))))
+
+    members: dict[int, list[int]] = {}
+    for d, c in zip(cl["doc_id"], cl["cluster_id"]):
+        members.setdefault(c, []).append(d)
+    assert set(best["cluster_id"]) == set(members)
+    assert len(best) == len(members)
+    for c, d, n in zip(best["cluster_id"], best["doc_id"], best["n_tokens"]):
+        assert d in members[c]
+        assert n == nt[d]
+        for other in members[c]:
+            # no member strictly beats the survivor under
+            # (n_tokens DESC, doc_id ASC)
+            assert nt[other] < n or (nt[other] == n and other >= d), \
+                (c, d, other)
