@@ -162,7 +162,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     tests/test_crawl_parity.py against tests/oracle.py); knn_lsh / knn_ivf
     are APPROXIMATE nearest-neighbor paths whose contract is recall
     against knn_bruteforce (itself SQL-checked), not an exact row set —
-    recall floors are pytest-enforced; media_features / media_frame_sample
+    recall floors are pytest-enforced AND their partitioning math is
+    pinned bit-exactly by the SQL-checked intermediates emb_ivf_assign /
+    emb_lsh_code; media_features / media_frame_sample
     exercise binary-column actor-pool plumbing with stubbed codecs (no
     SQL analog of the byte-level feature extraction)."""
     from go_scrapper_ray.pipelines import (clean, dedup, events, graph,
