@@ -622,16 +622,27 @@ _NORMALIZE_SQL = r"""
     FROM n"""
 
 
-_TRAIN_SHARDS_SQL = """
+def _sig_default(fn, name: str):
+    """The engine function's own default for ``name`` — twins generated
+    through this cannot desynchronize from the Python side (ADVICE r2:
+    one constant drives both engine and oracle)."""
+    import inspect
+
+    return inspect.signature(fn).parameters[name].default
+
+
+def _train_shards_sql(n_shards: int) -> str:
+    return f"""
     WITH h AS (SELECT doc_id, md5_number_upper(doc_id::VARCHAR) AS h
                FROM documents)
-    SELECT doc_id, (h % 16)::INTEGER AS shard,
-           (row_number() OVER (PARTITION BY h % 16
+    SELECT doc_id, (h % {n_shards})::INTEGER AS shard,
+           (row_number() OVER (PARTITION BY h % {n_shards}
                                ORDER BY h, doc_id) - 1)::BIGINT AS pos
     FROM h"""
 
 
-_MIXTURE_QUOTA_SQL = """
+def _mixture_quota_sql(per_source: int) -> str:
+    return f"""
     WITH h AS (SELECT doc_id, source,
                       md5_number_upper(doc_id::VARCHAR) AS h
                FROM documents)
@@ -640,12 +651,80 @@ _MIXTURE_QUOTA_SQL = """
                row_number() OVER (PARTITION BY source
                                   ORDER BY h, doc_id) AS rn
         FROM h)
-    WHERE rn <= 50"""
+    WHERE rn <= {per_source}"""
 
 
-_SAMPLE_SQL = """
+def _sample_sql(mod: int, keep: int) -> str:
+    return f"""
     SELECT doc_id, lang FROM documents
-    WHERE md5_number_upper(doc_id::VARCHAR) % 10 = 0"""
+    WHERE md5_number_upper(doc_id::VARCHAR) % {mod} = {keep}"""
+
+
+def _lsh_code_sql(n_tables: int, n_bits: int, dims: int) -> str:
+    """DuckDB twin of similarity.lsh_code (md5-parity ±1 hyperplanes over
+    1/1000-quantized components)."""
+    return f"""
+            WITH q AS (SELECT vec_id,
+                         list_transform(embedding,
+                           x -> CAST(round(CAST(x AS DOUBLE) * 1000)
+                                     AS BIGINT)) AS qv
+                       FROM embeddings),
+                 sgn AS (SELECT r1.range AS t, r2.range AS b, r3.range AS d,
+                           CASE WHEN md5_number_upper(
+                                  r1.range::VARCHAR || '_' ||
+                                  r2.range::VARCHAR || '_' ||
+                                  r3.range::VARCHAR) % 2 = 0
+                                THEN 1 ELSE -1 END AS s
+                         FROM range({n_tables}) r1, range({n_bits}) r2,
+                              range({dims}) r3),
+                 comp AS (SELECT vec_id,
+                            generate_subscripts(qv, 1) - 1 AS d,
+                            unnest(qv) AS v
+                          FROM q),
+                 dots AS (SELECT c.vec_id, s.t, s.b, sum(s.s * c.v) AS dot
+                          FROM comp c JOIN sgn s USING (d)
+                          GROUP BY 1, 2, 3)
+            SELECT vec_id, t::BIGINT AS table_id,
+                   sum(CASE WHEN dot >= 0
+                            THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS code
+            FROM dots GROUP BY 1, 2"""
+
+
+def _ivf_assign_sql(n_centroids: int) -> str:
+    """DuckDB twin of similarity.ivf_assign (centroids = the n smallest
+    vec_ids; int dot products in quantized 1/1000 space)."""
+    return f"""
+            WITH q AS (SELECT vec_id,
+                         list_transform(embedding,
+                           x -> CAST(round(CAST(x AS DOUBLE) * 1000)
+                                     AS DOUBLE)) AS qv
+                       FROM embeddings),
+                 c AS (SELECT vec_id AS cid, qv AS cv FROM q
+                       ORDER BY vec_id LIMIT {n_centroids}),
+                 s AS (SELECT q.vec_id, c.cid,
+                              CAST(list_inner_product(q.qv, c.cv)
+                                   AS BIGINT) AS score
+                       FROM q CROSS JOIN c)
+            SELECT vec_id, cid AS list_id, score
+            FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                              ORDER BY score DESC, cid) AS rn FROM s)
+            WHERE rn = 1"""
+
+
+def _hopping_sql(window_s: int, hop_s: int) -> str:
+    """DuckDB twin of events.hopping_counts (window/hop fan-out)."""
+    fan = window_s // hop_s
+    hop_us = 1_000_000 * hop_s
+    return f"""
+            WITH c AS (SELECT event_type, epoch_us(ts) AS us,
+                         CAST(round(value*100) AS BIGINT) AS cents
+                       FROM events),
+            k AS (SELECT unnest(range({fan})) AS k)
+            SELECT event_type,
+                   (us // {hop_us} - k.k)::BIGINT AS window_id,
+                   count(*)::BIGINT AS n,
+                   sum(cents)::BIGINT AS cents
+            FROM c CROSS JOIN k GROUP BY 1, 2"""
 
 
 def _quantiles_sql() -> str:
@@ -704,6 +783,9 @@ _EMB_NORM_SQL = """
 
 
 def oracle_sql() -> dict[str, str]:
+    from go_scrapper_ray.pipelines import (clean, dedup, events, similarity,
+                                           textstats)
+
     return {
         "url_canonicalize": """
             WITH c AS (
@@ -720,12 +802,16 @@ def oracle_sql() -> dict[str, str]:
                    md5_number_upper(canon_url) AS url_hash, host
             FROM c""",
         "docs_langid": _langid_sql(),
-        "docs_minhash_dups": _minhash_sql(0.8),
-        "docs_dup_clusters": _dup_clusters_sql(0.8),
+        "docs_minhash_dups": _minhash_sql(
+            _sig_default(dedup.minhash_dups, "threshold")),
+        "docs_dup_clusters": _dup_clusters_sql(
+            _sig_default(dedup.dup_clusters, "threshold")),
         "docs_clean_corpus": _clean_corpus_sql(),
         "docs_dedup_keep_best": _keep_best_sql(),
-        "docs_train_shards": _TRAIN_SHARDS_SQL,
-        "docs_mixture_quota": _MIXTURE_QUOTA_SQL,
+        "docs_train_shards": _train_shards_sql(
+            _sig_default(clean.train_shards, "n_shards")),
+        "docs_mixture_quota": _mixture_quota_sql(
+            _sig_default(textstats.mixture_quota, "per_source")),
         "docs_simhash_dups": _SIMHASH_SQL,
         "docs_winnow_fp": _winnow_sql(),
         "docs_lang_dist":
@@ -780,7 +866,9 @@ def oracle_sql() -> dict[str, str]:
         "events_range_join": _RANGE_JOIN_SQL,
         "lineitem_pricing": _PRICING_SQL,
         "docs_normalize": _NORMALIZE_SQL,
-        "docs_sample": _SAMPLE_SQL,
+        "docs_sample": _sample_sql(
+            _sig_default(textstats.sample_stratified, "mod"),
+            _sig_default(textstats.sample_stratified, "keep")),
         "docs_length_quantiles": _quantiles_sql(),
         "emb_norm_stats": _EMB_NORM_SQL,
         "shipping_priority": _SHIP_PRIO_SQL,
@@ -980,46 +1068,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT token, count(*)::BIGINT AS df
             FROM tok GROUP BY token
             ORDER BY df DESC, token LIMIT 200""",
-        "emb_lsh_code": """
-            WITH q AS (SELECT vec_id,
-                         list_transform(embedding,
-                           x -> CAST(round(CAST(x AS DOUBLE) * 1000)
-                                     AS BIGINT)) AS qv
-                       FROM embeddings),
-                 sgn AS (SELECT r1.range AS t, r2.range AS b, r3.range AS d,
-                           CASE WHEN md5_number_upper(
-                                  r1.range::VARCHAR || '_' ||
-                                  r2.range::VARCHAR || '_' ||
-                                  r3.range::VARCHAR) % 2 = 0
-                                THEN 1 ELSE -1 END AS s
-                         FROM range(4) r1, range(8) r2, range(64) r3),
-                 comp AS (SELECT vec_id,
-                            generate_subscripts(qv, 1) - 1 AS d,
-                            unnest(qv) AS v
-                          FROM q),
-                 dots AS (SELECT c.vec_id, s.t, s.b, sum(s.s * c.v) AS dot
-                          FROM comp c JOIN sgn s USING (d)
-                          GROUP BY 1, 2, 3)
-            SELECT vec_id, t::BIGINT AS table_id,
-                   sum(CASE WHEN dot >= 0
-                            THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS code
-            FROM dots GROUP BY 1, 2""",
-        "emb_ivf_assign": """
-            WITH q AS (SELECT vec_id,
-                         list_transform(embedding,
-                           x -> CAST(round(CAST(x AS DOUBLE) * 1000)
-                                     AS DOUBLE)) AS qv
-                       FROM embeddings),
-                 c AS (SELECT vec_id AS cid, qv AS cv FROM q
-                       ORDER BY vec_id LIMIT 8),
-                 s AS (SELECT q.vec_id, c.cid,
-                              CAST(list_inner_product(q.qv, c.cv)
-                                   AS BIGINT) AS score
-                       FROM q CROSS JOIN c)
-            SELECT vec_id, cid AS list_id, score
-            FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
-                              ORDER BY score DESC, cid) AS rn FROM s)
-            WHERE rn = 1""",
+        "emb_lsh_code": _lsh_code_sql(
+            _sig_default(similarity.lsh_code, "n_tables"),
+            _sig_default(similarity.lsh_code, "n_bits"),
+            _sig_default(similarity.lsh_code, "dims")),
+        "emb_ivf_assign": _ivf_assign_sql(
+            _sig_default(similarity.ivf_assign, "n_centroids")),
         "emb_label_centroids": """
             WITH e AS (SELECT label,
                          generate_subscripts(embedding, 1) AS dim,
@@ -1272,16 +1326,9 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(cents, 0.75)::BIGINT AS p75_cents,
                    quantile_disc(cents, 0.9)::BIGINT AS p90_cents
             FROM c GROUP BY event_type""",
-        "events_hopping": """
-            WITH c AS (SELECT event_type, epoch_us(ts) AS us,
-                         CAST(round(value*100) AS BIGINT) AS cents
-                       FROM events),
-            k AS (SELECT unnest(range(4)) AS k)
-            SELECT event_type,
-                   (us // 900000000 - k.k)::BIGINT AS window_id,
-                   count(*)::BIGINT AS n,
-                   sum(cents)::BIGINT AS cents
-            FROM c CROSS JOIN k GROUP BY 1, 2""",
+        "events_hopping": _hopping_sql(
+            _sig_default(events.hopping_counts, "window_s"),
+            _sig_default(events.hopping_counts, "hop_s")),
         "local_supplier_volume": """
             SELECT n_name,
                    sum(CAST(round(l_extendedprice*(1-l_discount)*100)

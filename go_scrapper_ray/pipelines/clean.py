@@ -186,6 +186,9 @@ def train_shards(sf_dir: str, n_shards: int = 16,
     per-group-overhead regime).  With ``out_dir`` each shard lands as
     ``shard=K/part.parquet`` + ``_done`` marker (resume contract of
     ``write_partitioned_resumable``: marked shards are skipped)."""
+    import json
+    import os
+
     import numpy as np
     import pandas as pd
     import pyarrow.parquet as pq
@@ -193,6 +196,16 @@ def train_shards(sf_dir: str, n_shards: int = 16,
     from .dedup import md5_upper64
 
     cols = ("doc_id", "text") if out_dir else ("doc_id",)
+
+    def _corpus_sig() -> dict:
+        # Cheap input fingerprint: per-file (size, mtime) of the documents
+        # parquet — enough to invalidate resume state when the corpus or
+        # shard count changes under the same out_dir (a changed input with
+        # identical size+mtime is out of scope for a resume marker).
+        src = Path(sf_dir) / "documents.parquet"
+        st = os.stat(src)
+        return {"n_shards": n_shards, "src": str(src),
+                "size": st.st_size, "mtime_ns": st.st_mtime_ns}
 
     def stamp(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_pylist()
@@ -208,6 +221,21 @@ def train_shards(sf_dir: str, n_shards: int = 16,
     out = Path(out_dir) if out_dir else None
     if out is not None:
         out.mkdir(parents=True, exist_ok=True)
+        # Resume is only valid against the SAME params + corpus: a manifest
+        # at the top level records them, and a mismatch (different n_shards,
+        # different input) invalidates every existing shard before the run.
+        manifest = out / "_manifest.json"
+        sig = _corpus_sig()
+        prev = None
+        if manifest.exists():
+            try:
+                prev = json.loads(manifest.read_text())
+            except (OSError, ValueError):
+                prev = None
+        if prev != sig:
+            for d in out.glob("shard=*"):
+                shutil.rmtree(d, ignore_errors=True)
+            manifest.write_text(json.dumps(sig))
 
     def one_shard(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["h", "doc_id"], kind="mergesort",
@@ -218,11 +246,15 @@ def train_shards(sf_dir: str, n_shards: int = 16,
             d = out / f"shard={k}"
             if not (d / "_done").exists():
                 shutil.rmtree(d, ignore_errors=True)
-                d.mkdir(parents=True)
+                d.mkdir(parents=True, exist_ok=True)
+                # temp-name + rename: a crashed/raced write never leaves a
+                # half-written part.parquet that a resume would trust
+                tmp = d / "part.parquet.tmp"
                 pq.write_table(
                     pa.Table.from_pandas(
                         g[["pos", "doc_id", "text"]], preserve_index=False),
-                    str(d / "part.parquet"))
+                    str(tmp))
+                tmp.rename(d / "part.parquet")
                 (d / "_done").touch()
         return g[["doc_id", "shard", "pos"]]
 

@@ -311,13 +311,22 @@ def ivf_assign(sf_dir: str, n_centroids: int = 8) -> rd.Dataset:
     state is centroid-sized."""
     import pyarrow.parquet as pq
 
+    # The n_centroids SMALLEST vec_ids (the twin's ORDER BY vec_id LIMIT n),
+    # regardless of id offset/sparsity: a cheap id-column-only pass finds the
+    # k-th smallest id, then one pruned read fetches just those vectors.
+    ids_only = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id"])["vec_id"]
+    ids_np = np.sort(ids_only.to_numpy(zero_copy_only=False).astype(np.int64))
+    if len(ids_np) == 0:
+        raise ValueError("embeddings table is empty; no centroids")
+    kth = int(ids_np[min(n_centroids, len(ids_np)) - 1])
     ct = pq.read_table(f"{sf_dir}/embeddings.parquet",
                        columns=["vec_id", "embedding"],
-                       filters=[("vec_id", "<", n_centroids)])
+                       filters=[("vec_id", "<=", kth)])
     C = np.array(ct["embedding"].to_pylist(), dtype=np.float64) * 1000.0
     CQ = np.copysign(np.floor(np.abs(C) + 0.5), C).astype(np.int64)
     cids = ct["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    o = np.argsort(cids)
+    o = np.argsort(cids)[:n_centroids]
     cids, CQ = cids[o], CQ[o]
     c_ref = ray.put((cids, CQ))
 

@@ -92,6 +92,26 @@ def test_train_shards_writer(ray_session, tmp_path):
     assert {p: p.stat().st_mtime_ns for p in out.rglob("*.parquet")} == mtimes
 
 
+def test_train_shards_manifest_invalidation(ray_session, tmp_path):
+    """Changing n_shards over the same out_dir must invalidate the old
+    shard dirs (the _manifest records the params + corpus fingerprint),
+    never return a fresh assignment on top of stale shard files."""
+    from go_scrapper_ray.pipelines import clean
+
+    out = tmp_path / "shards"
+    clean.train_shards(SF, n_shards=4, out_dir=str(out)).materialize()
+    assert (out / "shard=3" / "_done").exists()
+
+    df = clean.train_shards(SF, n_shards=2, out_dir=str(out)).to_pandas()
+    # stale 4-shard dirs are gone; only shard=0/1 remain, and the parquet
+    # on disk matches the returned 2-shard assignment
+    assert not (out / "shard=3").exists() and not (out / "shard=2").exists()
+    for k in (0, 1):
+        back = pd.read_parquet(out / f"shard={k}" / "part.parquet")
+        want = df[df["shard"] == k]
+        assert set(back["doc_id"]) == set(want["doc_id"])
+
+
 def test_clean_corpus_gates_are_real(ray_session):
     """Survivors must pass every gate: no near-dup pair among survivors,
     no exact-hash dup, all predicted-en, all >= min_words tokens."""
