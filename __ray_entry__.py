@@ -154,19 +154,18 @@ def _q_canonicalize(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """85 of 94 queries carry a DuckDB oracle (oracle_sql()).  The 9
-    without one are structurally non-SQL, each for a stated reason:
-    the 5 crawl_* outputs encode an iterative politeness-scheduled
-    frontier loop (ordering depends on the virtual clock + retry state
-    machine; checked instead by the byte-parity oracle suite in
-    tests/test_crawl_parity.py against tests/oracle.py); knn_lsh / knn_ivf
-    are APPROXIMATE nearest-neighbor paths whose contract is recall
-    against knn_bruteforce (itself SQL-checked), not an exact row set —
-    recall floors are pytest-enforced AND their partitioning math is
-    pinned bit-exactly by the SQL-checked intermediates emb_ivf_assign /
-    emb_lsh_code; media_features / media_frame_sample
-    exercise binary-column actor-pool plumbing with stubbed codecs (no
-    SQL analog of the byte-level feature extraction)."""
+    """89 of 94 queries carry a DuckDB oracle (oracle_sql()).  The only 5
+    without one are the crawl_* outputs, which are structurally non-SQL:
+    they encode an iterative politeness-scheduled frontier loop (ordering
+    depends on the virtual clock + retry state machine) and are checked
+    instead by the byte-parity oracle suite in tests/test_crawl_parity.py
+    against tests/oracle.py.  Even the ANN paths are fully SQL-checked:
+    knn_lsh (md5-parity hyperplanes, int-quantized codes) and knn_ivf
+    (deterministic integer k-means, iterations unrolled in the twin) are
+    bit-reproducible end-to-end, with recall floors vs knn_bruteforce
+    additionally pytest-enforced; media_features / media_frame_sample
+    run their deterministic fake codec over utf-8 payload bytes, which
+    the twins reproduce via codepoint aggregates."""
     from go_scrapper_ray.pipelines import (clean, dedup, events, graph,
                                            multimodal, relational, similarity,
                                            textstats)
@@ -210,8 +209,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_cosine_dups": lambda sf: dedup.embedding_dups(sf, threshold=0.45),
         # --- similarity search ---
         "knn_bruteforce": similarity.knn_bruteforce,
-        "knn_lsh": similarity.knn_lsh,                    # rows-only (ANN)
-        "knn_ivf": similarity.knn_ivf,                    # rows-only (ANN)
+        "knn_lsh": similarity.knn_lsh,                    # SQL-checked ANN
+        "knn_ivf": similarity.knn_ivf,                    # SQL-checked ANN
         "emb_norm_stats": similarity.emb_norm_stats,
         # --- events / streaming-shaped ---
         "events_windowed": events.windowed_counts,
@@ -224,7 +223,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_retention": events.retention_cohorts,
         "events_transitions": events.type_transitions,
         "events_cumulative": events.cumulative_value,
-        # --- multimodal plumbing (rows-only; codecs stubbed) ---
+        # --- multimodal plumbing (SQL-checked; codecs stubbed) ---
         "media_features": multimodal.media_features,
         "media_frame_sample": multimodal.frame_sample,
         # --- relational (broadcast hash joins + combiner aggregates) ---
@@ -711,6 +710,167 @@ def _ivf_assign_sql(n_centroids: int) -> str:
             WHERE rn = 1"""
 
 
+def _media_features_sql(bins: int) -> str:
+    """DuckDB twin of multimodal.media_features (decode='fake'): payloads
+    are the utf-8 bytes of ASCII fixture text, so the byte histogram /
+    byte sum equal codepoint aggregates; the 16→bins resize regroup is
+    equivalent to bucketing by cp // (256 // bins)."""
+    div = 256 // bins
+    fcols = ",\n          ".join(
+        f"count(*) FILTER (WHERE cp // {div} = {j})::BIGINT AS f{j}"
+        for j in range(bins))
+    fsel = ", ".join(f"coalesce(a.f{j}, 0)::BIGINT AS f{j}"
+                     for j in range(bins))
+    return f"""
+        WITH m AS (SELECT doc_id AS media_id,
+                     CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                          ELSE 'video' END AS kind,
+                     text FROM documents),
+        posi AS (SELECT media_id, text,
+                   unnest(generate_series(1, length(text))) AS i FROM m),
+        ch AS (SELECT media_id, ascii(substr(text, i, 1)) AS cp FROM posi),
+        agg AS (SELECT media_id, sum(cp)::BIGINT AS byte_sum,
+          {fcols}
+                FROM ch GROUP BY media_id)
+        SELECT m.media_id, m.kind, strlen(m.text)::BIGINT AS payload_len,
+               coalesce(a.byte_sum, 0)::BIGINT AS byte_sum, {fsel}
+        FROM m LEFT JOIN agg a USING (media_id)"""
+
+
+def _frame_sample_sql(every_ms: int) -> str:
+    """DuckDB twin of multimodal.frame_sample: video rows (doc_id%3=2),
+    one row per ``every_ms`` offset below duration, md5(text || '_' ||
+    off) == the engine's md5 over payload-bytes + b"_<off>"."""
+    return f"""
+        WITH m AS (SELECT doc_id AS media_id, text,
+                     ((doc_id % 30) * 1000) AS dur
+                   FROM documents WHERE doc_id % 3 = 2),
+        f AS (SELECT media_id, text, unnest(range(0, dur, {every_ms})) AS off
+              FROM m WHERE dur > 0)
+        SELECT media_id, off::INTEGER AS frame_off_ms,
+               md5(text || '_' || off::VARCHAR) AS frame_hash
+        FROM f"""
+
+
+def _knn_lsh_sql(k: int, query_stride: int, n_planes: int,
+                 n_tables: int) -> str:
+    """DuckDB twin of similarity.knn_lsh — the FULL retrieval: md5-parity
+    ±1 hyperplanes, int-quantized bucket codes (bit-exact candidate sets),
+    bucket + hamming-1 probes meeting corpus codes on (table_id, code),
+    exact-cosine ranking over the candidates (the knn_bruteforce scoring
+    expression, empirically rank-stable vs numpy at this fixture's score
+    gaps)."""
+    from go_scrapper_ray.pipelines.similarity import EMB_DIMS, KNN_LSH_SALT
+
+    return f"""
+        WITH qv AS (SELECT vec_id,
+                      list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * 1000)
+                                  AS BIGINT)) AS qq
+                    FROM embeddings),
+        sgn AS (SELECT r1.range AS t, r2.range AS b, r3.range AS d,
+                  CASE WHEN md5_number_upper('{KNN_LSH_SALT}' ||
+                         r1.range::VARCHAR || '_' || r2.range::VARCHAR ||
+                         '_' || r3.range::VARCHAR) % 2 = 0
+                       THEN 1 ELSE -1 END AS s
+                FROM range({n_tables}) r1, range({n_planes}) r2,
+                     range({EMB_DIMS}) r3),
+        comp AS (SELECT vec_id, generate_subscripts(qq, 1) - 1 AS d,
+                        unnest(qq) AS v
+                 FROM qv),
+        dots AS (SELECT c.vec_id, s.t, s.b, sum(s.s * c.v) AS dot
+                 FROM comp c JOIN sgn s USING (d) GROUP BY 1, 2, 3),
+        codes AS (SELECT vec_id, t AS table_id,
+                    sum(CASE WHEN dot >= 0
+                             THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS code
+                  FROM dots GROUP BY 1, 2),
+        qprobe AS (SELECT c.vec_id AS query_id, c.table_id,
+                     CASE WHEN j.range = {n_planes} THEN c.code
+                          ELSE xor(c.code, (1::BIGINT << j.range)) END AS code
+                   FROM codes c, range({n_planes} + 1) j
+                   WHERE c.vec_id % {query_stride} = 0),
+        cand AS (SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+                 FROM qprobe q
+                 JOIN codes c ON q.table_id = c.table_id AND q.code = c.code
+                 WHERE c.vec_id <> q.query_id),
+        scored AS (SELECT cand.query_id, cand.neighbor_id,
+                     row_number() OVER (PARTITION BY cand.query_id
+                       ORDER BY list_cosine_similarity(eq.embedding,
+                                                       en.embedding) DESC,
+                                cand.neighbor_id) AS rnk
+                   FROM cand
+                   JOIN embeddings eq ON eq.vec_id = cand.query_id
+                   JOIN embeddings en ON en.vec_id = cand.neighbor_id)
+        SELECT query_id, rnk, neighbor_id FROM scored WHERE rnk <= {k}"""
+
+
+def _knn_ivf_sql(k: int, query_stride: int, n_lists: int, n_probe: int,
+                 sample_stride: int, iters: int) -> str:
+    """DuckDB twin of similarity.knn_ivf — the FULL retrieval including
+    the quantizer fit: ``iters`` unrolled integer-k-means rounds (exact
+    int dots/sums; the only float work per centroid update is one
+    multiply, one sqrt of an exact int, one divide — bit-identical to
+    numpy), then corpus assignment, n_probe probing and exact-cosine
+    ranking (the knn_bruteforce scoring expression)."""
+    parts = [f"""
+        WITH eq AS MATERIALIZED (SELECT vec_id,
+                      list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * 1000)
+                                  AS BIGINT)) AS qq
+                    FROM embeddings),
+        comp AS MATERIALIZED (SELECT vec_id, generate_subscripts(qq, 1) - 1 AS d,
+                        unnest(qq) AS v FROM eq),
+        scomp AS MATERIALIZED (SELECT * FROM comp WHERE vec_id % {sample_stride} = 0),
+        init AS MATERIALIZED (SELECT vec_id,
+                   row_number() OVER (ORDER BY
+                     md5_number_upper(vec_id::VARCHAR), vec_id) - 1 AS c
+                 FROM eq WHERE vec_id % {sample_stride} = 0
+                 ORDER BY md5_number_upper(vec_id::VARCHAR), vec_id
+                 LIMIT {n_lists}),
+        c0 AS MATERIALIZED (SELECT i.c, s.d, s.v AS val
+               FROM init i JOIN scomp s ON s.vec_id = i.vec_id)"""]
+    for t in range(1, iters + 1):
+        p = t - 1
+        parts.append(f""",
+        d{t} AS MATERIALIZED (SELECT s.vec_id, cc.c, sum(s.v * cc.val) AS dot
+                 FROM scomp s JOIN c{p} cc USING (d) GROUP BY 1, 2),
+        a{t} AS MATERIALIZED (SELECT vec_id, c FROM (
+                   SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id
+                     ORDER BY dot DESC, c) AS rn FROM d{t}) WHERE rn = 1),
+        m{t} AS MATERIALIZED (SELECT a.c, s.d, sum(s.v) AS sd
+                 FROM a{t} a JOIN scomp s ON s.vec_id = a.vec_id
+                 GROUP BY 1, 2),
+        t{t} AS MATERIALIZED (SELECT c, sum(sd * sd) AS tt FROM m{t} GROUP BY c),
+        c{t} AS MATERIALIZED (SELECT cp.c, cp.d,
+                   CASE WHEN t.tt IS NULL OR t.tt = 0 THEN cp.val
+                        ELSE CAST(round((1000.0 * m.sd) / sqrt(t.tt))
+                                  AS BIGINT) END AS val
+                 FROM c{p} cp
+                 LEFT JOIN m{t} m ON m.c = cp.c AND m.d = cp.d
+                 LEFT JOIN t{t} t ON t.c = cp.c)""")
+    parts.append(f""",
+        fd AS MATERIALIZED (SELECT s.vec_id, cc.c, sum(s.v * cc.val) AS dot
+               FROM comp s JOIN c{iters} cc USING (d) GROUP BY 1, 2),
+        fr AS MATERIALIZED (SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id
+                 ORDER BY dot DESC, c) AS rn FROM fd),
+        fa AS MATERIALIZED (SELECT vec_id, c AS list_id FROM fr WHERE rn = 1),
+        probe AS (SELECT vec_id AS query_id, c AS list_id FROM fr
+                  WHERE vec_id % {query_stride} = 0 AND rn <= {n_probe}),
+        cand AS (SELECT DISTINCT p.query_id, f.vec_id AS neighbor_id
+                 FROM probe p JOIN fa f ON f.list_id = p.list_id
+                 WHERE f.vec_id <> p.query_id),
+        scored AS (SELECT cand.query_id, cand.neighbor_id,
+                     row_number() OVER (PARTITION BY cand.query_id
+                       ORDER BY list_cosine_similarity(a.embedding,
+                                                       b.embedding) DESC,
+                                cand.neighbor_id) AS rnk
+                   FROM cand
+                   JOIN embeddings a ON a.vec_id = cand.query_id
+                   JOIN embeddings b ON b.vec_id = cand.neighbor_id)
+        SELECT query_id, rnk, neighbor_id FROM scored WHERE rnk <= {k}""")
+    return "".join(parts)
+
+
 def _hopping_sql(window_s: int, hop_s: int) -> str:
     """DuckDB twin of events.hopping_counts (window/hop fan-out)."""
     fan = window_s // hop_s
@@ -783,8 +943,8 @@ _EMB_NORM_SQL = """
 
 
 def oracle_sql() -> dict[str, str]:
-    from go_scrapper_ray.pipelines import (clean, dedup, events, similarity,
-                                           textstats)
+    from go_scrapper_ray.pipelines import (clean, dedup, events, multimodal,
+                                           similarity, textstats)
 
     return {
         "url_canonicalize": """
@@ -894,6 +1054,22 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a, embeddings b
             WHERE a.vec_id < b.vec_id
               AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45""",
+        "media_features": _media_features_sql(
+            _sig_default(multimodal.ResizeStage.__init__, "bins")),
+        "media_frame_sample": _frame_sample_sql(
+            _sig_default(multimodal.frame_sample, "every_ms")),
+        "knn_lsh": _knn_lsh_sql(
+            _sig_default(similarity.knn_lsh, "k"),
+            _sig_default(similarity.knn_lsh, "query_stride"),
+            _sig_default(similarity.knn_lsh, "n_planes"),
+            _sig_default(similarity.knn_lsh, "n_tables")),
+        "knn_ivf": _knn_ivf_sql(
+            _sig_default(similarity.knn_ivf, "k"),
+            _sig_default(similarity.knn_ivf, "query_stride"),
+            _sig_default(similarity.knn_ivf, "n_lists"),
+            _sig_default(similarity.knn_ivf, "n_probe"),
+            _sig_default(similarity.knn_ivf, "sample_stride"),
+            _sig_default(similarity.knn_ivf, "iters")),
         "knn_bruteforce": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qe
                        FROM embeddings WHERE vec_id % 50 = 0),

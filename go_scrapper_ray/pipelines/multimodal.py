@@ -88,18 +88,23 @@ class DecodeStage:
 class ResizeStage:
     """Fake 'resize': rescales the histogram feature to a target 8-bin layout
     (stands in for image resize / audio resample; shows a second chained
-    actor stage over the decoded features)."""
+    actor stage over the decoded features).  Bins land as WIDE int64
+    columns f0..f{bins-1} — scalar columns hash cleanly in the driver's
+    value-compare and keep the DuckDB twin expressible; the list-typed
+    feature shape is still exercised by the hist16 column BETWEEN the
+    stages."""
 
     def __init__(self, bins: int = 8):
         self.bins = bins
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        out = []
-        for h in t["hist16"].to_pylist():
-            a = np.array(h, dtype=np.int64).reshape(self.bins, -1).sum(axis=1)
-            out.append(a.tolist())
-        return t.drop_columns(["hist16"]).append_column(
-            "feat", pa.array(out, pa.list_(pa.int64())))
+        H = np.array(t["hist16"].to_pylist(), dtype=np.int64)
+        F = (H.reshape(len(t), self.bins, -1).sum(axis=2)
+             if len(t) else np.zeros((0, self.bins), np.int64))
+        t = t.drop_columns(["hist16"])
+        for j in range(self.bins):
+            t = t.append_column(f"f{j}", pa.array(F[:, j], pa.int64()))
+        return t
 
 
 def media_features(sf_dir: str, decode: str = "fake",
@@ -118,7 +123,10 @@ def media_features(sf_dir: str, decode: str = "fake",
 
 def frame_sample(sf_dir: str, every_ms: int = 5000) -> rd.Dataset:
     """Fake frame sampler for 'video' rows: one output row per sampled frame
-    offset (flat_map-style expansion inside map_batches)."""
+    offset (flat_map-style expansion inside map_batches).  The stand-in
+    frame hash is md5 over payload-bytes + b"_<offset-decimal>" — on these
+    utf-8 payloads that equals DuckDB ``md5(text || '_' || off)``, so the
+    expansion + hash has an exact SQL twin."""
 
     def kernel(t: pa.Table) -> pa.Table:
         mids, offs, fhash = [], [], []
@@ -130,9 +138,8 @@ def frame_sample(sf_dir: str, every_ms: int = 5000) -> rd.Dataset:
             for off in range(0, dur, every_ms):
                 mids.append(mid)
                 offs.append(off)
-                fhash.append(hashlib.blake2b(
-                    payload + off.to_bytes(4, "little"),
-                    digest_size=8).hexdigest())
+                fhash.append(hashlib.md5(
+                    payload + b"_%d" % off).hexdigest())
         return pa.table({"media_id": pa.array(mids, pa.int64()),
                          "frame_off_ms": pa.array(offs, pa.int32()),
                          "frame_hash": pa.array(fhash, pa.string())})

@@ -24,9 +24,47 @@ import ray.data as rd
 
 
 
+EMB_DIMS = 64  # fixture embedding width; SQL twins unroll over this
+
+
 def _emb(sf_dir: str) -> rd.Dataset:
     return rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                            columns=["vec_id", "embedding"])
+
+
+def _quant1000(M: np.ndarray) -> np.ndarray:
+    """Components rounded half-away-from-zero to 1/1000 units, int64 —
+    the shared quantization (label_centroids convention) under which
+    every dot product is exact in both numpy and DuckDB."""
+    X = np.asarray(M, dtype=np.float64) * 1000.0
+    return np.copysign(np.floor(np.abs(X) + 0.5), X).astype(np.int64)
+
+
+def _pm1_planes(n_tables: int, n_bits: int, dims: int,
+                salt: str = "") -> np.ndarray:
+    """(T, B, D) ±1 hyperplane tensor: sign for (t, b, d) is the parity of
+    md5_upper64(f"{salt}{t}_{b}_{d}") — a deterministic random-sign
+    projection family that DuckDB reproduces exactly
+    (md5_number_upper(...) % 2)."""
+    from .dedup import md5_upper64
+
+    S = np.empty((n_tables, n_bits, dims), np.int64)
+    for t in range(n_tables):
+        for b in range(n_bits):
+            for d in range(dims):
+                S[t, b, d] = (1 if md5_upper64(
+                    f"{salt}{t}_{b}_{d}".encode()) % 2 == 0 else -1)
+    return S
+
+
+def _lsh_codes_int(M_raw: np.ndarray, S: np.ndarray) -> np.ndarray:
+    """(n, T) int64 bucket codes from RAW embeddings: quantize to 1/1000
+    ints, exact int dot against ±1 planes, bit b set iff dot >= 0."""
+    T, B, D = S.shape
+    Q = _quant1000(M_raw)
+    bits = (Q @ S.reshape(T * B, D).T >= 0).astype(np.int64)
+    w = 1 << np.arange(B, dtype=np.int64)
+    return bits.reshape(len(Q), T, B) @ w
 
 
 def _norm_rows(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
@@ -36,13 +74,17 @@ def _norm_rows(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     return ids, M
 
 
-def _query_matrix(sf_dir: str, stride: int):
+def _query_matrix(sf_dir: str, stride: int, normalize: bool = True):
     """(q_ids, Q) for every ``stride``-th vec_id — a distributed filtered
     scan collected to the driver; driver memory is O(n/stride), the
     broadcast-small side, never the corpus."""
 
     def pick(t: pa.Table) -> pa.Table:
-        ids, M = _norm_rows(t)
+        if normalize:
+            ids, M = _norm_rows(t)
+        else:
+            ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            M = np.array(t["embedding"].to_pylist(), dtype=np.float64)
         m = ids % stride == 0
         return pa.table({"vec_id": pa.array(ids[m], pa.int64()),
                          "v": pa.array([r.tobytes() for r in M[m]],
@@ -112,20 +154,46 @@ def knn_bruteforce(sf_dir: str, k: int = 5, query_stride: int = 50) -> rd.Datase
             .map_groups(merge_group, batch_format="pandas"))
 
 
-def _kmeans(M: np.ndarray, k: int, seed: int = 42, iters: int = 10):
-    """Deterministic Lloyd's k-means on normalized vectors (numpy)."""
-    rng = np.random.RandomState(seed)
-    C = M[rng.choice(len(M), size=k, replace=False)].copy()
+def _kmeans_int(ids: np.ndarray, M_raw: np.ndarray, k: int,
+                iters: int = 10) -> np.ndarray:
+    """Deterministic spherical k-means in QUANTIZED integer space with
+    exact DuckDB parity (``__ray_entry__._knn_ivf_sql`` unrolls the same
+    iterations):
+
+    * init: the k sample vectors with the smallest
+      (md5_upper64(decimal vec_id), vec_id) — a hash-spread pick DuckDB
+      reproduces via ORDER BY md5_number_upper(...) LIMIT k;
+    * assign: argmax of the EXACT int dot (ties → smallest centroid idx);
+    * update: c_d = round_half_away(1000·sum_d / sqrt(Σ_d sum_d²)) — the
+      component sums and Σ sum_d² are exact integers (order-independent),
+      and the remaining float work is one multiply, one correctly-rounded
+      sqrt of an exact int, one divide: bit-identical in numpy and DuckDB.
+      Renormalizing every centroid to ‖c‖≈1000 keeps int-dot argmax
+      equivalent to cosine assignment.  Empty / zero clusters keep their
+      previous centroid."""
+    Q = _quant1000(M_raw)
+    from .dedup import md5_upper64
+
+    order = sorted(range(len(ids)),
+                   key=lambda i: (md5_upper64(str(int(ids[i])).encode()),
+                                  int(ids[i])))
+    C = Q[order[:k]].copy()  # (k, D) int64
     for _ in range(iters):
-        assign = np.argmax(M @ C.T, axis=1)  # cosine on normalized = dot
-        for c in range(k):
-            sel = M[assign == c]
-            if len(sel):
-                v = sel.mean(axis=0)
-                n = np.linalg.norm(v)
-                if n > 0:
-                    C[c] = v / n
-    return C, np.argmax(M @ C.T, axis=1)
+        assign = np.argmax(Q @ C.T, axis=1)  # first max = smallest idx
+        newC = C.copy()
+        for c in range(len(C)):
+            sel = Q[assign == c]
+            if len(sel) == 0:
+                continue
+            sums = sel.sum(axis=0)                   # exact int64
+            T = int(np.dot(sums, sums))              # exact (≤ ~1.6e13)
+            if T == 0:
+                continue
+            v = (1000.0 * sums) / np.sqrt(float(T))
+            newC[c] = np.copysign(np.floor(np.abs(v) + 0.5),
+                                  v).astype(np.int64)
+        C = newC
+    return C
 
 
 def _score_candidates(joined: rd.Dataset, k: int) -> rd.Dataset:
@@ -160,24 +228,32 @@ def _score_candidates(joined: rd.Dataset, k: int) -> rd.Dataset:
 
 
 def knn_ivf(sf_dir: str, k: int = 5, query_stride: int = 50,
-            n_lists: int = 16, n_probe: int = 6, seed: int = 42,
-            sample_stride: int = 2) -> rd.Dataset:
+            n_lists: int = 16, n_probe: int = 6,
+            sample_stride: int = 2, iters: int = 10) -> rd.Dataset:
     """(query_id, rnk, neighbor_id): ANN via an IVF coarse quantizer.
+
+    The quantizer is the DETERMINISTIC integer k-means of ``_kmeans_int``
+    — assignments, probes and candidate sets are bit-reproducible, so the
+    WHOLE retrieval has a DuckDB twin (``__ray_entry__._knn_ivf_sql``,
+    iterations unrolled); final ranking is exact cosine over candidates
+    (the knn_bruteforce scoring path).  Recall vs brute force is
+    additionally floor-tested in pytest.
 
     Scale shape: centroids come from a SAMPLED k-means (every
     ``sample_stride``-th vector — driver/broadcast state is sample-sized);
     list assignment is a distributed map; the probe is a NATIVE HASH JOIN
     of (query x its n_probe nearest lists) against the (list_id, vec)
-    table, so each query's work touches only its probed lists.  Recall
-    measured against knn_bruteforce in tests."""
-    s_ids, S = _query_matrix(sf_dir, sample_stride)
-    C, _ = _kmeans(S, n_lists, seed)
+    table, so each query's work touches only its probed lists."""
+    s_ids, S = _query_matrix(sf_dir, sample_stride, normalize=False)
+    C = _kmeans_int(s_ids, S, n_lists, iters)
     c_ref = ray.put(C)
 
     def assign(t: pa.Table) -> pa.Table:
         CC = ray.get(c_ref)
-        ids, M = _norm_rows(t)
-        lists = np.argmax(M @ CC.T, axis=1).astype(np.int64)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        M_raw = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        lists = np.argmax(_quant1000(M_raw) @ CC.T, axis=1).astype(np.int64)
+        M = M_raw / np.linalg.norm(M_raw, axis=1, keepdims=True)
         return pa.table({"list_id": pa.array(lists),
                          "vec_id": pa.array(ids, pa.int64()),
                          "v": pa.array([r.tobytes() for r in M],
@@ -185,13 +261,22 @@ def knn_ivf(sf_dir: str, k: int = 5, query_stride: int = 50,
 
     vec_tbl = _emb(sf_dir).map_batches(assign, batch_format="pyarrow")
 
-    q_ids, Q = _query_matrix(sf_dir, query_stride)
-    probe_lists = np.argsort(-(Q @ C.T), axis=1)[:, :n_probe]
+    q_ids, Q_raw = _query_matrix(sf_dir, query_stride, normalize=False)
+    dots = _quant1000(Q_raw) @ C.T                       # exact int
+    # top n_probe lists per query, ties → smaller centroid idx
+    cidx = np.arange(C.shape[0], dtype=np.int64)
+    probe_lists = np.empty((len(q_ids), min(n_probe, C.shape[0])), np.int64)
+    for qi in range(len(q_ids)):
+        order = np.lexsort((cidx, -dots[qi]))
+        probe_lists[qi] = order[:probe_lists.shape[1]]
+    Q = (Q_raw / np.linalg.norm(Q_raw, axis=1, keepdims=True)
+         if len(q_ids) else Q_raw)
+    n_pr = probe_lists.shape[1]
     q_tbl = pa.table({
         "list_id": pa.array(probe_lists.ravel().astype(np.int64)),
-        "query_id": pa.array(np.repeat(q_ids, n_probe), pa.int64()),
+        "query_id": pa.array(np.repeat(q_ids, n_pr), pa.int64()),
         "qv": pa.array([Q[i].tobytes() for i in range(len(q_ids))
-                        for _ in range(n_probe)], pa.binary())})
+                        for _ in range(n_pr)], pa.binary())})
 
     from ..agg import hash_join
     joined = hash_join(rd.from_arrow(q_tbl), vec_tbl, on="list_id",
@@ -202,37 +287,40 @@ def knn_ivf(sf_dir: str, k: int = 5, query_stride: int = 50,
     return _score_candidates(joined, k)
 
 
+KNN_LSH_SALT = "knn_"  # distinct plane family from lsh_code's unsalted one
+
+
 def knn_lsh(sf_dir: str, k: int = 5, query_stride: int = 50,
-            n_planes: int = 6, n_tables: int = 8, seed: int = 42) -> rd.Dataset:
+            n_planes: int = 6, n_tables: int = 8) -> rd.Dataset:
     """(query_id, rnk, neighbor_id): ANN via MULTI-TABLE random-hyperplane
     LSH — L independent tables of b planes each; a query's candidates are
     the union over tables of its bucket + hamming-1 buckets.
+
+    Hyperplanes are the DETERMINISTIC md5-parity ±1 family
+    (``_pm1_planes``, salt "knn_") and codes are computed in quantized
+    integer space (``_lsh_codes_int``) — exact in both numpy and DuckDB,
+    so the CANDIDATE SETS are bit-reproducible and the WHOLE retrieval has
+    a DuckDB twin (``__ray_entry__._knn_lsh_sql``); final ranking is exact
+    cosine over candidates (the knn_bruteforce scoring path).  Recall vs
+    brute force is additionally floor-tested in pytest.
 
     Scale shape: corpus code rows (one per table) and query probe rows
     (bucket + hamming-1 per table) meet in a NATIVE HASH JOIN on
     (table_id, code) — the bucket index is never built or broadcast as one
     object.  Duplicate candidates across tables are dropped in the
-    per-query merge.  Recall measured against brute force in tests."""
+    per-query merge."""
     import pyarrow.parquet as _pq
     dim = len(_pq.read_table(f"{sf_dir}/embeddings.parquet",
                              columns=["embedding"])["embedding"][0])
-    rng = np.random.RandomState(seed)
-    planes = np.stack([rng.randn(n_planes, dim) for _ in range(n_tables)])
+    planes = _pm1_planes(n_tables, n_planes, dim, KNN_LSH_SALT)
     p_ref = ray.put(planes)
-
-    def _codes(M: np.ndarray, P: np.ndarray) -> np.ndarray:
-        """(n, L) int64 codes for normalized vectors."""
-        out = np.zeros((len(M), P.shape[0]), np.int64)
-        for li in range(P.shape[0]):
-            bits = M @ P[li].T > 0
-            for b in range(P.shape[1]):
-                out[:, li] |= bits[:, b].astype(np.int64) << b
-        return out
 
     def corpus_rows(t: pa.Table) -> pa.Table:
         P = ray.get(p_ref)
-        ids, M = _norm_rows(t)
-        codes = _codes(M, P)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        M_raw = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        codes = _lsh_codes_int(M_raw, P)                   # (n, T)
+        M = M_raw / np.linalg.norm(M_raw, axis=1, keepdims=True)
         L = P.shape[0]
         blobs = [r.tobytes() for r in M]
         return pa.table({
@@ -245,8 +333,10 @@ def knn_lsh(sf_dir: str, k: int = 5, query_stride: int = 50,
 
     vec_tbl = _emb(sf_dir).map_batches(corpus_rows, batch_format="pyarrow")
 
-    q_ids, Q = _query_matrix(sf_dir, query_stride)
-    qcodes = _codes(Q, planes)  # (nq, L)
+    q_ids, Q_raw = _query_matrix(sf_dir, query_stride, normalize=False)
+    qcodes = _lsh_codes_int(Q_raw, planes)  # (nq, L)
+    Q = Q_raw / np.linalg.norm(Q_raw, axis=1, keepdims=True) \
+        if len(q_ids) else Q_raw
     rows_t, rows_c, rows_q, rows_v = [], [], [], []
     for qi in range(len(q_ids)):
         blob = Q[qi].tobytes()
@@ -347,7 +437,7 @@ def ivf_assign(sf_dir: str, n_centroids: int = 8) -> rd.Dataset:
 
 
 def lsh_code(sf_dir: str, n_tables: int = 4, n_bits: int = 8,
-             dims: int = 64) -> rd.Dataset:
+             dims: int = EMB_DIMS) -> rd.Dataset:
     """(vec_id, table_id, code): multi-table sign-LSH bucket codes — the
     SQL-checkable intermediate of the LSH ANN path (knn_lsh itself is
     recall-gated; this pins the bucketing math bit-exactly).
@@ -365,28 +455,18 @@ def lsh_code(sf_dir: str, n_tables: int = 4, n_bits: int = 8,
     candidates are pairs sharing (table_id, code): a groupby on this
     output, exactly the emb-dedup bucketing already used in
     dedup.embedding_dups."""
-    from .dedup import md5_upper64
-
-    S = np.empty((n_tables * n_bits, dims), np.int64)
-    for t in range(n_tables):
-        for b in range(n_bits):
-            for d in range(dims):
-                S[t * n_bits + b, d] = \
-                    1 if md5_upper64(f"{t}_{b}_{d}".encode()) % 2 == 0 else -1
+    S = _pm1_planes(n_tables, n_bits, dims)  # unsalted family
     s_ref = ray.put(S)
-    weights = (1 << np.arange(n_bits, dtype=np.int64))
 
     def kernel(t: pa.Table) -> pa.Table:
         sg = ray.get(s_ref)
-        M = np.array(t["embedding"].to_pylist(), dtype=np.float64) * 1000.0
-        Q = np.copysign(np.floor(np.abs(M) + 0.5), M).astype(np.int64)
-        bits = (Q @ sg.T >= 0).astype(np.int64)          # (n, T*B)
-        codes = bits.reshape(len(Q), n_tables, n_bits) @ weights  # (n, T)
+        M = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        codes = _lsh_codes_int(M, sg)                    # (n, T)
         ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table({
             "vec_id": pa.array(np.repeat(ids, n_tables), pa.int64()),
             "table_id": pa.array(np.tile(np.arange(n_tables, dtype=np.int64),
-                                         len(Q)), pa.int64()),
+                                         len(ids)), pa.int64()),
             "code": pa.array(codes.reshape(-1), pa.int64())})
 
     return _emb(sf_dir).map_batches(kernel, batch_format="pyarrow")
