@@ -9,7 +9,10 @@ Rebuild shape (SURVEY.md §3 "Rebuild shape"): per round
         SeenShards.resolve() picks deterministic winners, pushes straight
         to FrontierShards and emits edge tables (shard-to-shard; the
         driver never touches a link row)
-      → events/retries (tiny) drive the driver's per-seed status machine
+      → events/retries (tiny) route columnar to SeedCtlShard actors
+        (seed_id-hash sharded) that own the per-seed status machine,
+        retry ledger and window cursors — the driver's per-round work is
+        O(shards), not O(seeds)
 
 then finalize: per-shard raw tasks impose the reference's insertion-sort
 order (date desc, schedule-time tiebreak — main.go:984-1007) and truncate
@@ -17,8 +20,10 @@ at the incremental watermark (main.go:950-960); the base64 + Go-encoder
 JSONL render (main.go:1009-1077) already happened in the extract wave.
 
 Scale notes (10^10-URL design points, tested single-node):
-* records and links NEVER pass through the driver — per round it handles
-  events + retries (O(active seeds)) plus the released-entry key sort.
+* records, links, events AND retries never run per-row on the driver —
+  per round it routes the control table's shard slices (columnar take)
+  and the released-entry key sort; everything per-seed happens in the
+  SeedCtlShard actors (state/seeds.py).
 * that release sort is the one remaining driver-side O(round) step: a
   columnar pc.sort_indices over five int columns (~1 µs/URL, so ~1 s at a
   10^6-URL round).  Decentralizing it into a (round, shard, local_idx) seq
@@ -57,15 +62,14 @@ from .. import extract, urlkit
 from ..config import CrawlConfig
 from ..flow import (
     FEED, NONREC_LANDING, NONREC_PAGE, PROFILE, SEARCH,
-    NO_BUSINESS_PAGE, NO_REVIEWS, NO_SEARCH_RESULTS, PAGE_FORMAT_CHANGE,
-    NO_REVIEWS_SINCE_LAST_MATCH,
-    RetryLedger, SeedOutcome, WindowCursors, status_for_fetch_error,
+    SeedOutcome,
 )
 from ..gojson import encode_record_b64, record_to_jsonl
 from ..sources.pagestore import build_page_store, fetch_batch_store
 from ..stages.extract_stage import extract_batch
 from ..state.frontier import FrontierShard
 from ..state.robots import RobotsRules
+from ..state.seeds import SeedCtlShard
 from ..state.seen import SeenShard
 
 N_FIN_SHARDS = 32  # records hash-partition fan-in (fixed: file layout is
@@ -366,6 +370,18 @@ class CrawlEngine:
         # (worker-sent submit() never touches the frontier handles)
         for s in self.seen:
             s.set_frontier.remote(self.frontier)
+        # per-seed state machine shards (BASELINE.md decentralization step:
+        # the driver's O(seeds) apply_ctrl event loop moves into actors,
+        # cutting per-round driver work to O(shards))
+        sc_cfg = {"site_base": self.cfg.site_base,
+                  "allowed_hosts": (list(self.cfg.allowed_hosts)
+                                    if self.cfg.allowed_hosts is not None
+                                    else None),
+                  "ignore_robots": self.cfg.ignore_robots}
+        self.seedctl = [SeedCtlShard.remote(
+                            i, sc_cfg, self.frontier, self.seen,
+                            str(self.corpus / "robots.parquet"))
+                        for i in range(self.cfg.num_seen_shards)]
         # fire-and-forget table-arg warmup: the first Arrow-table argument
         # an actor process deserializes pays ~0.6 s of lazy serializer
         # setup (measured); pre-pay it now so it overlaps the corpus reads
@@ -423,12 +439,8 @@ class CrawlEngine:
                         "cfg": self.cfg_dict, "wm": self.wm_ref,
                         "seen_shards": self.seen}
 
-        # driver-held per-seed state (small, checkpointable)
-        self.outcomes: dict[int, SeedOutcome] = {}
-        self.cursors: dict[int, WindowCursors] = {}
-        self.biz: dict[int, dict] = {}
-        self.record_counts: dict[int, int] = {}
-        self.ledger = RetryLedger()
+        # per-seed state lives in the SeedCtlShard actors; the driver keeps
+        # only the round/seq counters and the per-round pushed-seed set
         self.seq = 0
         self.round = 0
         # edge lists stay COLUMNAR (one Arrow table per round) — the driver
@@ -542,18 +554,39 @@ class CrawlEngine:
 
     def _intake(self):
         t0 = time.perf_counter()
-        for s in self.seeds:
-            sid = s["seed_id"]
-            self.outcomes[sid] = SeedOutcome(seed_id=sid,
-                                             profile_key=s["url"])
-            self.cursors[sid] = WindowCursors()
-            self.biz[sid] = {"business_id": "", "minimal": 0, "nonrec_url": "",
-                             "profile_seq": -1, "landing_seq": -1}
-            self.record_counts[sid] = 0
+        self._init_seedctl()
         self._t("ik_prologue", t0)
         if self.cfg.ignore_robots and self.cfg.allowed_hosts is None:
             return self._intake_parallel()
         self._intake_serial()
+
+    def _init_seedctl(self):
+        """Route each seed's initial state to its SeedCtlShard (sid % N) —
+        the driver only splits id/url arrays; outcome/cursor construction
+        happens in the shards, in parallel."""
+        nsc = len(self.seedctl)
+        sids = [[] for _ in range(nsc)]
+        urls = [[] for _ in range(nsc)]
+        wms: list[dict] = [{} for _ in range(nsc)]
+        for s in self.seeds:
+            sid = s["seed_id"]
+            i = sid % nsc
+            sids[i].append(sid)
+            urls[i].append(s["url"])
+            if s["last_review_hashes"]:
+                wms[i][sid] = list(s["last_review_hashes"])
+        ray.get([self.seedctl[i].init_seeds.remote(sids[i], urls[i], wms[i])
+                 for i in range(nsc)])
+
+    def _mark_rejected(self, sids: list[int]):
+        if not sids:
+            return
+        nsc = len(self.seedctl)
+        by: dict[int, list[int]] = {}
+        for sid in sids:
+            by.setdefault(sid % nsc, []).append(sid)
+        ray.get([self.seedctl[i].mark_rejected.remote(ss)
+                 for i, ss in by.items()])
 
     def _intake_parallel(self):
         """Unrestricted config: the O(seeds) canonicalize/hash Python runs
@@ -583,12 +616,8 @@ class CrawlEngine:
                                     self.cfg.force_to, self.seen, nseen)
                 for s, e in zip(edges[:-1], edges[1:]) if e > s]
         t0 = self._t("ik_submit", t0)
-        for rej in ray.get(futs):
-            for sid in rej:
-                out = self.outcomes[sid]
-                out.status = NO_BUSINESS_PAGE
-                out.rejected = True
-                out.no_meta = True
+        rejected = [sid for rej in ray.get(futs) for sid in rej]
+        self._mark_rejected(rejected)
         t0 = self._t("ik_chunks", t0)
         # seed entries produce NO edge rows and need no bucket hints
         ray.get([s.resolve.remote(0, False) for s in self.seen])
@@ -598,9 +627,9 @@ class CrawlEngine:
         """Driver-side path for restricted configs (robots enforcement /
         allowed-hosts filtering happens in _push_entries)."""
         entries = []
+        rejected_sids: list[int] = []
         for s in self.seeds:
             sid = s["seed_id"]
-            out = self.outcomes[sid]
             if s["url"] == "":
                 u = extract.search_url(s["business_name"], s["addr_street"],
                                        s["addr_city"], s["addr_state"],
@@ -612,13 +641,12 @@ class CrawlEngine:
                 key, rejected = urlkit.canonicalize_seed(
                     s["url"], self.cfg.force_hosts, self.cfg.force_to)
                 if rejected:
-                    out.status = NO_BUSINESS_PAGE
-                    out.rejected = True
-                    out.no_meta = True
+                    rejected_sids.append(sid)
                     continue
                 entries.append({"seed_id": sid, "url": key, "kind": PROFILE,
                                 "depth": 0, "parent_seq": -1, "emit_idx": sid,
                                 "attempt": 1})
+        self._mark_rejected(rejected_sids)
         self._push_entries(entries)
 
     def _release(self) -> pa.Table:
@@ -746,114 +774,40 @@ class CrawlEngine:
 
     # ---------------------------------------------------------- control rows
     def _apply_ctrl(self, ctrl_tbl: pa.Table):
-        """Events (tiny) drive the per-seed state machine as Python rows;
-        record counts aggregate columnar; links never reach the driver at
-        all — the extract tasks submitted them to the seen shards, which
-        resolve winners and push to the frontier shards directly.  The
-        driver's per-round work is O(events + retries)."""
+        """Route control rows to the per-seed state shards: the driver
+        slices the (tiny) control table by seed shard and dispatches
+        apply() in parallel with the seen shards' link resolves — no
+        per-event Python runs here.  Per-round driver work is O(shards)
+        plus the unions of small seed-id sets.
+
+        Determinism: retries push from the seed shards and links from the
+        seen shards concurrently; the interleave only permutes frontier
+        ``arrival`` stamps, a release tiebreak that never decides (the key
+        (host, seed, depth, parent_seq, emit_idx, attempt) is unique by
+        construction — see state/seeds.py module docstring)."""
         tt = time.perf_counter()
         # kick the seen-shard resolves FIRST: all submits landed when the
-        # round barrier released, so the actors pick winners / push to the
-        # frontier while the driver chews the event stream below (retries
-        # bypass the seen check, so _push_entries ordering is unaffected;
-        # actor mailboxes serialize any same-shard calls)
+        # round barrier released, so the link winners resolve while the
+        # seed shards chew their event slices
         resolve_futs = [s.resolve.remote() for s in self.seen]
-        # per-page record counts ride in sort_ts of 'rcnt' rows — columnar sum
-        rcnt = ctrl_tbl.filter(pc.equal(ctrl_tbl["out_kind"], "rcnt"))
-        if rcnt.num_rows:
-            agg = rcnt.group_by("seed_id").aggregate([("sort_ts", "sum")])
-            for sid, s in zip(agg["seed_id"].to_pylist(),
-                              agg["sort_ts_sum"].to_pylist()):
-                self.record_counts[sid] += int(s)
+        import numpy as np
+        nsc = len(self.seedctl)
+        sh = ctrl_tbl["seed_id"].to_numpy(zero_copy_only=False) % nsc
+        order = np.argsort(sh, kind="stable")
+        t = ctrl_tbl.take(pa.array(order))
+        ss = sh[order]
+        bounds = np.searchsorted(ss, np.arange(nsc + 1))
+        apply_futs = [
+            self.seedctl[i].apply.remote(
+                t.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i])))
+            for i in range(nsc)
+            if bounds[i + 1] > bounds[i]]
         tt = self._t("ac_split", tt)
-        # columnar sort + 4-column zip: the full-table to_pylist (15-key dict
-        # per event) measured 0.75 s/run at 24k seeds
-        ev_t = ctrl_tbl.filter(pc.equal(ctrl_tbl["out_kind"], "event")).select(
-            ["seed_id", "page_seq", "emit_idx", "payload"])
-        ev_t = ev_t.take(pc.sort_indices(ev_t, sort_keys=[
-            ("page_seq", "ascending"), ("emit_idx", "ascending")]))
-        ev = zip(ev_t["seed_id"].to_pylist(), ev_t["page_seq"].to_pylist(),
-                 ev_t["payload"].to_pylist())
-        tt = self._t("ac_ev_pylist", tt)
-        to_push: list[dict] = []
-        for sid, page_seq, payload in ev:
-            out = self.outcomes[sid]
-            b = self.biz[sid]
-            p = json.loads(payload)
-            t = p["type"]
-            if t == "profile_ok":
-                b["business_id"] = p["business_id"]
-                b["profile_seq"] = page_seq
-                if p["histogram_found"]:
-                    out.score = p["score"]
-                    out.total_reviews = p["total_reviews"]
-                if p["review_count"] is not None:
-                    b["minimal"] = p["review_count"]
-                    self.cursors[sid].normal_count = p["review_count"]
-                    if sid in self.watermarks:
-                        self.cursors[sid].loop_end = 50
-            elif t == "serp_resolved":
-                out.profile_key = p["profile_key"]
-                if p["rejected"]:
-                    out.status = NO_BUSINESS_PAGE
-                    out.rejected = True
-                    out.no_meta = True
-            elif t == "serp_empty":
-                pass
-            elif t == "landing_ok":
-                b["minimal"] = p["count"]
-                b["nonrec_url"] = p["nonrec_url"]
-                b["landing_seq"] = page_seq
-                self.cursors[sid].non_count = p["count"]
-                if sid in self.watermarks:
-                    self.cursors[sid].non_loop_end = 50
-            elif t == "no_reviews":
-                out.status = NO_REVIEWS
-            elif t == "hash_hit":
-                self.cursors[sid].matched = True
-        tt = self._t("ac_ev_loop", tt)
-        # ---- retries: columnar rows, no URL kernels on the driver (the
-        # failed row's canon/hash/host ride along); ledger + exhaustion
-        # status machine are O(failures) dict ops
-        retry_tbl = ctrl_tbl.filter(pc.equal(ctrl_tbl["out_kind"], "retry"))
-        if retry_tbl.num_rows:
-            order = pc.sort_indices(
-                retry_tbl, sort_keys=[("page_seq", "ascending"),
-                                      ("emit_idx", "ascending")])
-            retry_tbl = retry_tbl.take(order)
-            cols = {c: retry_tbl[c].to_pylist()
-                    for c in ("seed_id", "page_seq", "emit_idx", "sort_ts",
-                              "l_url", "l_canon", "l_hash", "l_host",
-                              "l_hosthash", "l_kind", "l_depth", "l_rel")}
-            for i in range(retry_tbl.num_rows):
-                sid = cols["seed_id"][i]
-                key = f"{sid}|{cols['l_canon'][i]}"
-                if self.ledger.allow_retry(key):
-                    to_push.append(
-                        {"seed_id": sid, "url": cols["l_url"][i],
-                         "canon": cols["l_canon"][i],
-                         "host": cols["l_host"][i],
-                         "host_hash": cols["l_hosthash"][i],
-                         "url_hash": cols["l_hash"][i],
-                         "kind": cols["l_kind"][i],
-                         "depth": cols["l_depth"][i],
-                         "parent_seq": cols["page_seq"][i],
-                         "emit_idx": cols["emit_idx"][i],
-                         "attempt": cols["sort_ts"][i] + 1})
-                else:
-                    out = self.outcomes[sid]
-                    if cols["l_rel"][i] == "nobizid":
-                        out.status = PAGE_FORMAT_CHANGE
-                    else:
-                        st = status_for_fetch_error(
-                            cols["l_kind"][i], int(cols["l_rel"][i]),
-                            self.biz[sid]["minimal"])
-                        if st is not None:
-                            out.status = st
-        tt = self._t("ac_retries", tt)
-        # gather the round-end link resolutions kicked at the top — same
-        # seen-check ordering as before (fresh links first, retries bypass
-        # the check anyway)
+        retried: set[int] = set()
+        for ids in ray.get(apply_futs):
+            retried.update(ids)
+        tt = self._t("ac_apply", tt)
+        # gather the round-end link resolutions kicked at the top
         res = ray.get(resolve_futs)
         link_seeds: set[int] = set()
         for edges, cand_seeds, _buckets in res:
@@ -861,42 +815,21 @@ class CrawlEngine:
             if edges is not None and edges.num_rows:
                 self.edge_tables.append(edges)
         tt = self._t("pl_resolve", tt)
-        self.pushed_seeds = {e["seed_id"] for e in to_push} | link_seeds
-        tt = time.perf_counter()
-        self._push_entries(to_push)
-        self._t("ac_push_entries", tt)
+        self.pushed_seeds = retried | link_seeds
 
     def _grow_windows(self) -> bool:
         """Flow 3 window growth for drained incremental seeds
-        (callLastReviewURL, main.go:615-643)."""
-        active = getattr(self, "pushed_seeds", set())
-        grew = False
-        for sid in self.watermarks:
-            if sid in active:
-                continue
-            cur = self.cursors[sid]
-            if cur.matched or self.record_counts[sid] == 0 or cur.exhausted():
-                continue
-            feed_starts, non_starts = cur.grow()
-            b = self.biz[sid]
-            base = extract.review_feed_url(b["business_id"], self.cfg.site_base)
-            entries = []
-            for j, st in enumerate(feed_starts):
-                entries.append({"seed_id": sid, "url": base + "&start=" + str(st),
-                                "kind": FEED, "depth": 2,
-                                "parent_seq": b["profile_seq"],
-                                "emit_idx": 1000 + cur.loop_start + j,
-                                "attempt": 1, "src": None})
-            for j, st in enumerate(non_starts):
-                entries.append({"seed_id": sid,
-                                "url": b["nonrec_url"] + "?not_recommended_start=" + str(st),
-                                "kind": NONREC_PAGE, "depth": 2,
-                                "parent_seq": b["landing_seq"],
-                                "emit_idx": 1000 + cur.non_loop_start + j,
-                                "attempt": 1, "src": None})
-            if entries:
-                self._push_entries(entries)
-                grew = True
+        (callLastReviewURL, main.go:615-643) — each seed shard grows its
+        own cursors and submits entries on the deterministic
+        submit→resolve path; the driver fans out and triggers the resolve
+        wave."""
+        active = sorted(getattr(self, "pushed_seeds", set()))
+        flags = ray.get([c.grow.remote(active) for c in self.seedctl])
+        grew = any(flags)
+        if grew:
+            # winners push to the frontier inside resolve; no edges for
+            # grow entries (parity with the old driver path)
+            ray.get([s.resolve.remote(0, False) for s in self.seen])
         self.pushed_seeds = set()
         return grew
 
@@ -908,17 +841,14 @@ class CrawlEngine:
                 for i, f in enumerate(self.frontier)]
         futs += [s.checkpoint.remote(str(ckdir / f"seen_{i}.parquet"))
                  for i, s in enumerate(self.seen)]
+        futs += [c.checkpoint.remote(str(ckdir / f"seedctl_{i}.json"))
+                 for i, c in enumerate(self.seedctl)]
+        stat_futs = [c.stats.remote() for c in self.seedctl]
         ray.get(futs)
         pq.write_table(self._edges_table(), str(ckdir / "edges.parquet"))
-        state = {
-            "round": self.round, "seq": self.seq,
-            "ledger": self.ledger.counts,
-            "record_counts": self.record_counts,
-            "outcomes": {sid: vars(o) for sid, o in self.outcomes.items()},
-            "cursors": {sid: vars(c) for sid, c in self.cursors.items()},
-            "biz": self.biz,
-        }
+        state = {"round": self.round, "seq": self.seq}
         (ckdir / "driver.json").write_text(json.dumps(state))
+        stats = ray.get(stat_futs)
         # per-checkpoint lineage + metrics: which shard files belong to this
         # round (lineage is the round=N directory layout itself) plus the
         # driver's cumulative stage timers and progress counters, so an
@@ -929,9 +859,10 @@ class CrawlEngine:
             "seq": self.seq,
             "frontier_shards": len(self.frontier),
             "seen_shards": len(self.seen),
-            "records_so_far": sum(self.record_counts.values()),
-            "seeds": len(self.outcomes),
-            "retry_urls": len(self.ledger.counts),
+            "seedctl_shards": len(self.seedctl),
+            "records_so_far": sum(s["records_so_far"] for s in stats),
+            "seeds": sum(s["seeds"] for s in stats),
+            "retry_urls": sum(s["retry_urls"] for s in stats),
             "timings_s": {k: round(v, 4)
                           for k, v in sorted(self.timings.items())},
         }, separators=(",", ":")))
@@ -953,18 +884,13 @@ class CrawlEngine:
                 for i, f in enumerate(self.frontier)]
         futs += [s.restore.remote(str(ckdir / f"seen_{i}.parquet"))
                  for i, s in enumerate(self.seen)]
+        futs += [c.restore.remote(str(ckdir / f"seedctl_{i}.json"))
+                 for i, c in enumerate(self.seedctl)]
         ray.get(futs)
         state = json.loads((ckdir / "driver.json").read_text())
         self.round = state["round"]
         self.seq = state["seq"]
-        self.ledger.counts = state["ledger"]
-        self.record_counts = {int(k): v for k, v in state["record_counts"].items()}
         self.edge_tables = [pq.read_table(str(ckdir / "edges.parquet"))]
-        for sid_s, d in state["outcomes"].items():
-            self.outcomes[int(sid_s)] = SeedOutcome(**d)
-        for sid_s, d in state["cursors"].items():
-            self.cursors[int(sid_s)] = WindowCursors(**d)
-        self.biz = {int(k): v for k, v in state["biz"].items()}
         # drop records/visit_log of rounds AFTER the checkpoint (partial work)
         for sub in ("records", "visit_log"):
             base = self.workdir / sub
@@ -1001,10 +927,10 @@ class CrawlEngine:
         rec_dir = self.workdir / "records"
         out_dir = self.workdir / "out"
         t0 = time.perf_counter()
-        # per-seed counts come back from the finalize shard tasks (they see
-        # post-watermark-truncation counts); non-truncated seeds fall back
-        # to the control-stream tally
-        final_counts: dict[int, int] = dict(self.record_counts)
+        # per-seed count OVERRIDES come back from the finalize shard tasks
+        # (post-watermark-truncation counts); non-truncated seeds fall back
+        # to the seed shards' own control-stream tallies
+        count_overrides: dict[int, int] = {}
         rec_path = None
         if any(self.rec_shard_refs):
             # one raw task per seed-hash shard over the plasma record refs —
@@ -1033,7 +959,7 @@ class CrawlEngine:
             for counts in ray.get(futs):
                 if counts:
                     any_rows = True
-                final_counts.update(counts)
+                count_overrides.update(counts)
             t0 = self._t("fin_tasks", t0)
             if any_rows:
                 # Dataset construction is LAZY (CrawlResult.records property)
@@ -1042,35 +968,31 @@ class CrawlEngine:
                 rec_path = str(out_dir / "records")
             t0 = self._t("fin_read", t0)
 
-        for s in self.seeds:
-            sid = s["seed_id"]
-            out = self.outcomes[sid]
-            if out.rejected:
-                continue
-            if out.profile_key == "":
-                out.status = NO_SEARCH_RESULTS  # main.go:322-327
-                continue
-            if watermarks.get(sid) and self.cursors[sid].matched:
-                out.status = NO_REVIEWS_SINCE_LAST_MATCH
-            out.finalize_status(final_counts.get(sid, 0))
+        # final status machine + meta fragments run IN the seed shards
+        # (each sees its own tallies + the sliced overrides); the driver
+        # merges fragments and writes one meta.json
+        nsc = len(self.seedctl)
+        ov: list[dict] = [{} for _ in range(nsc)]
+        for sid, c in count_overrides.items():
+            ov[sid % nsc][sid] = c
+        frags = ray.get([self.seedctl[i].final_state.remote(ov[i])
+                         for i in range(nsc)])
         t0 = self._t("fin_status", t0)
 
-        meta = {sid: (None if o.no_meta else {
-            "histogram": {"primary": {"score": o.score,
-                                      "total_revews": o.total_reviews}},
-            "profile_key": o.profile_key,
-            "scraping_status": o.status,
-            "item_scraped_count": o.item_scraped_count,
-        }) for sid, o in self.outcomes.items()}
+        outcomes: dict[int, SeedOutcome] = {}
+        meta: dict[int, dict | None] = {}
+        for o_frag, m_frag in frags:
+            outcomes.update(o_frag)
+            meta.update(m_frag)
         # compact separators: indent=1 string-building measured 1.19 s of
         # the 96k-seed finalize; consumers json.loads it (format-agnostic)
         (self.workdir / "meta.json").write_text(
-            json.dumps({str(k): v for k, v in meta.items()},
+            json.dumps({str(k): meta[k] for k in sorted(meta)},
                        separators=(",", ":")))
         t0 = self._t("fin_meta", t0)
         edges = self._edges_table()
         self._t("fin_edges", t0)
-        return CrawlResult(self.workdir, rec_path, self.outcomes, self.seen,
+        return CrawlResult(self.workdir, rec_path, outcomes, self.seen,
                            edges)
 
 
