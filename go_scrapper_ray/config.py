@@ -31,6 +31,11 @@ class CrawlConfig:
     ignore_robots: bool = True   # reference parity: colly.IgnoreRobotsTxt()
     num_seen_shards: int = 4
     num_frontier_shards: int = 4
+    # per-seed state-machine shards (state/seeds.py) — pure bookkeeping
+    # actors, so more of them just buys apply()/final_state() parallelism;
+    # byte output is shard-count-invariant (events/retries of one seed stay
+    # in one shard, growth goes through the deterministic submit→resolve)
+    num_seed_shards: int = 8
     num_fetch_buckets: int = 16
     scraped_at: int = 1700000000  # deterministic stand-in for time.Now()
 

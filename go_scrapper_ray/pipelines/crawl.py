@@ -381,7 +381,7 @@ class CrawlEngine:
         self.seedctl = [SeedCtlShard.remote(
                             i, sc_cfg, self.frontier, self.seen,
                             str(self.corpus / "robots.parquet"))
-                        for i in range(self.cfg.num_seen_shards)]
+                        for i in range(self.cfg.num_seed_shards)]
         # fire-and-forget table-arg warmup: the first Arrow-table argument
         # an actor process deserializes pays ~0.6 s of lazy serializer
         # setup (measured); pre-pay it now so it overlaps the corpus reads
