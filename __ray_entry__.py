@@ -154,7 +154,7 @@ def _q_canonicalize(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """89 of 94 queries carry a DuckDB oracle (oracle_sql()).  The only 5
+    """95 of 100 queries carry a DuckDB oracle (oracle_sql()).  The only 5
     without one are the crawl_* outputs, which are structurally non-SQL:
     they encode an iterative politeness-scheduled frontier loop (ordering
     depends on the virtual clock + retry state machine) and are checked
@@ -273,6 +273,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_url_mentions": textstats.url_mentions,
         "docs_lang_confusion": textstats.lang_confusion,
         "docs_oov_rate": textstats.oov_rate,
+        # --- round 3 additions ---
+        "events_anomaly": events.anomaly_flags,       # exact-int z-score flag
+        "events_late": events.late_events,            # watermark/out-of-order
+        "cheapest_supplier": relational.cheapest_supplier,      # Q2 shape
+        "brand_supplier_counts": relational.brand_supplier_counts,  # Q16 shape
+        "emb_pq_assign": similarity.pq_assign,        # product quantization
+        "docs_split": clean.train_val_test_split,     # train/val/test split
     }
 
 
@@ -752,6 +759,111 @@ def _frame_sample_sql(every_ms: int) -> str:
         FROM f"""
 
 
+def _anomaly_sql(z: int) -> str:
+    """DuckDB twin of events.anomaly_flags — the same exact-integer
+    variance test in HUGEINT."""
+    z2 = z * z
+    return f"""
+        WITH c AS (SELECT event_id, event_type,
+                     CAST(round(value*100) AS BIGINT) AS cents FROM events),
+        st AS (SELECT event_type, count(*)::HUGEINT AS n,
+                 sum(cents)::HUGEINT AS s,
+                 sum(cents::HUGEINT * cents)::HUGEINT AS ss
+               FROM c GROUP BY 1)
+        SELECT c.event_id, c.event_type, c.cents,
+               ((st.n * c.cents - st.s) * (st.n * c.cents - st.s))
+                 > {z2} * st.n * (st.n * st.ss - st.s * st.s) AS is_outlier
+        FROM c JOIN st USING (event_type)"""
+
+
+def _late_sql(allowed_s: int) -> str:
+    allowed_us = 1_000_000 * allowed_s
+    return f"""
+        WITH w AS (SELECT user_id, epoch_us(ts) AS us,
+                     max(epoch_us(ts)) OVER (PARTITION BY user_id
+                       ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS prior_max
+                   FROM events)
+        SELECT user_id, count(*)::BIGINT AS n_events,
+               count(*) FILTER (WHERE prior_max IS NOT NULL
+                                AND us < prior_max - {allowed_us})::BIGINT
+                 AS n_late
+        FROM w GROUP BY user_id"""
+
+
+_CHEAPEST_SUPPLIER_SQL = """
+    WITH li AS (SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey,
+                  CAST(round(l_extendedprice*100) AS BIGINT) AS cents,
+                  CAST(l_quantity AS BIGINT) AS qty
+                FROM lineitem),
+    r AS (SELECT *, row_number() OVER (PARTITION BY p_partkey
+            ORDER BY cents::DOUBLE / qty::DOUBLE, cents, s_suppkey) AS rn
+          FROM li)
+    SELECT r.p_partkey, r.s_suppkey, s.s_name, r.cents
+    FROM r JOIN supplier s USING (s_suppkey) WHERE rn = 1"""
+
+
+def _brand_supplier_sql(type_prefix: str) -> str:
+    return f"""
+        SELECT p_brand, p_size,
+               count(DISTINCT l_suppkey)::BIGINT AS n_suppliers
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE NOT starts_with(p_type, '{type_prefix}')
+        GROUP BY 1, 2"""
+
+
+def _pq_assign_sql(n_sub: int, n_codes: int) -> str:
+    """DuckDB twin of similarity.pq_assign: same deterministic codebook
+    pick, exact int squared-L2 per subspace via list slices."""
+    from go_scrapper_ray.pipelines.similarity import EMB_DIMS
+
+    sd = EMB_DIMS // n_sub
+    return f"""
+        WITH q AS (SELECT vec_id,
+                     list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) * 1000)
+                                 AS BIGINT)) AS qq
+                   FROM embeddings),
+        cb0 AS (SELECT vec_id AS cid0, qq AS cv FROM q
+                ORDER BY vec_id LIMIT {n_codes}),
+        cb AS (SELECT row_number() OVER (ORDER BY cid0) - 1 AS code, cv
+               FROM cb0),
+        sub AS (SELECT unnest(range({n_sub})) AS s),
+        d AS (SELECT q.vec_id, sub.s, cb.code,
+                CAST(list_inner_product(
+                       q.qq[sub.s*{sd}+1 : sub.s*{sd}+{sd}],
+                       q.qq[sub.s*{sd}+1 : sub.s*{sd}+{sd}])
+                 - 2*list_inner_product(
+                       q.qq[sub.s*{sd}+1 : sub.s*{sd}+{sd}],
+                       cb.cv[sub.s*{sd}+1 : sub.s*{sd}+{sd}])
+                 + list_inner_product(
+                       cb.cv[sub.s*{sd}+1 : sub.s*{sd}+{sd}],
+                       cb.cv[sub.s*{sd}+1 : sub.s*{sd}+{sd}])
+                     AS BIGINT) AS d2
+              FROM q CROSS JOIN sub CROSS JOIN cb),
+        pick AS (SELECT vec_id, s, code, d2,
+                   row_number() OVER (PARTITION BY vec_id, s
+                                      ORDER BY d2, code) AS rn
+                 FROM d)
+        SELECT vec_id, s::BIGINT AS subspace, code::BIGINT AS code,
+               d2::BIGINT AS dist
+        FROM pick WHERE rn = 1"""
+
+
+def _split_sql(val_pct: int, test_pct: int) -> str:
+    train_hi = 100 - val_pct - test_pct
+    val_hi = 100 - test_pct
+    return f"""
+        SELECT doc_id, lang,
+          CASE WHEN md5_number_upper(doc_id::VARCHAR) % 100 < {train_hi}
+                 THEN 'train'
+               WHEN md5_number_upper(doc_id::VARCHAR) % 100 < {val_hi}
+                 THEN 'val'
+               ELSE 'test' END AS split
+        FROM documents"""
+
+
 def _knn_lsh_sql(k: int, query_stride: int, n_planes: int,
                  n_tables: int) -> str:
     """DuckDB twin of similarity.knn_lsh — the FULL retrieval: md5-parity
@@ -944,7 +1056,7 @@ _EMB_NORM_SQL = """
 
 def oracle_sql() -> dict[str, str]:
     from go_scrapper_ray.pipelines import (clean, dedup, events, multimodal,
-                                           similarity, textstats)
+                                           relational, similarity, textstats)
 
     return {
         "url_canonicalize": """
@@ -1054,6 +1166,19 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a, embeddings b
             WHERE a.vec_id < b.vec_id
               AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45""",
+        "events_anomaly": _anomaly_sql(
+            _sig_default(events.anomaly_flags, "z")),
+        "events_late": _late_sql(
+            _sig_default(events.late_events, "allowed_s")),
+        "cheapest_supplier": _CHEAPEST_SUPPLIER_SQL,
+        "brand_supplier_counts": _brand_supplier_sql(
+            _sig_default(relational.brand_supplier_counts, "type_prefix")),
+        "emb_pq_assign": _pq_assign_sql(
+            _sig_default(similarity.pq_assign, "n_sub"),
+            _sig_default(similarity.pq_assign, "n_codes")),
+        "docs_split": _split_sql(
+            _sig_default(clean.train_val_test_split, "val_pct"),
+            _sig_default(clean.train_val_test_split, "test_pct")),
         "media_features": _media_features_sql(
             _sig_default(multimodal.ResizeStage.__init__, "bins")),
         "media_frame_sample": _frame_sample_sql(

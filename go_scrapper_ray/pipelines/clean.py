@@ -266,3 +266,32 @@ def read_partitioned(out_dir: str) -> rd.Dataset:
     """Read a ``write_partitioned_resumable`` output back (all buckets)."""
     paths = sorted(str(p) for p in Path(out_dir).glob("bucket=*/*.parquet"))
     return rd.read_parquet(paths)
+
+
+def train_val_test_split(sf_dir: str, val_pct: int = 10,
+                         test_pct: int = 10) -> "rd.Dataset":
+    """(doc_id, lang, split): deterministic hash train/val/test split —
+    md5_upper64(decimal doc_id) % 100 lands in [0, 100-val-test) → train,
+    then val, then test.  Stable across runs, cluster widths and block
+    orders (unlike ds.split_proportionately), and uniform within every
+    stratum (hashing), so per-language proportions hold without a
+    stratified pass.  Pure streaming map, no shuffle."""
+    import numpy as np
+
+    from .dedup import md5_upper64
+    from .textstats import docs
+
+    train_hi = 100 - val_pct - test_pct
+    val_hi = 100 - test_pct
+
+    def stamp(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        h = np.fromiter((md5_upper64(str(i).encode()) % 100 for i in ids),
+                        dtype=np.int64, count=len(ids))
+        split = np.where(h < train_hi, "train",
+                         np.where(h < val_hi, "val", "test"))
+        return pa.table({"doc_id": t["doc_id"], "lang": t["lang"],
+                         "split": pa.array(split.tolist(), pa.string())})
+
+    return docs(sf_dir, columns=("doc_id", "lang")).map_batches(
+        stamp, batch_format="pyarrow")

@@ -834,3 +834,95 @@ def dau_hll(sf_dir: str, p: int = 12) -> rd.Dataset:
                          "est": pa.array(ests, pa.int64())})
 
     return regs.repartition(1).map_batches(finalize, batch_format="pyarrow")
+
+
+def anomaly_flags(sf_dir: str, z: int = 3) -> rd.Dataset:
+    """(event_id, event_type, cents, is_outlier): per-type z-score outlier
+    flag computed ENTIRELY in exact integer arithmetic — an event is an
+    outlier iff |cents − mean| > z·σ for its type, tested as
+
+        (n·c − S)² > z² · n · (n·SS − S²)
+
+    with S = Σ cents and SS = Σ cents² exact integer sums (order-
+    independent), so the flag is bit-reproducible at any cluster width
+    and DuckDB (HUGEINT) agrees exactly; Python arbitrary-precision ints
+    carry the comparison (the squares overflow int64 at scale).
+
+    Scale shape: pass 1 is a combiner-before-shuffle per-type aggregate
+    (type-cardinality rows); the tiny type→(n, S, SS) table broadcasts;
+    pass 2 is one streaming map_batches — the events never shuffle."""
+    import ray
+
+    def stat_partial(t: pa.Table) -> pa.Table:
+        cents = pc.round(pc.multiply(t["value"], 100),
+                         round_mode="half_towards_infinity").cast(pa.int64())
+        sq = pc.multiply(cents, cents)
+        g = (pa.table({"event_type": t["event_type"], "c": cents, "sq": sq})
+             .group_by("event_type")
+             .aggregate([("c", "sum"), ("sq", "sum"), ("c", "count")]))
+        return g.rename_columns(["event_type", "p_s", "p_ss", "p_n"])
+
+    stats_ds = hash_agg(_events(sf_dir, ("event_type", "value"))
+                        .map_batches(stat_partial, batch_format="pyarrow"),
+                        "event_type", [("p_n", "sum", "n"),
+                                       ("p_s", "sum", "s"),
+                                       ("p_ss", "sum", "ss")], small=True)
+    stats = {}
+    for t in stats_ds.iter_batches(batch_format="pyarrow"):
+        for et, n, s, ss in zip(t["event_type"].to_pylist(),
+                                t["n"].to_pylist(), t["s"].to_pylist(),
+                                t["ss"].to_pylist()):
+            stats[et] = (int(n), int(s), int(ss))
+    s_ref = ray.put(stats)
+    z2 = z * z
+
+    def flag(t: pa.Table) -> pa.Table:
+        st = ray.get(s_ref)
+        cents = pc.round(pc.multiply(t["value"], 100),
+                         round_mode="half_towards_infinity"
+                         ).cast(pa.int64()).to_pylist()
+        out = []
+        for et, c in zip(t["event_type"].to_pylist(), cents):
+            n, s, ss = st[et]
+            lhs = (n * c - s) ** 2            # exact python ints
+            rhs = z2 * n * (n * ss - s * s)
+            out.append(lhs > rhs)
+        return pa.table({"event_id": t["event_id"],
+                         "event_type": t["event_type"],
+                         "cents": pa.array(cents, pa.int64()),
+                         "is_outlier": pa.array(out, pa.bool_())})
+
+    return (_events(sf_dir, ("event_id", "event_type", "value"))
+            .map_batches(flag, batch_format="pyarrow"))
+
+
+def late_events(sf_dir: str, allowed_s: int = 0) -> rd.Dataset:
+    """(user_id, n_events, n_late): out-of-order (late) event counts per
+    user — the watermark primitive of a streaming ingest.  An event is
+    LATE iff its ts is more than ``allowed_s`` behind the running maximum
+    ts of the user's EARLIER events in arrival order (event_id — the
+    deterministic stand-in for ingest order).
+
+    Scale shape: one groupby(user_id) + per-group vectorized cummax (the
+    per-user-fits-one-group assumption documented on sessionize); the
+    shuffle carries only (user_id, event_id, ts)."""
+    allowed_us = 1_000_000 * allowed_s
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("event_id", kind="mergesort")
+        us = g["us"].to_numpy()
+        prior = np.maximum.accumulate(us)[:-1]
+        late = int((us[1:] < prior - allowed_us).sum())
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
+                             "n_events": [len(g)],
+                             "n_late": [late]})
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t["user_id"],
+                         "event_id": t["event_id"],
+                         "us": t["ts"].cast(pa.int64())})
+
+    return (_events(sf_dir, ("user_id", "event_id", "ts"))
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby("user_id")
+            .map_groups(per_user, batch_format="pandas"))

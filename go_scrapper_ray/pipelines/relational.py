@@ -1443,3 +1443,94 @@ def local_supplier_volume(sf_dir: str, region: str = "ASIA",
         return pa.table({"n_name": nn, "cents": t["cents"]})
 
     return agg.map_batches(name_kernel, batch_format="pyarrow")
+
+
+def cheapest_supplier(sf_dir: str, shards: int = 64) -> rd.Dataset:
+    """(p_partkey, s_suppkey, s_name, cents): per part, the supplier of its
+    MINIMUM-unit-price lineitem (integer cents of l_extendedprice /
+    l_quantity compared cross-multiplied — exact; ties → smaller cents,
+    then smaller suppkey) — the TPC-H Q2 "min-cost supplier" shape over
+    the tables this corpus has (no partsupp: lineitem is the price
+    evidence).
+
+    Unit price sorts by the DOUBLE division cents/qty — an EXACT
+    discriminator here, not an approximation: qty ∈ [1,50] integral, so
+    distinct rationals differ by ≥ 1/2500 while the double ulp at this
+    magnitude is ~1e-9, and equal rationals round to the identical double
+    (IEEE division is correctly rounded).  DuckDB's double division is
+    the same operation, so the twin orders identically.
+
+    Scale shape: per-batch combine keeps one candidate row per partkey
+    (one vectorized sort + groupby.head), survivors hash-shard on
+    partkey, one vectorized kernel per shard picks the global winner;
+    supplier names broadcast-join at the end (supplier is the small
+    side)."""
+    import numpy as np
+    import pandas as pd
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.round(pc.multiply(t["l_extendedprice"], 100),
+                         round_mode="half_towards_infinity").cast(pa.int64())
+        return pa.table({"p_partkey": t["l_partkey"],
+                         "s_suppkey": t["l_suppkey"],
+                         "cents": cents,
+                         "qty": t["l_quantity"].cast(pa.int64())})
+
+    def best(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(unit=df["cents"].to_numpy(np.float64)
+                       / df["qty"].to_numpy(np.float64))
+        df = (df.sort_values(["unit", "cents", "s_suppkey"],
+                             kind="mergesort")
+                .groupby("p_partkey", sort=False).head(1))
+        df["shard"] = (df["p_partkey"] % shards).astype("int64")
+        return df
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return best(df)[["p_partkey", "s_suppkey", "cents"]]
+
+    winners = (_read(sf_dir, "lineitem",
+                     ["l_partkey", "l_suppkey", "l_extendedprice",
+                      "l_quantity"])
+               .map_batches(prep, batch_format="pyarrow")
+               .map_batches(best, batch_format="pandas")
+               .groupby("shard")
+               .map_groups(final, batch_format="pandas"))
+    import pyarrow.parquet as pq
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_name"])
+    return broadcast_join(winners, sup, "s_suppkey", "s_suppkey",
+                          ["s_name"])
+
+
+def brand_supplier_counts(sf_dir: str, type_prefix: str = "STANDARD"
+                          ) -> rd.Dataset:
+    """(p_brand, p_size, n_suppliers): DISTINCT suppliers that shipped
+    parts of each (brand, size), excluding parts whose type starts with
+    ``type_prefix`` — the TPC-H Q16 supplier-diversity shape over the
+    tables this corpus has (no partsupp: shipment evidence from
+    lineitem).
+
+    Scale shape: the part table broadcast-joins its (brand, size, type)
+    onto the lineitem stream; per-batch DISTINCT (brand, size, suppkey)
+    combine; one exact hash_agg count_distinct on the id-sized survivor
+    rows."""
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand", "p_type",
+                                  "p_size"])
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    joined = broadcast_join(li, part, "l_partkey", "p_partkey",
+                            ["p_brand", "p_type", "p_size"])
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        mask = pc.invert(pc.starts_with(t["p_type"], type_prefix))
+        t = t.filter(mask)
+        return (pa.table({"p_brand": t["p_brand"], "p_size": t["p_size"],
+                          "s": t["l_suppkey"]})
+                .group_by(["p_brand", "p_size", "s"]).aggregate([]))
+
+    return hash_agg(joined.map_batches(distinct_partial,
+                                       batch_format="pyarrow"),
+                    ["p_brand", "p_size"],
+                    [("s", "count_distinct", "n_suppliers")])

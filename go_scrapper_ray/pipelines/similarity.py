@@ -544,3 +544,67 @@ def label_doc_stats(sf_dir: str) -> rd.Dataset:
             .aggregate(Sum("p_n", alias_name="n_docs"),
                        Sum("p_sum", alias_name="sum_chars"),
                        Max("p_max", alias_name="max_chars")))
+
+
+def pq_assign(sf_dir: str, n_sub: int = 8, n_codes: int = 16) -> rd.Dataset:
+    """(vec_id, subspace, code, dist): PRODUCT-QUANTIZATION code
+    assignment — the memory-compression side of large-scale ANN (each
+    vector stored as n_sub bytes instead of dims floats).  Split the
+    embedding into ``n_sub`` contiguous subspaces; per subspace the
+    codebook is the sub-vectors of the ``n_codes`` smallest vec_ids (the
+    deterministic sample pick shared with ivf_assign), and the code is
+    the codebook entry minimizing EXACT integer squared-L2 distance in
+    quantized 1/1000 space (ties → smaller code id) — bit-reproducible
+    and SQL-checkable end-to-end.
+
+    Scale shape: the (n_sub × n_codes × sub_dims) codebook tensor is
+    constant-sized broadcast state; one streaming map_batches computes
+    per-batch ‖x‖² − 2x·c + ‖c‖² with vectorized integer matmuls — no
+    shuffle."""
+    import pyarrow.parquet as pq
+
+    ids_only = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id"])["vec_id"]
+    ids_np = np.sort(ids_only.to_numpy(zero_copy_only=False).astype(np.int64))
+    if len(ids_np) == 0:
+        raise ValueError("embeddings table is empty; no codebook")
+    kth = int(ids_np[min(n_codes, len(ids_np)) - 1])
+    ct = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "<=", kth)])
+    CQ = _quant1000(np.array(ct["embedding"].to_pylist(), dtype=np.float64))
+    cids = ct["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    o = np.argsort(cids)[:n_codes]
+    CQ = CQ[o]                       # (n_codes, dims)
+    dims = CQ.shape[1]
+    assert dims % n_sub == 0, "dims must split evenly into subspaces"
+    sd = dims // n_sub
+    # (n_sub, n_codes, sd)
+    books = np.stack([CQ[:, s * sd:(s + 1) * sd] for s in range(n_sub)])
+    b_ref = ray.put(books)
+
+    def kernel(t: pa.Table) -> pa.Table:
+        B = ray.get(b_ref)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        Q = _quant1000(np.array(t["embedding"].to_pylist(),
+                                dtype=np.float64))
+        n = len(ids)
+        out_v, out_s, out_c, out_d = [], [], [], []
+        for s in range(n_sub):
+            X = Q[:, s * sd:(s + 1) * sd]              # (n, sd)
+            C = B[s]                                   # (n_codes, sd)
+            d2 = ((X * X).sum(axis=1)[:, None]
+                  - 2 * (X @ C.T)
+                  + (C * C).sum(axis=1)[None, :])      # exact int64
+            code = np.argmin(d2, axis=1)               # first min = smaller id
+            out_v.append(ids)
+            out_s.append(np.full(n, s, np.int64))
+            out_c.append(code.astype(np.int64))
+            out_d.append(d2[np.arange(n), code])
+        return pa.table({
+            "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+            "subspace": pa.array(np.concatenate(out_s), pa.int64()),
+            "code": pa.array(np.concatenate(out_c), pa.int64()),
+            "dist": pa.array(np.concatenate(out_d), pa.int64())})
+
+    return _emb(sf_dir).map_batches(kernel, batch_format="pyarrow")
