@@ -154,7 +154,7 @@ def _q_canonicalize(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """95 of 100 queries carry a DuckDB oracle (oracle_sql()).  The only 5
+    """97 of 102 queries carry a DuckDB oracle (oracle_sql()).  The only 5
     without one are the crawl_* outputs, which are structurally non-SQL:
     they encode an iterative politeness-scheduled frontier loop (ordering
     depends on the virtual clock + retry state machine) and are checked
@@ -280,6 +280,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_supplier_counts": relational.brand_supplier_counts,  # Q16 shape
         "emb_pq_assign": similarity.pq_assign,        # product quantization
         "docs_split": clean.train_val_test_split,     # train/val/test split
+        "docs_surprisal": textstats.surprisal,        # int unigram surprisal
+        "knn_ivfpq": similarity.knn_ivfpq,            # IVF+PQ ANN, SQL-checked
     }
 
 
@@ -916,14 +918,13 @@ def _knn_lsh_sql(k: int, query_stride: int, n_planes: int,
         SELECT query_id, rnk, neighbor_id FROM scored WHERE rnk <= {k}"""
 
 
-def _knn_ivf_sql(k: int, query_stride: int, n_lists: int, n_probe: int,
-                 sample_stride: int, iters: int) -> str:
-    """DuckDB twin of similarity.knn_ivf — the FULL retrieval including
-    the quantizer fit: ``iters`` unrolled integer-k-means rounds (exact
-    int dots/sums; the only float work per centroid update is one
-    multiply, one sqrt of an exact int, one divide — bit-identical to
-    numpy), then corpus assignment, n_probe probing and exact-cosine
-    ranking (the knn_bruteforce scoring expression)."""
+def _ivf_kmeans_ctes(n_lists: int, sample_stride: int, iters: int,
+                     query_stride: int, n_probe: int) -> str:
+    """Shared CTE prefix for the IVF twins (knn_ivf / knn_ivfpq): the
+    unrolled integer k-means c0..c{iters}, corpus assignment fa and query
+    probe table — exact int dots/sums throughout; the only float work per
+    centroid update is one multiply, one correctly-rounded sqrt of an
+    exact int, one divide, bit-identical to numpy."""
     parts = [f"""
         WITH eq AS MATERIALIZED (SELECT vec_id,
                       list_transform(embedding,
@@ -967,7 +968,17 @@ def _knn_ivf_sql(k: int, query_stride: int, n_lists: int, n_probe: int,
                  ORDER BY dot DESC, c) AS rn FROM fd),
         fa AS MATERIALIZED (SELECT vec_id, c AS list_id FROM fr WHERE rn = 1),
         probe AS (SELECT vec_id AS query_id, c AS list_id FROM fr
-                  WHERE vec_id % {query_stride} = 0 AND rn <= {n_probe}),
+                  WHERE vec_id % {query_stride} = 0 AND rn <= {n_probe})""")
+    return "".join(parts)
+
+
+def _knn_ivf_sql(k: int, query_stride: int, n_lists: int, n_probe: int,
+                 sample_stride: int, iters: int) -> str:
+    """DuckDB twin of similarity.knn_ivf — the FULL retrieval including
+    the quantizer fit (see _ivf_kmeans_ctes), then candidate join and
+    exact-cosine ranking (the knn_bruteforce scoring expression)."""
+    return _ivf_kmeans_ctes(n_lists, sample_stride, iters,
+                            query_stride, n_probe) + f""",
         cand AS (SELECT DISTINCT p.query_id, f.vec_id AS neighbor_id
                  FROM probe p JOIN fa f ON f.list_id = p.list_id
                  WHERE f.vec_id <> p.query_id),
@@ -979,8 +990,64 @@ def _knn_ivf_sql(k: int, query_stride: int, n_lists: int, n_probe: int,
                    FROM cand
                    JOIN embeddings a ON a.vec_id = cand.query_id
                    JOIN embeddings b ON b.vec_id = cand.neighbor_id)
-        SELECT query_id, rnk, neighbor_id FROM scored WHERE rnk <= {k}""")
-    return "".join(parts)
+        SELECT query_id, rnk, neighbor_id FROM scored WHERE rnk <= {k}"""
+
+
+def _knn_ivfpq_sql(k: int, query_stride: int, n_lists: int, n_probe: int,
+                   sample_stride: int, iters: int, n_sub: int,
+                   n_codes: int, rerank: int) -> str:
+    """DuckDB twin of similarity.knn_ivfpq — IVF coarse quantizer (shared
+    k-means CTEs), PQ codebook fit + corpus encoding (exact int squared-L2
+    per subspace), ADC candidate scoring (sum of the query's exact int
+    subspace distances to each candidate's codes), top-``rerank`` by
+    (adc, vec_id), exact-cosine rerank to top-k."""
+    from go_scrapper_ray.pipelines.similarity import EMB_DIMS
+
+    sd = EMB_DIMS // n_sub
+    sl = f"[sub.s*{sd}+1 : sub.s*{sd}+{sd}]"
+    return _ivf_kmeans_ctes(n_lists, sample_stride, iters,
+                            query_stride, n_probe) + f""",
+        cb0 AS (SELECT vec_id AS cid0, qq AS cv FROM eq
+                ORDER BY vec_id LIMIT {n_codes}),
+        cb AS MATERIALIZED (SELECT row_number() OVER (ORDER BY cid0) - 1
+                              AS code, cv
+               FROM cb0),
+        sub AS (SELECT unnest(range({n_sub})) AS s),
+        dall AS MATERIALIZED (SELECT eq.vec_id, sub.s, cb.code,
+                CAST(list_inner_product(eq.qq{sl}, eq.qq{sl})
+                 - 2*list_inner_product(eq.qq{sl}, cb.cv{sl})
+                 + list_inner_product(cb.cv{sl}, cb.cv{sl})
+                     AS BIGINT) AS d2
+              FROM eq CROSS JOIN sub CROSS JOIN cb),
+        pcode AS MATERIALIZED (SELECT vec_id, s, code FROM (
+                   SELECT vec_id, s, code,
+                     row_number() OVER (PARTITION BY vec_id, s
+                                        ORDER BY d2, code) AS rn
+                   FROM dall) WHERE rn = 1),
+        cand AS (SELECT p.query_id, f.vec_id AS neighbor_id
+                 FROM probe p JOIN fa f ON f.list_id = p.list_id
+                 WHERE f.vec_id <> p.query_id),
+        adc AS MATERIALIZED (SELECT c.query_id, c.neighbor_id,
+                 sum(dq.d2) AS adc
+               FROM cand c
+               JOIN pcode pv ON pv.vec_id = c.neighbor_id
+               JOIN dall dq ON dq.vec_id = c.query_id AND dq.s = pv.s
+                           AND dq.code = pv.code
+               GROUP BY 1, 2),
+        topr AS (SELECT query_id, neighbor_id FROM (
+                   SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY adc, neighbor_id) AS rn
+                   FROM adc) WHERE rn <= {rerank}),
+        scored AS (SELECT t.query_id, t.neighbor_id,
+                     row_number() OVER (PARTITION BY t.query_id
+                       ORDER BY list_cosine_similarity(a.embedding,
+                                                       b.embedding) DESC,
+                                t.neighbor_id) AS rnk
+                   FROM topr t
+                   JOIN embeddings a ON a.vec_id = t.query_id
+                   JOIN embeddings b ON b.vec_id = t.neighbor_id)
+        SELECT query_id, rnk, neighbor_id FROM scored WHERE rnk <= {k}"""
 
 
 def _hopping_sql(window_s: int, hop_s: int) -> str:
@@ -1166,6 +1233,18 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a, embeddings b
             WHERE a.vec_id < b.vec_id
               AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45""",
+        "docs_surprisal": r"""
+            WITH tok AS (SELECT doc_id,
+                           unnest(regexp_extract_all(lower(text), '\S+'))
+                             AS token
+                         FROM documents),
+            n AS (SELECT count(*) AS nd FROM documents),
+            df AS (SELECT token, count(DISTINCT doc_id) AS df
+                   FROM tok GROUP BY 1)
+            SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+                   sum(strlen(bin((SELECT nd FROM n) // df.df)) - 1)::BIGINT
+                     AS surprisal
+            FROM tok t JOIN df USING (token) GROUP BY 1""",
         "events_anomaly": _anomaly_sql(
             _sig_default(events.anomaly_flags, "z")),
         "events_late": _late_sql(
@@ -1188,6 +1267,16 @@ def oracle_sql() -> dict[str, str]:
             _sig_default(similarity.knn_lsh, "query_stride"),
             _sig_default(similarity.knn_lsh, "n_planes"),
             _sig_default(similarity.knn_lsh, "n_tables")),
+        "knn_ivfpq": _knn_ivfpq_sql(
+            _sig_default(similarity.knn_ivfpq, "k"),
+            _sig_default(similarity.knn_ivfpq, "query_stride"),
+            _sig_default(similarity.knn_ivfpq, "n_lists"),
+            _sig_default(similarity.knn_ivfpq, "n_probe"),
+            _sig_default(similarity.knn_ivfpq, "sample_stride"),
+            _sig_default(similarity.knn_ivfpq, "iters"),
+            _sig_default(similarity.knn_ivfpq, "n_sub"),
+            _sig_default(similarity.knn_ivfpq, "n_codes"),
+            _sig_default(similarity.knn_ivfpq, "rerank")),
         "knn_ivf": _knn_ivf_sql(
             _sig_default(similarity.knn_ivf, "k"),
             _sig_default(similarity.knn_ivf, "query_stride"),

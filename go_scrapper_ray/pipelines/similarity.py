@@ -608,3 +608,196 @@ def pq_assign(sf_dir: str, n_sub: int = 8, n_codes: int = 16) -> rd.Dataset:
             "dist": pa.array(np.concatenate(out_d), pa.int64())})
 
     return _emb(sf_dir).map_batches(kernel, batch_format="pyarrow")
+
+
+def _pq_codebooks(sf_dir: str, n_sub: int, n_codes: int):
+    """(n_sub, n_codes, sd) int64 codebook tensor — sub-vectors of the
+    n_codes smallest vec_ids (two-pass pruned read; the deterministic
+    sample pick shared with pq_assign)."""
+    import pyarrow.parquet as pq
+
+    ids_only = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id"])["vec_id"]
+    ids_np = np.sort(ids_only.to_numpy(zero_copy_only=False).astype(np.int64))
+    if len(ids_np) == 0:
+        raise ValueError("embeddings table is empty; no codebook")
+    kth = int(ids_np[min(n_codes, len(ids_np)) - 1])
+    ct = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "<=", kth)])
+    CQ = _quant1000(np.array(ct["embedding"].to_pylist(), dtype=np.float64))
+    cids = ct["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    o = np.argsort(cids)[:n_codes]
+    CQ = CQ[o]
+    dims = CQ.shape[1]
+    assert dims % n_sub == 0
+    sd = dims // n_sub
+    return np.stack([CQ[:, s * sd:(s + 1) * sd] for s in range(n_sub)])
+
+
+def _pq_encode(Q: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, n_sub) uint8 codes: exact int squared-L2 argmin per subspace
+    (ties → smaller code id, np.argmin first-min)."""
+    n_sub, n_codes, sd = books.shape
+    out = np.empty((len(Q), n_sub), np.uint8)
+    for s in range(n_sub):
+        X = Q[:, s * sd:(s + 1) * sd]
+        C = books[s]
+        d2 = ((X * X).sum(axis=1)[:, None] - 2 * (X @ C.T)
+              + (C * C).sum(axis=1)[None, :])
+        out[:, s] = np.argmin(d2, axis=1).astype(np.uint8)
+    return out
+
+
+def knn_ivfpq(sf_dir: str, k: int = 5, query_stride: int = 50,
+              n_lists: int = 16, n_probe: int = 6, sample_stride: int = 2,
+              iters: int = 10, n_sub: int = 8, n_codes: int = 16,
+              rerank: int = 64) -> rd.Dataset:
+    """(query_id, rnk, neighbor_id): the FAISS-style IVF+PQ retrieval —
+    the memory-bounded ANN path for 100 TB-scale embedding stores:
+
+      1. IVF coarse quantizer: the deterministic integer k-means of
+         ``_kmeans_int`` (shared with knn_ivf);
+      2. PQ encoding: each corpus vector stored as ``n_sub`` BYTES (its
+         per-subspace nearest-codebook-entry ids, exact int squared-L2);
+      3. ADC candidate scoring: for each (query × probed-list) candidate,
+         the approximate distance is the sum of the query's EXACT integer
+         subspace distances to the candidate's codes — computed from an
+         (n_sub × n_codes) per-query lookup table, never the candidate's
+         raw vector;
+      4. top-``rerank`` candidates per query by (adc, vec_id) fetch their
+         REAL vectors via a vec_id-co-partitioned hash join and rerank by
+         exact cosine to the final top-k.
+
+    Every stage is bit-reproducible, so the WHOLE retrieval has a DuckDB
+    twin (``__ray_entry__._knn_ivfpq_sql``); recall vs brute force is
+    floor-tested in pytest.
+
+    Scale shape: the candidate join carries (list_id, vec_id, n_sub-byte
+    codes) rows — the PQ-compressed index, not vectors; only
+    rerank × queries rows ever touch a raw vector again, through a second
+    co-partitioned join.  Broadcast state is the centroid tensor + the
+    codebooks + per-query LUTs (all sample/constant-sized)."""
+    from ..agg import hash_join
+
+    s_ids, S = _query_matrix(sf_dir, sample_stride, normalize=False)
+    C = _kmeans_int(s_ids, S, n_lists, iters)
+    books = _pq_codebooks(sf_dir, n_sub, n_codes)
+    c_ref = ray.put((C, books))
+
+    def encode(t: pa.Table) -> pa.Table:
+        CC, B = ray.get(c_ref)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        Q = _quant1000(np.array(t["embedding"].to_pylist(),
+                                dtype=np.float64))
+        lists = np.argmax(Q @ CC.T, axis=1).astype(np.int64)
+        codes = _pq_encode(Q, B)
+        return pa.table({"list_id": pa.array(lists),
+                         "vec_id": pa.array(ids, pa.int64()),
+                         "codes": pa.array([r.tobytes() for r in codes],
+                                           pa.binary())})
+
+    index = _emb(sf_dir).map_batches(encode, batch_format="pyarrow")
+
+    # queries: probe lists + per-query exact-int LUTs (n_sub x n_codes)
+    q_ids, Q_raw = _query_matrix(sf_dir, query_stride, normalize=False)
+    Qq = _quant1000(Q_raw) if len(q_ids) else np.empty((0, 0), np.int64)
+    dots = Qq @ C.T
+    cidx = np.arange(C.shape[0], dtype=np.int64)
+    n_pr = min(n_probe, C.shape[0])
+    rows_l, rows_q, rows_t = [], [], []
+    for qi in range(len(q_ids)):
+        order = np.lexsort((cidx, -dots[qi]))[:n_pr]
+        lut = np.empty((n_sub, n_codes), np.int64)
+        sdd = books.shape[2]
+        for s in range(n_sub):
+            X = Qq[qi, s * sdd:(s + 1) * sdd]
+            Cb = books[s]
+            lut[s] = (X @ X) - 2 * (Cb @ X) + (Cb * Cb).sum(axis=1)
+        blob = lut.tobytes()
+        for li in order:
+            rows_l.append(int(li))
+            rows_q.append(int(q_ids[qi]))
+            rows_t.append(blob)
+    q_tbl = pa.table({"list_id": pa.array(rows_l, pa.int64()),
+                      "query_id": pa.array(rows_q, pa.int64()),
+                      "lut": pa.array(rows_t, pa.binary())})
+
+    joined = hash_join(rd.from_arrow(q_tbl), index, on="list_id",
+                       left_cols={"query_id": pa.int64(),
+                                  "lut": pa.binary()},
+                       right_cols={"vec_id": pa.int64(),
+                                   "codes": pa.binary()})
+
+    def adc_topr(t: pa.Table) -> pa.Table:
+        """ADC scores + per-batch top-``rerank`` combiner per query (the
+        global top-R is within the union of per-batch top-Rs)."""
+        if len(t) == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "adc": pa.array([], pa.int64())})
+        n = len(t)
+        luts = np.frombuffer(b"".join(t["lut"].to_pylist()),
+                             np.int64).reshape(n, n_sub, n_codes)
+        codes = np.frombuffer(b"".join(t["codes"].to_pylist()),
+                              np.uint8).reshape(n, n_sub)
+        adc = np.take_along_axis(
+            luts, codes[:, :, None].astype(np.int64), axis=2
+        )[:, :, 0].sum(axis=1)
+        qid = t["query_id"].to_numpy(zero_copy_only=False)
+        vid = t["vec_id"].to_numpy(zero_copy_only=False)
+        m = qid != vid
+        df = pd.DataFrame({"query_id": qid[m], "vec_id": vid[m],
+                           "adc": adc[m]})
+        df = (df.sort_values(["adc", "vec_id"], kind="mergesort")
+                .groupby("query_id", sort=False).head(rerank))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def topr_final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["adc", "vec_id"], kind="mergesort").head(rerank)
+        return g[["query_id", "vec_id"]]
+
+    topr = (joined.map_batches(adc_topr, batch_format="pyarrow")
+            .groupby("query_id")
+            .map_groups(topr_final, batch_format="pandas"))
+
+    # rerank: only rerank x queries rows fetch a real vector, through a
+    # vec_id-co-partitioned join against the normalized corpus
+    def norm_rows_tbl(t: pa.Table) -> pa.Table:
+        ids, M = _norm_rows(t)
+        return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                         "v": pa.array([r.tobytes() for r in M],
+                                       pa.binary())})
+
+    corpus_n = _emb(sf_dir).map_batches(norm_rows_tbl,
+                                        batch_format="pyarrow")
+    cand_v = hash_join(topr, corpus_n, on="vec_id",
+                       left_cols={"query_id": pa.int64()},
+                       right_cols={"v": pa.binary()})
+
+    Qn = (Q_raw / np.linalg.norm(Q_raw, axis=1, keepdims=True)
+          if len(q_ids) else Q_raw)
+    qn_ref = ray.put((q_ids, Qn))
+
+    def score(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        qi_ids, qM = ray.get(qn_ref)
+        n = len(t)
+        cv = np.frombuffer(b"".join(t["v"].to_pylist()),
+                           np.float64).reshape(n, -1)
+        qid = t["query_id"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(qi_ids, qid)
+        s = np.einsum("ij,ij->i", qM[pos], cv)
+        return pa.table({"query_id": pa.array(qid, pa.int64()),
+                         "neighbor_id": t["vec_id"],
+                         "score": pa.array(s, pa.float64())})
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        return _topk_frame(g, k)
+
+    return (cand_v.map_batches(score, batch_format="pyarrow")
+            .groupby("query_id")
+            .map_groups(merge_group, batch_format="pandas"))

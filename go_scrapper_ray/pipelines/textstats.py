@@ -718,3 +718,67 @@ def oov_rate(sf_dir: str, vocab_size: int = 100) -> rd.Dataset:
                          "n_oov": pa.array(n_oov, pa.int64())})
 
     return docs(sf_dir).map_batches(kernel, batch_format="pyarrow")
+
+
+def surprisal(sf_dir: str) -> rd.Dataset:
+    """(doc_id, n_tokens, surprisal): integer unigram-surprisal quality
+    score — Σ over token OCCURRENCES of floor(log2(N_docs / df(token))),
+    the exact-arithmetic stand-in for unigram cross-entropy (CCNet-style
+    LM quality filtering): rare-token-heavy documents score high, stopword
+    soup scores ~0.  floor(log2) computes as bit_length-1 of the integer
+    quotient — exact in Python and as strlen(bin(x))-1 in DuckDB, so the
+    score is bit-reproducible at any width (no float log).
+
+    Scale shape: df via combiner-before-shuffle hash_agg (vocab-sized);
+    (doc_id, token, tf) occurrence rows hash_join the df table
+    co-partitioned on token; one hash_agg(doc_id) sums the per-token
+    contributions — the two exchanges carry (doc, distinct-token)-sized
+    id rows, never text."""
+    from collections import Counter
+
+    from ..agg import hash_agg, hash_join
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for s in t["text"].to_pylist():
+            c.update(set(s.lower().split()))
+        return pa.table({"token": pa.array(list(c.keys()), pa.string()),
+                         "p_n": pa.array(list(c.values()), pa.int64())})
+
+    src = docs(sf_dir)
+    df_ds = hash_agg(src.map_batches(df_partial, batch_format="pyarrow"),
+                     "token", [("p_n", "sum", "df")])
+    n_docs = src.count()
+
+    def tf_rows(t: pa.Table) -> pa.Table:
+        ids, toks, tfs = [], [], []
+        for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            for w, n in Counter(s.lower().split()).items():
+                ids.append(did)
+                toks.append(w)
+                tfs.append(n)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "token": pa.array(toks, pa.string()),
+                         "tf": pa.array(tfs, pa.int64())})
+
+    joined = hash_join(src.map_batches(tf_rows, batch_format="pyarrow"),
+                       df_ds, on="token",
+                       left_cols={"doc_id": pa.int64(), "tf": pa.int64()},
+                       right_cols={"df": pa.int64()})
+
+    def contrib(t: pa.Table) -> pa.Table:
+        tf = t["tf"].to_numpy(zero_copy_only=False)
+        dfv = t["df"].to_numpy(zero_copy_only=False)
+        # exact bit_length over the (few) UNIQUE df values, then gather —
+        # float log2 would be wrong at exact powers of two
+        uq, inv = np.unique(dfv, return_inverse=True)
+        ub = np.fromiter(((int(n_docs) // int(d)).bit_length() - 1
+                          for d in uq), dtype=np.int64, count=len(uq))
+        bits = ub[inv]
+        return pa.table({"doc_id": t["doc_id"],
+                         "p_tok": pa.array(tf, pa.int64()),
+                         "p_sur": pa.array(tf * bits, pa.int64())})
+
+    return hash_agg(joined.map_batches(contrib, batch_format="pyarrow"),
+                    "doc_id", [("p_tok", "sum", "n_tokens"),
+                               ("p_sur", "sum", "surprisal")])

@@ -158,7 +158,8 @@ def test_simhash_matches_bruteforce(ray_session, tmp_path):
 
 
 @pytest.mark.parametrize("ann_name,floor", [("knn_lsh", 0.5),
-                                            ("knn_ivf", 0.6)])
+                                            ("knn_ivf", 0.6),
+                                            ("knn_ivfpq", 0.5)])
 def test_knn_ann_recall(ray_session, qmap, ann_name, floor):
     """ANN recall@5 vs brute force must be reasonable on the embeddings."""
     queries, _ = qmap
