@@ -69,3 +69,51 @@ def test_filter_backlog_flushes_at_checkpoint(ray_session, tmp_path):
     # previously-seen stays non-new after the deferred-flush round trip
     again = ray.get(s2.add_if_new.remote(hashes[:10], ["x"] * 10))
     assert again == [False] * 10
+
+
+def test_resolve_dedups_at_least_once_submission(ray_session):
+    """At-least-once delivery safety: a round task that is speculatively
+    re-executed re-submits the SAME link table to the seen shards.
+    resolve() must pick the same winners and push each URL to the frontier
+    exactly once (the vectorized first-occurrence pick dedups duplicate
+    rows; the exact dict blocks cross-round replays)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    from go_scrapper_ray.state.frontier import FrontierShard
+    from go_scrapper_ray.state.seen import SeenShard
+
+    fcfg = {"delay_ms": 0, "jitter_ms": 0, "jitter_seed": 1,
+            "ignore_robots": True, "max_per_host_per_round": 0}
+    frontier = [FrontierShard.remote(0, fcfg)]
+    seen = SeenShard.remote(0)
+    ray.get(seen.set_frontier.remote(frontier))
+
+    def links(n):
+        return pa.table({
+            "seed_id": pa.array(list(range(n)), pa.int64()),
+            "page_seq": pa.array([10 + i for i in range(n)], pa.int64()),
+            "emit_idx": pa.array([0] * n, pa.int32()),
+            "l_url": pa.array([f"https://h.example/p{i}" for i in range(n)]),
+            "l_canon": pa.array([f"https://h.example/p{i}" for i in range(n)]),
+            "l_hash": pa.array(list(range(100, 100 + n)), pa.uint64()),
+            "l_host": pa.array(["h.example"] * n),
+            "l_hosthash": pa.array([7] * n, pa.uint64()),
+            "l_kind": pa.array(["feed"] * n),
+            "l_depth": pa.array([1] * n, pa.int32()),
+            "l_rel": pa.array(["x"] * n),
+            "l_src": pa.array(["https://h.example/"] * n),
+        })
+
+    t = links(5)
+    ray.get(seen.submit.remote(t))
+    ray.get(seen.submit.remote(t))      # duplicate delivery (task retry)
+    edges, cand, _ = ray.get(seen.resolve.remote())
+    assert edges.num_rows == 5          # one edge per URL, not 10
+    assert ray.get(frontier[0].pending.remote()) == 5  # one push per URL
+
+    # cross-round replay: the SAME table again later must add nothing
+    ray.get(seen.submit.remote(t))
+    edges2, _, _ = ray.get(seen.resolve.remote())
+    assert edges2 is None or edges2.num_rows == 0
+    assert ray.get(frontier[0].pending.remote()) == 5
