@@ -71,3 +71,32 @@ def test_item_counts(oracle, engine_result):
     for sid, o in oracle.outcomes.items():
         assert engine_result.outcomes[sid].item_scraped_count == \
             o.item_scraped_count, sid
+
+
+def test_seedctl_shard_count_invariance(ray_session, fixture_corpus,
+                                        engine_result, tmp_path_factory):
+    """Byte output must be invariant to the seed-state shard count (the
+    per-seed state machine is hash-partitioned bookkeeping, not a
+    semantic boundary): a 1-shard run equals the default-8-shard run."""
+    import json
+
+    from go_scrapper_ray.config import CrawlConfig
+    from go_scrapper_ray.pipelines.crawl import CrawlEngine
+
+    corpus_dir, _ = fixture_corpus
+    cfg = CrawlConfig.from_json(
+        (__import__("pathlib").Path(corpus_dir) / "crawl_config.json")
+        .read_text())
+    cfg.num_seed_shards = 1
+    wd = tmp_path_factory.mktemp("crawl_wd_1shard")
+    res1 = CrawlEngine(corpus_dir, str(wd), cfg=cfg,
+                       checkpoints=False).run()
+
+    assert {s: o.status for s, o in res1.outcomes.items()} == \
+        {s: o.status for s, o in engine_result.outcomes.items()}
+    assert res1.seen == engine_result.seen
+    for sid in engine_result.outcomes:
+        assert res1.jsonl_lines(sid) == engine_result.jsonl_lines(sid), sid
+    m1 = json.loads((res1.workdir / "meta.json").read_text())
+    m8 = json.loads((engine_result.workdir / "meta.json").read_text())
+    assert m1 == m8
