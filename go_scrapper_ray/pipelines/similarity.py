@@ -699,33 +699,33 @@ def knn_ivfpq(sf_dir: str, k: int = 5, query_stride: int = 50,
 
     index = _emb(sf_dir).map_batches(encode, batch_format="pyarrow")
 
-    # queries: probe lists + per-query exact-int LUTs (n_sub x n_codes)
+    # queries: probe lists + per-query exact-int LUTs (n_sub x n_codes).
+    # The LUT TENSOR broadcasts once (queries × n_sub × n_codes ints —
+    # output-sized); join rows carry only (list_id, query_id), so the
+    # exchange moves ids + n_sub-byte codes, never LUTs or vectors.
     q_ids, Q_raw = _query_matrix(sf_dir, query_stride, normalize=False)
     Qq = _quant1000(Q_raw) if len(q_ids) else np.empty((0, 0), np.int64)
     dots = Qq @ C.T
     cidx = np.arange(C.shape[0], dtype=np.int64)
     n_pr = min(n_probe, C.shape[0])
-    rows_l, rows_q, rows_t = [], [], []
+    sdd = books.shape[2]
+    luts = np.empty((len(q_ids), n_sub, n_codes), np.int64)
+    rows_l, rows_q = [], []
     for qi in range(len(q_ids)):
         order = np.lexsort((cidx, -dots[qi]))[:n_pr]
-        lut = np.empty((n_sub, n_codes), np.int64)
-        sdd = books.shape[2]
         for s in range(n_sub):
             X = Qq[qi, s * sdd:(s + 1) * sdd]
             Cb = books[s]
-            lut[s] = (X @ X) - 2 * (Cb @ X) + (Cb * Cb).sum(axis=1)
-        blob = lut.tobytes()
+            luts[qi, s] = (X @ X) - 2 * (Cb @ X) + (Cb * Cb).sum(axis=1)
         for li in order:
             rows_l.append(int(li))
             rows_q.append(int(q_ids[qi]))
-            rows_t.append(blob)
+    lut_ref = ray.put((q_ids, luts))  # q_ids sorted asc by _query_matrix
     q_tbl = pa.table({"list_id": pa.array(rows_l, pa.int64()),
-                      "query_id": pa.array(rows_q, pa.int64()),
-                      "lut": pa.array(rows_t, pa.binary())})
+                      "query_id": pa.array(rows_q, pa.int64())})
 
     joined = hash_join(rd.from_arrow(q_tbl), index, on="list_id",
-                       left_cols={"query_id": pa.int64(),
-                                  "lut": pa.binary()},
+                       left_cols={"query_id": pa.int64()},
                        right_cols={"vec_id": pa.int64(),
                                    "codes": pa.binary()})
 
@@ -736,15 +736,15 @@ def knn_ivfpq(sf_dir: str, k: int = 5, query_stride: int = 50,
             return pa.table({"query_id": pa.array([], pa.int64()),
                              "vec_id": pa.array([], pa.int64()),
                              "adc": pa.array([], pa.int64())})
+        lq_ids, L = ray.get(lut_ref)
         n = len(t)
-        luts = np.frombuffer(b"".join(t["lut"].to_pylist()),
-                             np.int64).reshape(n, n_sub, n_codes)
+        qid = t["query_id"].to_numpy(zero_copy_only=False)
         codes = np.frombuffer(b"".join(t["codes"].to_pylist()),
                               np.uint8).reshape(n, n_sub)
+        row_luts = L[np.searchsorted(lq_ids, qid)]  # (n, n_sub, n_codes)
         adc = np.take_along_axis(
-            luts, codes[:, :, None].astype(np.int64), axis=2
+            row_luts, codes[:, :, None].astype(np.int64), axis=2
         )[:, :, 0].sum(axis=1)
-        qid = t["query_id"].to_numpy(zero_copy_only=False)
         vid = t["vec_id"].to_numpy(zero_copy_only=False)
         m = qid != vid
         df = pd.DataFrame({"query_id": qid[m], "vec_id": vid[m],
@@ -753,51 +753,50 @@ def knn_ivfpq(sf_dir: str, k: int = 5, query_stride: int = 50,
                 .groupby("query_id", sort=False).head(rerank))
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    def topr_final(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["adc", "vec_id"], kind="mergesort").head(rerank)
-        return g[["query_id", "vec_id"]]
+    # the per-batch-combined ADC survivors are OUTPUT-sized (≤ rerank ×
+    # queries per block), so the global top-R collects to the driver —
+    # bounded by queries × rerank rows, the same budget _query_matrix
+    # already uses — instead of paying a sort exchange
+    parts = list(joined.map_batches(adc_topr, batch_format="pyarrow")
+                 .iter_batches(batch_format="pyarrow"))
+    allr = (pa.concat_tables(parts) if parts
+            else pa.table({"query_id": pa.array([], pa.int64()),
+                           "vec_id": pa.array([], pa.int64()),
+                           "adc": pa.array([], pa.int64())}))
+    topr_df = (allr.to_pandas()
+               .sort_values(["adc", "vec_id"], kind="mergesort")
+               .groupby("query_id", sort=False).head(rerank))
 
-    topr = (joined.map_batches(adc_topr, batch_format="pyarrow")
-            .groupby("query_id")
-            .map_groups(topr_final, batch_format="pandas"))
-
-    # rerank: only rerank x queries rows fetch a real vector, through a
-    # vec_id-co-partitioned join against the normalized corpus
-    def norm_rows_tbl(t: pa.Table) -> pa.Table:
-        ids, M = _norm_rows(t)
-        return pa.table({"vec_id": pa.array(ids, pa.int64()),
-                         "v": pa.array([r.tobytes() for r in M],
-                                       pa.binary())})
-
-    corpus_n = _emb(sf_dir).map_batches(norm_rows_tbl,
-                                        batch_format="pyarrow")
-    cand_v = hash_join(topr, corpus_n, on="vec_id",
-                       left_cols={"query_id": pa.int64()},
-                       right_cols={"v": pa.binary()})
-
+    # rerank: broadcast the output-sized (vec_id → [query_id]) multimap
+    # and SEMI-JOIN it against one streaming pass over the corpus — only
+    # rerank × queries pairs ever score, and no all-to-all moves vectors
+    wanted: dict[int, list[int]] = {}
+    for qid, vid in zip(topr_df["query_id"], topr_df["vec_id"]):
+        wanted.setdefault(int(vid), []).append(int(qid))
     Qn = (Q_raw / np.linalg.norm(Q_raw, axis=1, keepdims=True)
           if len(q_ids) else Q_raw)
-    qn_ref = ray.put((q_ids, Qn))
+    w_ref = ray.put((wanted, q_ids, Qn))
 
     def score(t: pa.Table) -> pa.Table:
-        if len(t) == 0:
-            return pa.table({"query_id": pa.array([], pa.int64()),
-                             "neighbor_id": pa.array([], pa.int64()),
-                             "score": pa.array([], pa.float64())})
-        qi_ids, qM = ray.get(qn_ref)
-        n = len(t)
-        cv = np.frombuffer(b"".join(t["v"].to_pylist()),
-                           np.float64).reshape(n, -1)
-        qid = t["query_id"].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(qi_ids, qid)
-        s = np.einsum("ij,ij->i", qM[pos], cv)
-        return pa.table({"query_id": pa.array(qid, pa.int64()),
-                         "neighbor_id": t["vec_id"],
-                         "score": pa.array(s, pa.float64())})
+        wmap, qi_ids, qM = ray.get(w_ref)
+        ids, M = _norm_rows(t)
+        rows_q, rows_n, rows_s = [], [], []
+        for i, vid in enumerate(ids):
+            qs = wmap.get(int(vid))
+            if not qs:
+                continue
+            for qid in qs:
+                pos = int(np.searchsorted(qi_ids, qid))
+                rows_q.append(qid)
+                rows_n.append(int(vid))
+                rows_s.append(float(qM[pos] @ M[i]))
+        return pa.table({"query_id": pa.array(rows_q, pa.int64()),
+                         "neighbor_id": pa.array(rows_n, pa.int64()),
+                         "score": pa.array(rows_s, pa.float64())})
 
     def merge_group(g: pd.DataFrame) -> pd.DataFrame:
         return _topk_frame(g, k)
 
-    return (cand_v.map_batches(score, batch_format="pyarrow")
+    return (_emb(sf_dir).map_batches(score, batch_format="pyarrow")
             .groupby("query_id")
             .map_groups(merge_group, batch_format="pandas"))

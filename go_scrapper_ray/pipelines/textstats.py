@@ -729,11 +729,13 @@ def surprisal(sf_dir: str) -> rd.Dataset:
     quotient — exact in Python and as strlen(bin(x))-1 in DuckDB, so the
     score is bit-reproducible at any width (no float log).
 
-    Scale shape: df via combiner-before-shuffle hash_agg (vocab-sized);
-    (doc_id, token, tf) occurrence rows hash_join the df table
-    co-partitioned on token; one hash_agg(doc_id) sums the per-token
-    contributions — the two exchanges carry (doc, distinct-token)-sized
-    id rows, never text."""
+    Scale shape, size-gated (the jaccard pattern): when the vocab fits a
+    broadcast budget (≤ 2^16 tokens), the token→bits dict broadcasts and
+    the whole score is ONE streaming map_batches — no shuffle at all.
+    Past the gate, (doc_id, token, tf) occurrence rows hash_join the
+    distributed df table co-partitioned on token, then one hash_agg
+    (doc_id) sums the contributions — two exchanges of id-sized rows,
+    never text."""
     from collections import Counter
 
     from ..agg import hash_agg, hash_join
@@ -750,6 +752,40 @@ def surprisal(sf_dir: str) -> rd.Dataset:
                      "token", [("p_n", "sum", "df")])
     n_docs = src.count()
 
+    def _bits_of(df: int) -> int:
+        return (int(n_docs) // int(df)).bit_length() - 1
+
+    # ---- FAST PATH: vocab-sized broadcast → single streaming pass
+    vocab_bits: dict[str, int] = {}
+    over_gate = False
+    for t in df_ds.iter_batches(batch_format="pyarrow"):
+        for w, d in zip(t["token"].to_pylist(), t["df"].to_pylist()):
+            vocab_bits[w] = _bits_of(d)
+        if len(vocab_bits) > (1 << 16):
+            over_gate = True
+            break
+    if not over_gate:
+        import ray as _ray
+        vb_ref = _ray.put(vocab_bits)
+
+        def score_direct(t: pa.Table) -> pa.Table:
+            vb = _ray.get(vb_ref)
+            ids, ntok, sur = [], [], []
+            for did, s in zip(t["doc_id"].to_pylist(),
+                              t["text"].to_pylist()):
+                ws = s.lower().split()
+                if not ws:
+                    continue
+                ids.append(did)
+                ntok.append(len(ws))
+                sur.append(sum(vb[w] for w in ws))
+            return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "n_tokens": pa.array(ntok, pa.int64()),
+                             "surprisal": pa.array(sur, pa.int64())})
+
+        return src.map_batches(score_direct, batch_format="pyarrow")
+
+    # ---- AT SCALE: token-co-partitioned join + doc-keyed aggregate
     def tf_rows(t: pa.Table) -> pa.Table:
         ids, toks, tfs = [], [], []
         for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
@@ -772,8 +808,8 @@ def surprisal(sf_dir: str) -> rd.Dataset:
         # exact bit_length over the (few) UNIQUE df values, then gather —
         # float log2 would be wrong at exact powers of two
         uq, inv = np.unique(dfv, return_inverse=True)
-        ub = np.fromiter(((int(n_docs) // int(d)).bit_length() - 1
-                          for d in uq), dtype=np.int64, count=len(uq))
+        ub = np.fromiter((_bits_of(d) for d in uq),
+                         dtype=np.int64, count=len(uq))
         bits = ub[inv]
         return pa.table({"doc_id": t["doc_id"],
                          "p_tok": pa.array(tf, pa.int64()),
