@@ -9,16 +9,17 @@ here calls ray.init()/ray.shutdown().
 ``queries()`` — one entry per implemented operator (SURVEY.md §2 + the
                 training-data ops); each takes sf_dir.
 ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query
-                (same column names!).  50 queries are SQL-checked, including
-                the sketch ops (simhash / minhash LSH dedup / winnowing /
-                langid — their kernels use md5-upper64 token hashes and
-                mod-2**64 permutations precisely so DuckDB can reproduce
-                them exactly), url_canonicalize, and the composed
-                clean-corpus pipeline.  Rows-only remainder, structurally
-                non-SQL: the 5 crawl outputs (stateful iterative engine),
-                knn_lsh / knn_ivf (approximate ANN — correctness is recall
-                vs the SQL-checked brute-force, tested in pytest), and the
-                2 media queries (codecs stubbed in-sandbox).
+                (same column names!).  97 of 102 queries are SQL-checked,
+                including the sketch ops (simhash / minhash LSH dedup /
+                winnowing / langid — their kernels use md5-upper64 token
+                hashes and mod-2**64 permutations precisely so DuckDB can
+                reproduce them exactly), the FULL ANN retrievals
+                (knn_lsh md5-parity hyperplanes, knn_ivf unrolled integer
+                k-means, knn_ivfpq IVF+PQ+ADC+rerank), the media queries
+                (deterministic fake codec over utf-8 payload bytes), and
+                the composed clean-corpus pipeline.  Rows-only remainder,
+                structurally non-SQL: ONLY the 5 crawl outputs (stateful
+                iterative engine — byte-parity-tested instead).
 """
 
 from __future__ import annotations

@@ -247,14 +247,21 @@ def train_shards(sf_dir: str, n_shards: int = 16,
             if not (d / "_done").exists():
                 shutil.rmtree(d, ignore_errors=True)
                 d.mkdir(parents=True, exist_ok=True)
-                # temp-name + rename: a crashed/raced write never leaves a
-                # half-written part.parquet that a resume would trust
-                tmp = d / "part.parquet.tmp"
+                # ATTEMPT-UNIQUE temp name + rename: a crashed write never
+                # leaves a half-written part.parquet behind a _done marker,
+                # and a speculative replay racing this attempt cannot have
+                # its half-written temp renamed into place by us (a fixed
+                # temp name could be overwritten by the other attempt
+                # mid-write; the rename itself is atomic either way)
+                import tempfile
+                fd, tmp = tempfile.mkstemp(dir=str(d),
+                                           suffix=".parquet.tmp")
+                os.close(fd)
                 pq.write_table(
                     pa.Table.from_pandas(
                         g[["pos", "doc_id", "text"]], preserve_index=False),
-                    str(tmp))
-                tmp.rename(d / "part.parquet")
+                    tmp)
+                Path(tmp).rename(d / "part.parquet")
                 (d / "_done").touch()
         return g[["doc_id", "shard", "pos"]]
 

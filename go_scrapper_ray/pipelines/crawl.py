@@ -823,8 +823,12 @@ class CrawlEngine:
         own cursors and submits entries on the deterministic
         submit→resolve path; the driver fans out and triggers the resolve
         wave."""
-        active = sorted(getattr(self, "pushed_seeds", set()))
-        flags = ray.get([c.grow.remote(active) for c in self.seedctl])
+        nsc = len(self.seedctl)
+        per_shard: list[list[int]] = [[] for _ in range(nsc)]
+        for sid in getattr(self, "pushed_seeds", set()):
+            per_shard[sid % nsc].append(sid)
+        flags = ray.get([c.grow.remote(per_shard[i])
+                         for i, c in enumerate(self.seedctl)])
         grew = any(flags)
         if grew:
             # winners push to the frontier inside resolve; no edges for
@@ -880,6 +884,15 @@ class CrawlEngine:
         subsequent rounds re-run from the frontier as checkpointed."""
         ckdir = self.workdir / "checkpoint" / f"round={rnd}"
         assert (ckdir / "_complete").exists()
+        # the seedctl shard count is part of the checkpoint layout (state
+        # is sharded by sid % N): refuse a mismatched resume loudly rather
+        # than silently dropping the seeds of missing shards
+        n_ck = len(list(ckdir.glob("seedctl_*.json")))
+        if n_ck != len(self.seedctl):
+            raise ValueError(
+                f"checkpoint at {ckdir} was written with {n_ck} seedctl "
+                f"shards but this engine has {len(self.seedctl)} "
+                f"(cfg.num_seed_shards) — resume with the same shard count")
         futs = [f.restore.remote(str(ckdir / f"frontier_{i}.parquet"))
                 for i, f in enumerate(self.frontier)]
         futs += [s.restore.remote(str(ckdir / f"seen_{i}.parquet"))

@@ -112,6 +112,15 @@ def _topk_frame(g: pd.DataFrame, k: int) -> pd.DataFrame:
                          "neighbor_id": g["neighbor_id"].to_numpy()})
 
 
+
+def _empty_knn() -> rd.Dataset:
+    """Empty (query_id, rnk, neighbor_id) result — the no-queries case
+    (e.g. no vec_id hits the query stride on an offset-id corpus)."""
+    return rd.from_arrow(pa.table({
+        "query_id": pa.array([], pa.int64()),
+        "rnk": pa.array([], pa.int64()),
+        "neighbor_id": pa.array([], pa.int64())}))
+
 def knn_bruteforce(sf_dir: str, k: int = 5, query_stride: int = 50) -> rd.Dataset:
     """(query_id, rnk, neighbor_id): exact cosine top-k for query vectors
     (every ``query_stride``-th vec_id), self excluded; ties broken by
@@ -122,6 +131,8 @@ def knn_bruteforce(sf_dir: str, k: int = 5, query_stride: int = 50) -> rd.Datase
     candidate at or above the kth score (boundary ties survive), then a
     final per-query merge."""
     q_ids, Q = _query_matrix(sf_dir, query_stride)
+    if len(q_ids) == 0:
+        return _empty_knn()
     q_ref = ray.put((q_ids, Q))
 
     def batch_topk(t: pa.Table) -> pa.Table:
@@ -262,6 +273,8 @@ def knn_ivf(sf_dir: str, k: int = 5, query_stride: int = 50,
     vec_tbl = _emb(sf_dir).map_batches(assign, batch_format="pyarrow")
 
     q_ids, Q_raw = _query_matrix(sf_dir, query_stride, normalize=False)
+    if len(q_ids) == 0:
+        return _empty_knn()
     dots = _quant1000(Q_raw) @ C.T                       # exact int
     # top n_probe lists per query, ties → smaller centroid idx
     cidx = np.arange(C.shape[0], dtype=np.int64)
@@ -334,6 +347,8 @@ def knn_lsh(sf_dir: str, k: int = 5, query_stride: int = 50,
     vec_tbl = _emb(sf_dir).map_batches(corpus_rows, batch_format="pyarrow")
 
     q_ids, Q_raw = _query_matrix(sf_dir, query_stride, normalize=False)
+    if len(q_ids) == 0:
+        return _empty_knn()
     qcodes = _lsh_codes_int(Q_raw, planes)  # (nq, L)
     Q = Q_raw / np.linalg.norm(Q_raw, axis=1, keepdims=True) \
         if len(q_ids) else Q_raw
@@ -561,26 +576,8 @@ def pq_assign(sf_dir: str, n_sub: int = 8, n_codes: int = 16) -> rd.Dataset:
     constant-sized broadcast state; one streaming map_batches computes
     per-batch ‖x‖² − 2x·c + ‖c‖² with vectorized integer matmuls — no
     shuffle."""
-    import pyarrow.parquet as pq
-
-    ids_only = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                             columns=["vec_id"])["vec_id"]
-    ids_np = np.sort(ids_only.to_numpy(zero_copy_only=False).astype(np.int64))
-    if len(ids_np) == 0:
-        raise ValueError("embeddings table is empty; no codebook")
-    kth = int(ids_np[min(n_codes, len(ids_np)) - 1])
-    ct = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                       columns=["vec_id", "embedding"],
-                       filters=[("vec_id", "<=", kth)])
-    CQ = _quant1000(np.array(ct["embedding"].to_pylist(), dtype=np.float64))
-    cids = ct["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    o = np.argsort(cids)[:n_codes]
-    CQ = CQ[o]                       # (n_codes, dims)
-    dims = CQ.shape[1]
-    assert dims % n_sub == 0, "dims must split evenly into subspaces"
-    sd = dims // n_sub
-    # (n_sub, n_codes, sd)
-    books = np.stack([CQ[:, s * sd:(s + 1) * sd] for s in range(n_sub)])
+    books = _pq_codebooks(sf_dir, n_sub, n_codes)  # shared with knn_ivfpq
+    sd = books.shape[2]
     b_ref = ray.put(books)
 
     def kernel(t: pa.Table) -> pa.Table:
@@ -704,7 +701,9 @@ def knn_ivfpq(sf_dir: str, k: int = 5, query_stride: int = 50,
     # output-sized); join rows carry only (list_id, query_id), so the
     # exchange moves ids + n_sub-byte codes, never LUTs or vectors.
     q_ids, Q_raw = _query_matrix(sf_dir, query_stride, normalize=False)
-    Qq = _quant1000(Q_raw) if len(q_ids) else np.empty((0, 0), np.int64)
+    if len(q_ids) == 0:
+        return _empty_knn()
+    Qq = _quant1000(Q_raw)
     dots = Qq @ C.T
     cidx = np.arange(C.shape[0], dtype=np.int64)
     n_pr = min(n_probe, C.shape[0])

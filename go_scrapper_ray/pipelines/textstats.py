@@ -748,8 +748,11 @@ def surprisal(sf_dir: str) -> rd.Dataset:
                          "p_n": pa.array(list(c.values()), pa.int64())})
 
     src = docs(sf_dir)
+    # materialize the VOCAB-SIZED aggregate once: the broadcast gate below
+    # streams it, and the at-scale join path reuses the same blocks
+    # instead of re-running the tokenize+aggregate over the corpus
     df_ds = hash_agg(src.map_batches(df_partial, batch_format="pyarrow"),
-                     "token", [("p_n", "sum", "df")])
+                     "token", [("p_n", "sum", "df")]).materialize()
     n_docs = src.count()
 
     def _bits_of(df: int) -> int:
