@@ -94,3 +94,30 @@ def test_resume_from_round_zero(full_run, tmp_path_factory):
         {s: o.status for s, o in full.outcomes.items()}
     for sid in full.outcomes:
         assert res.jsonl_lines(sid) == full.jsonl_lines(sid), sid
+
+
+def test_resume_rejects_mismatched_seedctl_shards(full_run,
+                                                  tmp_path_factory):
+    """A checkpoint is sharded by sid % num_seed_shards — resuming with a
+    different shard count must fail loudly, not silently drop seeds."""
+    import shutil
+
+    import pytest as _pytest
+
+    from go_scrapper_ray.config import CrawlConfig
+    from go_scrapper_ray.pipelines.crawl import CrawlEngine
+
+    corpus_dir, wd, _ = full_run
+    first = sorted(int(p.name.split("=")[1])
+                   for p in (wd / "checkpoint").iterdir()
+                   if (p / "_complete").exists())[0]
+    wd4 = tmp_path_factory.mktemp("resume_badshards")
+    shutil.rmtree(wd4)
+    shutil.copytree(wd, wd4)
+    from pathlib import Path
+    cfg = CrawlConfig.from_json(
+        (Path(corpus_dir) / "crawl_config.json").read_text())
+    cfg.num_seed_shards = 3  # checkpoint was written with the default 8
+    eng = CrawlEngine(corpus_dir, str(wd4), cfg=cfg, checkpoints=True)
+    with _pytest.raises(ValueError, match="seedctl"):
+        eng.resume_from(first)
