@@ -9,7 +9,7 @@ here calls ray.init()/ray.shutdown().
 ``queries()`` — one entry per implemented operator (SURVEY.md §2 + the
                 training-data ops); each takes sf_dir.
 ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query
-                (same column names!).  97 of 102 queries are SQL-checked,
+                (same column names!).  99 of 104 queries are SQL-checked,
                 including the sketch ops (simhash / minhash LSH dedup /
                 winnowing / langid — their kernels use md5-upper64 token
                 hashes and mod-2**64 permutations precisely so DuckDB can
@@ -155,7 +155,7 @@ def _q_canonicalize(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """97 of 102 queries carry a DuckDB oracle (oracle_sql()).  The only 5
+    """99 of 104 queries carry a DuckDB oracle (oracle_sql()).  The only 5
     without one are the crawl_* outputs, which are structurally non-SQL:
     they encode an iterative politeness-scheduled frontier loop (ordering
     depends on the virtual clock + retry state machine) and are checked
@@ -283,6 +283,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_split": clean.train_val_test_split,     # train/val/test split
         "docs_surprisal": textstats.surprisal,        # int unigram surprisal
         "knn_ivfpq": similarity.knn_ivfpq,            # IVF+PQ ANN, SQL-checked
+        "emb_semantic_dedup": dedup.semantic_dedup,   # SemDeDup-style
+        "events_heavy_hitters": events.heavy_hitters,  # count-min sketch
     }
 
 
@@ -994,6 +996,47 @@ def _knn_ivf_sql(k: int, query_stride: int, n_lists: int, n_probe: int,
         SELECT query_id, rnk, neighbor_id FROM scored WHERE rnk <= {k}"""
 
 
+def _heavy_hitters_sql(d: int, w: int, k: int) -> str:
+    """DuckDB twin of events.heavy_hitters — the same count-min sketch
+    (md5-bucketed counters, min across rows) in exact integers."""
+    return f"""
+        WITH ev AS (SELECT user_id FROM events),
+        j AS (SELECT unnest(range({d})) AS j),
+        cnt AS (SELECT j.j,
+                  md5_number_upper('cm' || j.j::VARCHAR || '_'
+                                   || user_id::VARCHAR) % {w} AS b,
+                  count(*) AS n
+                FROM ev CROSS JOIN j GROUP BY 1, 2),
+        u AS (SELECT DISTINCT user_id FROM ev),
+        est AS (SELECT u.user_id, min(c.n) AS n_est
+                FROM u CROSS JOIN j
+                JOIN cnt c ON c.j = j.j
+                 AND c.b = md5_number_upper('cm' || j.j::VARCHAR || '_'
+                                            || u.user_id::VARCHAR) % {w}
+                GROUP BY 1)
+        SELECT user_id, n_est::BIGINT AS n_est FROM est
+        ORDER BY n_est DESC, user_id LIMIT {k}"""
+
+
+def _semantic_dedup_sql(threshold: float, n_lists: int,
+                        sample_stride: int, iters: int) -> str:
+    """DuckDB twin of dedup.semantic_dedup — shared k-means CTEs, then
+    per-cluster smaller-id cosine-duplicate check."""
+    # probe CTE is unused here but harmless (shared prefix builder)
+    return _ivf_kmeans_ctes(n_lists, sample_stride, iters,
+                            1, 0) + f""",
+        dropd AS (SELECT DISTINCT b.vec_id
+                  FROM fa a JOIN fa b
+                    ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+                  JOIN embeddings ea ON ea.vec_id = a.vec_id
+                  JOIN embeddings eb ON eb.vec_id = b.vec_id
+                  WHERE list_cosine_similarity(ea.embedding, eb.embedding)
+                        >= {threshold})
+        SELECT fa.vec_id, fa.list_id,
+               fa.vec_id NOT IN (SELECT vec_id FROM dropd) AS keep
+        FROM fa"""
+
+
 def _knn_ivfpq_sql(k: int, query_stride: int, n_lists: int, n_probe: int,
                    sample_stride: int, iters: int, n_sub: int,
                    n_codes: int, rerank: int) -> str:
@@ -1268,6 +1311,15 @@ def oracle_sql() -> dict[str, str]:
             _sig_default(similarity.knn_lsh, "query_stride"),
             _sig_default(similarity.knn_lsh, "n_planes"),
             _sig_default(similarity.knn_lsh, "n_tables")),
+        "events_heavy_hitters": _heavy_hitters_sql(
+            _sig_default(events.heavy_hitters, "d"),
+            _sig_default(events.heavy_hitters, "w"),
+            _sig_default(events.heavy_hitters, "k")),
+        "emb_semantic_dedup": _semantic_dedup_sql(
+            _sig_default(dedup.semantic_dedup, "threshold"),
+            _sig_default(dedup.semantic_dedup, "n_lists"),
+            _sig_default(dedup.semantic_dedup, "sample_stride"),
+            _sig_default(dedup.semantic_dedup, "iters")),
         "knn_ivfpq": _knn_ivfpq_sql(
             _sig_default(similarity.knn_ivfpq, "k"),
             _sig_default(similarity.knn_ivfpq, "query_stride"),

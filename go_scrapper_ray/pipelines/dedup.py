@@ -1122,3 +1122,56 @@ def substring_dup(sf_dir: str, k: int = 40,
         .map_batches(addpart, batch_format="pyarrow")
         .groupby("__part").map_groups(dup_in_part, batch_format="pyarrow"),
         "doc_id", [("p_win", "max", "n_win"), ("p_dup", "sum", "n_dup")])
+
+
+def semantic_dedup(sf_dir: str, threshold: float = 0.45,
+                   n_lists: int = 16, sample_stride: int = 2,
+                   iters: int = 10) -> "rd.Dataset":
+    """(vec_id, list_id, keep): SemDeDup-style SEMANTIC dedup over the
+    embedding space (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    corpus with the deterministic integer k-means (shared with knn_ivf),
+    then inside each cluster drop every vector that has a SMALLER-id
+    cluster-mate with cosine ≥ threshold (keep = the first copy of each
+    semantic duplicate group, by id).
+
+    Scale shape: assignment is one streaming map_batches (int argmax
+    against the sample-fit centroid broadcast); the pairwise check runs
+    INSIDE groupby(list_id).map_groups — pick n_lists so corpus/n_lists
+    fits one worker (at 100 TB that is O(10^4+) lists; the quadratic is
+    per-cluster, never global).  Cosine thresholding matches the DuckDB
+    twin's list_cosine_similarity at this fixture's score gaps (the
+    emb_cosine_dups precedent)."""
+    from .similarity import _kmeans_int, _quant1000, _query_matrix
+
+    s_ids, S = _query_matrix(sf_dir, sample_stride, normalize=False)
+    C = _kmeans_int(s_ids, S, n_lists, iters)
+    c_ref = ray.put(C)
+
+    def assign(t: pa.Table) -> pa.Table:
+        CC = ray.get(c_ref)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        M_raw = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        lists = np.argmax(_quant1000(M_raw) @ CC.T, axis=1).astype(np.int64)
+        M = M_raw / np.linalg.norm(M_raw, axis=1, keepdims=True)
+        return pa.table({"list_id": pa.array(lists),
+                         "vec_id": pa.array(ids, pa.int64()),
+                         "v": pa.array([r.tobytes() for r in M],
+                                       pa.binary())})
+
+    def dedup_in_cluster(g: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+        g = g.sort_values("vec_id", ignore_index=True)
+        n = len(g)
+        M = np.frombuffer(b"".join(g["v"]), np.float64).reshape(n, -1)
+        sims = M @ M.T
+        # drop i iff any j < i with cos(j, i) >= threshold
+        dup = (np.tril(sims >= threshold, k=-1)).any(axis=1)
+        return pd.DataFrame({"vec_id": g["vec_id"],
+                             "list_id": g["list_id"],
+                             "keep": ~dup})
+
+    return (rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+            .map_batches(assign, batch_format="pyarrow")
+            .groupby("list_id")
+            .map_groups(dedup_in_cluster, batch_format="pandas"))

@@ -926,3 +926,71 @@ def late_events(sf_dir: str, allowed_s: int = 0) -> rd.Dataset:
             .map_batches(prep, batch_format="pyarrow")
             .groupby("user_id")
             .map_groups(per_user, batch_format="pandas"))
+
+
+def heavy_hitters(sf_dir: str, d: int = 4, w: int = 256,
+                  k: int = 20) -> rd.Dataset:
+    """(user_id, n_est): top-k heavy hitters by COUNT-MIN-SKETCH estimate
+    (Cormode & Muthukrishnan 2005) — the mergeable heavy-hitter primitive
+    of a streaming ingest, beside dau_hll's count-distinct.  ``d`` rows ×
+    ``w`` buckets; row j hashes a user to md5_upper64("cm{j}_{user}") % w
+    (deterministic — DuckDB md5_number_upper reproduces it exactly); the
+    estimate is the min counter across rows (always ≥ the true count).
+
+    Scale shape: per-batch partial sketches combine BEFORE the shuffle
+    (each batch forwards ≤ d×w counter rows, whatever its size); the
+    merged sketch is constant-sized (d×w ints) and broadcasts; candidate
+    keys come from an id-sized distinct; ranking ties break (n_est desc,
+    user_id asc) so the twin orders identically."""
+    import ray
+
+    from .dedup import md5_upper64
+
+    def bucket_of(j: int, uid: int) -> int:
+        return md5_upper64(f"cm{j}_{uid}".encode()) % w
+
+    def sketch_partial(t: pa.Table) -> pa.Table:
+        uids, counts = np.unique(
+            t["user_id"].to_numpy(zero_copy_only=False),
+            return_counts=True)
+        agg: dict[tuple[int, int], int] = {}
+        for uid, n in zip(uids.tolist(), counts.tolist()):
+            for j in range(d):
+                key = (j, bucket_of(j, uid))
+                agg[key] = agg.get(key, 0) + n
+        return pa.table({
+            "j": pa.array([a for a, _ in agg], pa.int64()),
+            "b": pa.array([b for _, b in agg], pa.int64()),
+            "p_n": pa.array(list(agg.values()), pa.int64())})
+
+    sketch_ds = hash_agg(_events(sf_dir, ("user_id",))
+                         .map_batches(sketch_partial,
+                                      batch_format="pyarrow"),
+                         ["j", "b"], [("p_n", "sum", "n")], small=True)
+    S = np.zeros((d, w), np.int64)
+    for t in sketch_ds.iter_batches(batch_format="pyarrow"):
+        for j, b, n in zip(t["j"].to_pylist(), t["b"].to_pylist(),
+                           t["n"].to_pylist()):
+            S[j, b] = n
+    s_ref = ray.put(S)
+
+    def users_partial(t: pa.Table) -> pa.Table:
+        u = np.unique(t["user_id"].to_numpy(zero_copy_only=False))
+        return pa.table({"user_id": pa.array(u, pa.int64())})
+
+    users = hash_agg(_events(sf_dir, ("user_id",))
+                     .map_batches(users_partial, batch_format="pyarrow"),
+                     "user_id", [(None, "count_all", "x")])
+
+    def estimate(t: pa.Table) -> pa.Table:
+        sk = ray.get(s_ref)
+        uids = t["user_id"].to_pylist()
+        est = [min(int(sk[j, bucket_of(j, int(u))]) for j in range(d))
+               for u in uids]
+        return pa.table({"user_id": pa.array(uids, pa.int64()),
+                         "n_est": pa.array(est, pa.int64())})
+
+    return (users.select_columns(["user_id"])
+            .map_batches(estimate, batch_format="pyarrow")
+            .sort(["n_est", "user_id"], descending=[True, False])
+            .limit(k))
