@@ -116,10 +116,15 @@ def main(argv: list[str] | None = None) -> int:
             return 1
         seeds_tbl = _seed_table([spider_to_seed_row(spider)])
 
+    import os
+
     import ray
     owns_ray = not ray.is_initialized()
     if owns_ray:
-        ray.init(address="local", include_dashboard=False)
+        # standalone: a local instance; under `ray job submit` the job
+        # runtime sets RAY_ADDRESS and this attaches the cluster instead
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
+                 include_dashboard=False)
     try:
         from go_scrapper_ray.pipelines.crawl import CrawlEngine
 
