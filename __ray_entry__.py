@@ -9,7 +9,7 @@ here calls ray.init()/ray.shutdown().
 ``queries()`` — one entry per implemented operator (SURVEY.md §2 + the
                 training-data ops); each takes sf_dir.
 ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query
-                (same column names!).  99 of 104 queries are SQL-checked,
+                (same column names!).  101 of 106 queries are SQL-checked,
                 including the sketch ops (simhash / minhash LSH dedup /
                 winnowing / langid — their kernels use md5-upper64 token
                 hashes and mod-2**64 permutations precisely so DuckDB can
@@ -155,7 +155,7 @@ def _q_canonicalize(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """99 of 104 queries carry a DuckDB oracle (oracle_sql()).  The only 5
+    """101 of 106 queries carry a DuckDB oracle (oracle_sql()).  The only 5
     without one are the crawl_* outputs, which are structurally non-SQL:
     they encode an iterative politeness-scheduled frontier loop (ordering
     depends on the virtual clock + retry state machine) and are checked
@@ -285,6 +285,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivfpq": similarity.knn_ivfpq,            # IVF+PQ ANN, SQL-checked
         "emb_semantic_dedup": dedup.semantic_dedup,   # SemDeDup-style
         "events_heavy_hitters": events.heavy_hitters,  # count-min sketch
+        "events_window_top_user": events.window_top_user,  # windowed argmax
+        "docs_gate_funnel": clean.gate_funnel,        # pipeline observability
     }
 
 
@@ -467,6 +469,37 @@ def _clean_corpus_sql(min_words: int = 20, lang: str = "en",
         SELECT c.cluster_id AS cluster_id, min(x.doc_id) AS doc_id
         FROM ex x JOIN cl c USING (doc_id)
         GROUP BY c.cluster_id"""
+
+
+def _gate_funnel_sql(min_words: int, lang: str, threshold: float) -> str:
+    """DuckDB twin of clean.gate_funnel — survivor counts after each
+    successive clean_corpus gate (same CTE machinery as the clean twin)."""
+    return f"""
+        WITH RECURSIVE
+        lid AS ({_langid_sql()}),
+        mh AS ({_minhash_sql(threshold)}),
+        e AS (SELECT doc_a AS a, doc_b AS b FROM mh
+              UNION ALL SELECT doc_b, doc_a FROM mh),
+        r AS (
+          SELECT doc_id AS d, doc_id AS m FROM documents
+          UNION
+          SELECT e.b AS d, r.m FROM r JOIN e ON e.a = r.d),
+        cl AS (SELECT d AS doc_id, min(m) AS cluster_id FROM r GROUP BY d),
+        toks AS (SELECT doc_id, text,
+                   length(regexp_extract_all(text, '\\S+')) AS n
+                 FROM documents),
+        g1 AS (SELECT doc_id, text FROM toks WHERE n >= {min_words}),
+        g2 AS (SELECT g1.doc_id, g1.text FROM g1 JOIN lid USING (doc_id)
+               WHERE lid.pred_lang = '{lang}'),
+        g3 AS (SELECT min(doc_id) AS doc_id FROM g2 GROUP BY md5(text)),
+        g4 AS (SELECT min(x.doc_id) AS doc_id FROM g3 x
+               JOIN cl c USING (doc_id) GROUP BY c.cluster_id)
+        SELECT 0::BIGINT AS gate,
+               (SELECT count(*) FROM documents)::BIGINT AS n_docs
+        UNION ALL SELECT 1::BIGINT, count(*)::BIGINT FROM g1
+        UNION ALL SELECT 2::BIGINT, count(*)::BIGINT FROM g2
+        UNION ALL SELECT 3::BIGINT, count(*)::BIGINT FROM g3
+        UNION ALL SELECT 4::BIGINT, count(*)::BIGINT FROM g4"""
 
 
 def _gopher_sql() -> str:
@@ -996,6 +1029,21 @@ def _knn_ivf_sql(k: int, query_stride: int, n_lists: int, n_probe: int,
         SELECT query_id, rnk, neighbor_id FROM scored WHERE rnk <= {k}"""
 
 
+def _window_top_user_sql(window_s: int) -> str:
+    """DuckDB twin of events.window_top_user (windowed argmax by integer
+    cents, ties → smaller user_id)."""
+    return f"""
+        WITH s AS (SELECT event_type,
+                     epoch_us(ts) // {1_000_000 * window_s} AS window_id,
+                     user_id,
+                     sum(CAST(round(value*100) AS BIGINT))::BIGINT AS cents
+                   FROM events GROUP BY 1, 2, 3)
+        SELECT event_type, window_id, user_id, cents FROM (
+          SELECT *, row_number() OVER (PARTITION BY event_type, window_id
+                      ORDER BY cents DESC, user_id) AS rn FROM s)
+        WHERE rn = 1"""
+
+
 def _heavy_hitters_sql(d: int, w: int, k: int) -> str:
     """DuckDB twin of events.heavy_hitters — the same count-min sketch
     (md5-bucketed counters, min across rows) in exact integers."""
@@ -1311,6 +1359,12 @@ def oracle_sql() -> dict[str, str]:
             _sig_default(similarity.knn_lsh, "query_stride"),
             _sig_default(similarity.knn_lsh, "n_planes"),
             _sig_default(similarity.knn_lsh, "n_tables")),
+        "docs_gate_funnel": _gate_funnel_sql(
+            _sig_default(clean.gate_funnel, "min_words"),
+            _sig_default(clean.gate_funnel, "lang"),
+            _sig_default(clean.gate_funnel, "threshold")),
+        "events_window_top_user": _window_top_user_sql(
+            _sig_default(events.window_top_user, "window_s")),
         "events_heavy_hitters": _heavy_hitters_sql(
             _sig_default(events.heavy_hitters, "d"),
             _sig_default(events.heavy_hitters, "w"),

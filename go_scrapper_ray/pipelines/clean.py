@@ -302,3 +302,75 @@ def train_val_test_split(sf_dir: str, val_pct: int = 10,
 
     return docs(sf_dir, columns=("doc_id", "lang")).map_batches(
         stamp, batch_format="pyarrow")
+
+
+def gate_funnel(sf_dir: str, min_words: int = 20, lang: str = "en",
+                threshold: float = 0.8) -> pa.Table:
+    """(gate, n_docs): the cleaning-pipeline FUNNEL — how many documents
+    survive each successive clean_corpus gate (0 = all, 1 = ≥ min_words
+    tokens, 2 = + predicted language, 3 = + exact-dedup winner,
+    4 = + near-dup cluster winner).  The observability table every
+    production corpus pipeline reports next to its output.
+
+    Scale shape: gates 0–2 are per-batch counts from one actor-pool pass
+    (the CleanFilter stage extended with counters — the text is read
+    once); gates 3–4 count the id-sized winner tables clean_corpus
+    already produces (hash_agg groups / cluster join) — no extra pass
+    over text."""
+    from ..agg import hash_agg, hash_join
+
+    # counts must survive even for batches with ZERO survivors — ride the
+    # counters on a separate tiny table instead of the survivor rows
+    class FunnelCounts(CleanFilter):
+        def __call__(self, t: pa.Table) -> pa.Table:
+            preds = self.lid(t)["pred_lang"].to_pylist()
+            n_len = n_both = 0
+            ids, hashes = [], []
+            for did, s, pl in zip(t["doc_id"].to_pylist(),
+                                  t["text"].to_pylist(), preds):
+                if len(TOKEN_RE.findall(s)) < self.min_words:
+                    continue
+                n_len += 1
+                if pl != self.lang:
+                    continue
+                n_both += 1
+                ids.append(did)
+                hashes.append(hashlib.md5(s.encode("utf-8")).hexdigest())
+            return pa.table({
+                "doc_id": pa.array(ids + [-1, -2], pa.int64()),
+                "text_hash": pa.array(hashes + ["", ""], pa.string()),
+                "cnt": pa.array([0] * len(ids) + [n_len, n_both],
+                                pa.int64())})
+
+    passed = docs(sf_dir).map_batches(
+        FunnelCounts, fn_constructor_args=(min_words, lang),
+        batch_format="pyarrow", concurrency=(1, 8),
+        num_cpus=1).materialize()
+
+    n_all = docs(sf_dir, columns=("doc_id",)).count()
+    n_len = n_both = 0
+    for t in passed.iter_batches(batch_format="pyarrow"):
+        for did, c in zip(t["doc_id"].to_pylist(), t["cnt"].to_pylist()):
+            if did == -1:
+                n_len += c
+            elif did == -2:
+                n_both += c
+
+    def real_rows(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return t.filter(pc.greater_equal(t["doc_id"], 0)) \
+                .select(["doc_id", "text_hash"])
+
+    kept = passed.map_batches(real_rows, batch_format="pyarrow")
+    exact_winners = (hash_agg(kept, "text_hash",
+                              [("doc_id", "min", "doc_id")])
+                     .select_columns(["doc_id"]))
+    n_exact = exact_winners.count()
+    clusters = dup_clusters(sf_dir, threshold)
+    joined = hash_join(exact_winners, clusters, on="doc_id",
+                       left_cols={}, right_cols={"cluster_id": pa.int64()})
+    n_final = hash_agg(joined, "cluster_id",
+                       [("doc_id", "min", "doc_id")]).count()
+    return pa.table({"gate": pa.array([0, 1, 2, 3, 4], pa.int64()),
+                     "n_docs": pa.array([n_all, n_len, n_both, n_exact,
+                                         n_final], pa.int64())})

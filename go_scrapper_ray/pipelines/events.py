@@ -994,3 +994,51 @@ def heavy_hitters(sf_dir: str, d: int = 4, w: int = 256,
             .map_batches(estimate, batch_format="pyarrow")
             .sort(["n_est", "user_id"], descending=[True, False])
             .limit(k))
+
+
+def window_top_user(sf_dir: str, window_s: int = 3600,
+                    shards: int = 64) -> rd.Dataset:
+    """(event_type, window_id, user_id, cents): per (type, tumbling
+    window), the TOP-contributing user by integer-cents sum (ties →
+    smaller user_id) — the windowed-argmax primitive (who dominated each
+    window), complementing the global events_top_users.
+
+    Scale shape — no per-key Python (the top_orders_per_cust pattern):
+    per-batch combine sums cents per (type, window, user); a hash_agg
+    finishes the exact per-user sums; survivors hash-shard on
+    (type, window) and ONE vectorized kernel per shard picks each
+    window's argmax."""
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64())
+        wid = pc.divide(us, 1_000_000 * window_s).cast(pa.int64())
+        cents = pc.round(pc.multiply(t["value"], 100),
+                         round_mode="half_towards_infinity").cast(pa.int64())
+        g = (pa.table({"event_type": t["event_type"], "window_id": wid,
+                       "user_id": t["user_id"], "cents": cents})
+             .group_by(["event_type", "window_id", "user_id"])
+             .aggregate([("cents", "sum")]))
+        return g.rename_columns(["event_type", "window_id", "user_id",
+                                 "p_cents"])
+
+    sums = hash_agg(_events(sf_dir, ("ts", "event_type", "user_id",
+                                     "value"))
+                    .map_batches(partial, batch_format="pyarrow"),
+                    ["event_type", "window_id", "user_id"],
+                    [("p_cents", "sum", "cents")])
+
+    def shard_stamp(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "shard", pa.array(partition_ids(
+                t, ["event_type", "window_id"], shards), pa.int32()))
+
+    def argmax_in_shard(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["cents", "user_id"],
+                            ascending=[False, True], kind="mergesort")
+        df = df.groupby(["event_type", "window_id"], sort=False).head(1)
+        return df[["event_type", "window_id", "user_id", "cents"]]
+
+    return (sums.map_batches(shard_stamp, batch_format="pyarrow")
+            .groupby("shard")
+            .map_groups(argmax_in_shard, batch_format="pandas"))
