@@ -128,11 +128,18 @@ def main(argv: list[str] | None = None) -> int:
     try:
         from go_scrapper_ray.pipelines.crawl import CrawlEngine
 
-        workdir = setvars.get("WORKDIR") or tempfile.mkdtemp(
-            prefix="gsr_cli_")
-        eng = CrawlEngine(args.corpus, workdir, checkpoints=False,
+        # a STABLE workdir (-s WORKDIR=...) signals a resumable job:
+        # per-round checkpoints land under it, and a killed run restarts
+        # via CrawlEngine.resume_from(N) over the same workdir.  The
+        # throwaway tempdir path skips checkpoint I/O (nothing could
+        # ever resume from it).
+        workdir = setvars.get("WORKDIR")
+        eng = CrawlEngine(args.corpus,
+                          workdir or tempfile.mkdtemp(prefix="gsr_cli_"),
+                          checkpoints=workdir is not None,
                           seeds_override=seeds_tbl)
         res = eng.run()
+        workdir = str(eng.workdir)
 
         seed_ids = [s["seed_id"] for s in eng.seeds]
         if args.output:

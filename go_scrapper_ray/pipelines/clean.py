@@ -57,6 +57,29 @@ class CleanFilter:
                          "text_hash": pa.array(hashes, pa.string())})
 
 
+def _exact_winners(kept: rd.Dataset) -> rd.Dataset:
+    """min doc_id per exact text hash among the filtered survivors."""
+    from ..agg import hash_agg
+
+    return (hash_agg(kept, "text_hash", [("doc_id", "min", "doc_id")])
+            .select_columns(["doc_id"]))
+
+
+def _cluster_winners(exact_winners: rd.Dataset, sf_dir: str,
+                     threshold: float) -> rd.Dataset:
+    """(cluster_id, doc_id): min surviving doc per MinHash near-dup
+    cluster — the shared tail of clean_corpus and gate_funnel (one
+    definition, so the funnel cannot drift from the pipeline it
+    observes)."""
+    from ..agg import hash_agg, hash_join
+
+    clusters = dup_clusters(sf_dir, threshold)  # (doc_id, cluster_id)
+    joined = hash_join(exact_winners, clusters, on="doc_id",
+                       left_cols={}, right_cols={"cluster_id": pa.int64()})
+    return hash_agg(joined, "cluster_id",
+                    [("doc_id", "min", "doc_id")])
+
+
 def clean_corpus(sf_dir: str, min_words: int = 20, lang: str = "en",
                  threshold: float = 0.8) -> rd.Dataset:
     """(cluster_id, doc_id): the surviving document per near-dup cluster
@@ -65,20 +88,10 @@ def clean_corpus(sf_dir: str, min_words: int = 20, lang: str = "en",
     A doc survives iff it passes the quality/language filter, is the min
     doc_id of its exact-text group among the filtered set, and is the min
     such winner inside its MinHash near-dup cluster."""
-    from ..agg import hash_agg
-
     kept = docs(sf_dir).map_batches(
         CleanFilter, fn_constructor_args=(min_words, lang),
         batch_format="pyarrow", concurrency=(1, 8), num_cpus=1)
-    exact_winners = (hash_agg(kept, "text_hash",
-                              [("doc_id", "min", "doc_id")])
-                     .select_columns(["doc_id"]))
-    clusters = dup_clusters(sf_dir, threshold)  # (doc_id, cluster_id)
-    from ..agg import hash_join
-    joined = hash_join(exact_winners, clusters, on="doc_id",
-                       left_cols={}, right_cols={"cluster_id": pa.int64()})
-    return hash_agg(joined, "cluster_id",
-                    [("doc_id", "min", "doc_id")])
+    return _cluster_winners(_exact_winners(kept), sf_dir, threshold)
 
 
 # ------------------------------------------------------------ resumable sink
@@ -312,18 +325,18 @@ def gate_funnel(sf_dir: str, min_words: int = 20, lang: str = "en",
     4 = + near-dup cluster winner).  The observability table every
     production corpus pipeline reports next to its output.
 
-    Scale shape: gates 0–2 are per-batch counts from one actor-pool pass
-    (the CleanFilter stage extended with counters — the text is read
-    once); gates 3–4 count the id-sized winner tables clean_corpus
-    already produces (hash_agg groups / cluster join) — no extra pass
-    over text."""
-    from ..agg import hash_agg, hash_join
+    Scale shape: gates 0–2 are per-batch counters riding the SINGLE
+    actor-pool text pass as sentinel rows (doc_id -1/-2/-3 — counts
+    survive even zero-survivor batches); gates 3–4 count the id-sized
+    winner tables through the SAME ``_exact_winners``/``_cluster_winners``
+    helpers clean_corpus runs, so the funnel cannot drift from the
+    pipeline it observes; the winner table materializes once (count +
+    join reuse the blocks)."""
 
-    # counts must survive even for batches with ZERO survivors — ride the
-    # counters on a separate tiny table instead of the survivor rows
     class FunnelCounts(CleanFilter):
         def __call__(self, t: pa.Table) -> pa.Table:
             preds = self.lid(t)["pred_lang"].to_pylist()
+            n_all = len(t)
             n_len = n_both = 0
             ids, hashes = [], []
             for did, s, pl in zip(t["doc_id"].to_pylist(),
@@ -337,9 +350,9 @@ def gate_funnel(sf_dir: str, min_words: int = 20, lang: str = "en",
                 ids.append(did)
                 hashes.append(hashlib.md5(s.encode("utf-8")).hexdigest())
             return pa.table({
-                "doc_id": pa.array(ids + [-1, -2], pa.int64()),
-                "text_hash": pa.array(hashes + ["", ""], pa.string()),
-                "cnt": pa.array([0] * len(ids) + [n_len, n_both],
+                "doc_id": pa.array(ids + [-1, -2, -3], pa.int64()),
+                "text_hash": pa.array(hashes + ["", "", ""], pa.string()),
+                "cnt": pa.array([0] * len(ids) + [n_len, n_both, n_all],
                                 pa.int64())})
 
     passed = docs(sf_dir).map_batches(
@@ -347,14 +360,15 @@ def gate_funnel(sf_dir: str, min_words: int = 20, lang: str = "en",
         batch_format="pyarrow", concurrency=(1, 8),
         num_cpus=1).materialize()
 
-    n_all = docs(sf_dir, columns=("doc_id",)).count()
-    n_len = n_both = 0
+    n_all = n_len = n_both = 0
     for t in passed.iter_batches(batch_format="pyarrow"):
         for did, c in zip(t["doc_id"].to_pylist(), t["cnt"].to_pylist()):
             if did == -1:
                 n_len += c
             elif did == -2:
                 n_both += c
+            elif did == -3:
+                n_all += c
 
     def real_rows(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -362,15 +376,9 @@ def gate_funnel(sf_dir: str, min_words: int = 20, lang: str = "en",
                 .select(["doc_id", "text_hash"])
 
     kept = passed.map_batches(real_rows, batch_format="pyarrow")
-    exact_winners = (hash_agg(kept, "text_hash",
-                              [("doc_id", "min", "doc_id")])
-                     .select_columns(["doc_id"]))
+    exact_winners = _exact_winners(kept).materialize()
     n_exact = exact_winners.count()
-    clusters = dup_clusters(sf_dir, threshold)
-    joined = hash_join(exact_winners, clusters, on="doc_id",
-                       left_cols={}, right_cols={"cluster_id": pa.int64()})
-    n_final = hash_agg(joined, "cluster_id",
-                       [("doc_id", "min", "doc_id")]).count()
+    n_final = _cluster_winners(exact_winners, sf_dir, threshold).count()
     return pa.table({"gate": pa.array([0, 1, 2, 3, 4], pa.int64()),
                      "n_docs": pa.array([n_all, n_len, n_both, n_exact,
                                          n_final], pa.int64())})

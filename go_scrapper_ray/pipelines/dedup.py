@@ -1141,22 +1141,9 @@ def semantic_dedup(sf_dir: str, threshold: float = 0.45,
     per-cluster, never global).  Cosine thresholding matches the DuckDB
     twin's list_cosine_similarity at this fixture's score gaps (the
     emb_cosine_dups precedent)."""
-    from .similarity import _kmeans_int, _quant1000, _query_matrix
+    from .similarity import ivf_assignments
 
-    s_ids, S = _query_matrix(sf_dir, sample_stride, normalize=False)
-    C = _kmeans_int(s_ids, S, n_lists, iters)
-    c_ref = ray.put(C)
-
-    def assign(t: pa.Table) -> pa.Table:
-        CC = ray.get(c_ref)
-        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        M_raw = np.array(t["embedding"].to_pylist(), dtype=np.float64)
-        lists = np.argmax(_quant1000(M_raw) @ CC.T, axis=1).astype(np.int64)
-        M = M_raw / np.linalg.norm(M_raw, axis=1, keepdims=True)
-        return pa.table({"list_id": pa.array(lists),
-                         "vec_id": pa.array(ids, pa.int64()),
-                         "v": pa.array([r.tobytes() for r in M],
-                                       pa.binary())})
+    _, assigned = ivf_assignments(sf_dir, n_lists, sample_stride, iters)
 
     def dedup_in_cluster(g: "pd.DataFrame") -> "pd.DataFrame":
         import pandas as pd
@@ -1170,8 +1157,6 @@ def semantic_dedup(sf_dir: str, threshold: float = 0.45,
                              "list_id": g["list_id"],
                              "keep": ~dup})
 
-    return (rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                            columns=["vec_id", "embedding"])
-            .map_batches(assign, batch_format="pyarrow")
+    return (assigned
             .groupby("list_id")
             .map_groups(dedup_in_cluster, batch_format="pandas"))

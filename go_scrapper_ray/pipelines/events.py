@@ -950,6 +950,9 @@ def heavy_hitters(sf_dir: str, d: int = 4, w: int = 256,
         return md5_upper64(f"cm{j}_{uid}".encode()) % w
 
     def sketch_partial(t: pa.Table) -> pa.Table:
+        """ONE pass emits both the counter partials (j >= 0) and the
+        batch's distinct user ids (tagged j = -1, b = uid) — the sketch
+        and the candidate-key distinct share the single column scan."""
         uids, counts = np.unique(
             t["user_id"].to_numpy(zero_copy_only=False),
             return_counts=True)
@@ -958,29 +961,31 @@ def heavy_hitters(sf_dir: str, d: int = 4, w: int = 256,
             for j in range(d):
                 key = (j, bucket_of(j, uid))
                 agg[key] = agg.get(key, 0) + n
-        return pa.table({
-            "j": pa.array([a for a, _ in agg], pa.int64()),
-            "b": pa.array([b for _, b in agg], pa.int64()),
-            "p_n": pa.array(list(agg.values()), pa.int64())})
+        js = [a for a, _ in agg] + [-1] * len(uids)
+        bs = [b for _, b in agg] + uids.tolist()
+        ns = list(agg.values()) + [0] * len(uids)
+        return pa.table({"j": pa.array(js, pa.int64()),
+                         "b": pa.array(bs, pa.int64()),
+                         "p_n": pa.array(ns, pa.int64())})
 
-    sketch_ds = hash_agg(_events(sf_dir, ("user_id",))
-                         .map_batches(sketch_partial,
-                                      batch_format="pyarrow"),
-                         ["j", "b"], [("p_n", "sum", "n")], small=True)
+    combined = hash_agg(_events(sf_dir, ("user_id",))
+                        .map_batches(sketch_partial,
+                                     batch_format="pyarrow"),
+                        ["j", "b"], [("p_n", "sum", "n")],
+                        small=True).materialize()
     S = np.zeros((d, w), np.int64)
-    for t in sketch_ds.iter_batches(batch_format="pyarrow"):
+    for t in combined.iter_batches(batch_format="pyarrow"):
         for j, b, n in zip(t["j"].to_pylist(), t["b"].to_pylist(),
                            t["n"].to_pylist()):
-            S[j, b] = n
+            if j >= 0:
+                S[j, b] = n
     s_ref = ray.put(S)
 
-    def users_partial(t: pa.Table) -> pa.Table:
-        u = np.unique(t["user_id"].to_numpy(zero_copy_only=False))
-        return pa.table({"user_id": pa.array(u, pa.int64())})
+    def pick_users(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["j"], -1))
+        return pa.table({"user_id": t["b"]})
 
-    users = hash_agg(_events(sf_dir, ("user_id",))
-                     .map_batches(users_partial, batch_format="pyarrow"),
-                     "user_id", [(None, "count_all", "x")])
+    users = combined.map_batches(pick_users, batch_format="pyarrow")
 
     def estimate(t: pa.Table) -> pa.Table:
         sk = ray.get(s_ref)

@@ -238,6 +238,33 @@ def _score_candidates(joined: rd.Dataset, k: int) -> rd.Dataset:
             .map_groups(merge_group, batch_format="pandas"))
 
 
+def ivf_assignments(sf_dir: str, n_lists: int = 16,
+                    sample_stride: int = 2, iters: int = 10
+                    ) -> tuple[np.ndarray, rd.Dataset]:
+    """(centroids, assigned dataset): fit the deterministic integer
+    k-means on the sample and assign the whole corpus — the shared
+    prelude of knn_ivf, knn_ivfpq's list side and
+    dedup.semantic_dedup.  Returns the (n_lists, dims) int64 centroid
+    matrix plus a streaming Dataset of (list_id, vec_id, v) rows where
+    ``v`` is the L2-normalized vector as float64 bytes."""
+    s_ids, S = _query_matrix(sf_dir, sample_stride, normalize=False)
+    C = _kmeans_int(s_ids, S, n_lists, iters)
+    c_ref = ray.put(C)
+
+    def assign(t: pa.Table) -> pa.Table:
+        CC = ray.get(c_ref)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        M_raw = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        lists = np.argmax(_quant1000(M_raw) @ CC.T, axis=1).astype(np.int64)
+        M = M_raw / np.linalg.norm(M_raw, axis=1, keepdims=True)
+        return pa.table({"list_id": pa.array(lists),
+                         "vec_id": pa.array(ids, pa.int64()),
+                         "v": pa.array([r.tobytes() for r in M],
+                                       pa.binary())})
+
+    return C, _emb(sf_dir).map_batches(assign, batch_format="pyarrow")
+
+
 def knn_ivf(sf_dir: str, k: int = 5, query_stride: int = 50,
             n_lists: int = 16, n_probe: int = 6,
             sample_stride: int = 2, iters: int = 10) -> rd.Dataset:
@@ -255,22 +282,7 @@ def knn_ivf(sf_dir: str, k: int = 5, query_stride: int = 50,
     list assignment is a distributed map; the probe is a NATIVE HASH JOIN
     of (query x its n_probe nearest lists) against the (list_id, vec)
     table, so each query's work touches only its probed lists."""
-    s_ids, S = _query_matrix(sf_dir, sample_stride, normalize=False)
-    C = _kmeans_int(s_ids, S, n_lists, iters)
-    c_ref = ray.put(C)
-
-    def assign(t: pa.Table) -> pa.Table:
-        CC = ray.get(c_ref)
-        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        M_raw = np.array(t["embedding"].to_pylist(), dtype=np.float64)
-        lists = np.argmax(_quant1000(M_raw) @ CC.T, axis=1).astype(np.int64)
-        M = M_raw / np.linalg.norm(M_raw, axis=1, keepdims=True)
-        return pa.table({"list_id": pa.array(lists),
-                         "vec_id": pa.array(ids, pa.int64()),
-                         "v": pa.array([r.tobytes() for r in M],
-                                       pa.binary())})
-
-    vec_tbl = _emb(sf_dir).map_batches(assign, batch_format="pyarrow")
+    C, vec_tbl = ivf_assignments(sf_dir, n_lists, sample_stride, iters)
 
     q_ids, Q_raw = _query_matrix(sf_dir, query_stride, normalize=False)
     if len(q_ids) == 0:

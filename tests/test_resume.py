@@ -100,9 +100,7 @@ def test_resume_rejects_mismatched_seedctl_shards(full_run,
                                                   tmp_path_factory):
     """A checkpoint is sharded by sid % num_seed_shards — resuming with a
     different shard count must fail loudly, not silently drop seeds."""
-    import shutil
-
-    import pytest as _pytest
+    from pathlib import Path
 
     from go_scrapper_ray.config import CrawlConfig
     from go_scrapper_ray.pipelines.crawl import CrawlEngine
@@ -114,10 +112,9 @@ def test_resume_rejects_mismatched_seedctl_shards(full_run,
     wd4 = tmp_path_factory.mktemp("resume_badshards")
     shutil.rmtree(wd4)
     shutil.copytree(wd, wd4)
-    from pathlib import Path
     cfg = CrawlConfig.from_json(
         (Path(corpus_dir) / "crawl_config.json").read_text())
     cfg.num_seed_shards = 3  # checkpoint was written with the default 8
     eng = CrawlEngine(corpus_dir, str(wd4), cfg=cfg, checkpoints=True)
-    with _pytest.raises(ValueError, match="seedctl"):
+    with pytest.raises(ValueError, match="seedctl"):
         eng.resume_from(first)
