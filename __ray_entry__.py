@@ -960,7 +960,15 @@ def _ivf_kmeans_ctes(n_lists: int, sample_stride: int, iters: int,
     unrolled integer k-means c0..c{iters}, corpus assignment fa and query
     probe table — exact int dots/sums throughout; the only float work per
     centroid update is one multiply, one correctly-rounded sqrt of an
-    exact int, one divide, bit-identical to numpy."""
+    exact int, one divide, bit-identical to numpy.  The sample stride is
+    the engine's BUDGETED effective stride (similarity.SAMPLE_BUDGET):
+    GREATEST(stride, ceil(n/budget)) computed in exact integer SQL, so
+    the twin stays correct at any corpus size."""
+    from go_scrapper_ray.pipelines.similarity import SAMPLE_BUDGET
+
+    sstr = (f"(SELECT greatest({sample_stride}, "
+            f"(count(*) + {SAMPLE_BUDGET - 1}) // {SAMPLE_BUDGET}) "
+            f"FROM embeddings)")
     parts = [f"""
         WITH eq AS MATERIALIZED (SELECT vec_id,
                       list_transform(embedding,
@@ -969,11 +977,11 @@ def _ivf_kmeans_ctes(n_lists: int, sample_stride: int, iters: int,
                     FROM embeddings),
         comp AS MATERIALIZED (SELECT vec_id, generate_subscripts(qq, 1) - 1 AS d,
                         unnest(qq) AS v FROM eq),
-        scomp AS MATERIALIZED (SELECT * FROM comp WHERE vec_id % {sample_stride} = 0),
+        scomp AS MATERIALIZED (SELECT * FROM comp WHERE vec_id % {sstr} = 0),
         init AS MATERIALIZED (SELECT vec_id,
                    row_number() OVER (ORDER BY
                      md5_number_upper(vec_id::VARCHAR), vec_id) - 1 AS c
-                 FROM eq WHERE vec_id % {sample_stride} = 0
+                 FROM eq WHERE vec_id % {sstr} = 0
                  ORDER BY md5_number_upper(vec_id::VARCHAR), vec_id
                  LIMIT {n_lists}),
         c0 AS MATERIALIZED (SELECT i.c, s.d, s.v AS val

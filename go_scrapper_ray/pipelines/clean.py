@@ -327,7 +327,9 @@ def gate_funnel(sf_dir: str, min_words: int = 20, lang: str = "en",
 
     Scale shape: gates 0–2 are per-batch counters riding the SINGLE
     actor-pool text pass as sentinel rows (doc_id -1/-2/-3 — counts
-    survive even zero-survivor batches); gates 3–4 count the id-sized
+    survive even zero-survivor batches), summed DISTRIBUTEDLY by a
+    filter + 3-group hash_agg (only 3 rows ever reach the driver — the
+    kept id-table itself never does); gates 3–4 count the id-sized
     winner tables through the SAME ``_exact_winners``/``_cluster_winners``
     helpers clean_corpus runs, so the funnel cannot drift from the
     pipeline it observes; the winner table materializes once (count +
@@ -360,15 +362,17 @@ def gate_funnel(sf_dir: str, min_words: int = 20, lang: str = "en",
         batch_format="pyarrow", concurrency=(1, 8),
         num_cpus=1).materialize()
 
-    n_all = n_len = n_both = 0
-    for t in passed.iter_batches(batch_format="pyarrow"):
-        for did, c in zip(t["doc_id"].to_pylist(), t["cnt"].to_pylist()):
-            if did == -1:
-                n_len += c
-            elif did == -2:
-                n_both += c
-            elif did == -3:
-                n_all += c
+    from ..agg import hash_agg
+
+    def sentinel_rows(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return t.filter(pc.less(t["doc_id"], 0)).select(["doc_id", "cnt"])
+
+    gate_counts = hash_agg(
+        passed.map_batches(sentinel_rows, batch_format="pyarrow"),
+        "doc_id", [("cnt", "sum", "n")], num_partitions=1)
+    cmap = {r["doc_id"]: r["n"] for r in gate_counts.iter_rows()}  # 3 rows
+    n_len, n_both, n_all = cmap.get(-1, 0), cmap.get(-2, 0), cmap.get(-3, 0)
 
     def real_rows(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

@@ -26,6 +26,27 @@ import ray.data as rd
 
 EMB_DIMS = 64  # fixture embedding width; SQL twins unroll over this
 
+# Absolute budget for the k-means fit sample: the driver never collects
+# more than this many vectors regardless of corpus size (a raw stride-2
+# default would collect HALF of a 100 TB store).  The DuckDB twins
+# compute the same effective stride in SQL, so the gate is exact at any
+# scale; see effective_sample_stride.
+SAMPLE_BUDGET = 262_144
+
+
+def effective_sample_stride(sf_dir: str, stride: int) -> int:
+    """max(stride, ceil(n_vecs / SAMPLE_BUDGET)) — the stride actually
+    used for the k-means sample, derived from the parquet row count
+    (metadata-only read).  At 100 TB the truly-at-scale alternative is a
+    distributed k-means (per-iteration assignment as a map_batches with
+    groupby component sums — the exact shape _ivf_kmeans_ctes' d/a/m
+    CTEs express); the budgeted sample keeps the deterministic
+    single-process fit honest until that is needed."""
+    import pyarrow.parquet as pq
+
+    n = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    return max(stride, (n + SAMPLE_BUDGET - 1) // SAMPLE_BUDGET)
+
 
 def _emb(sf_dir: str) -> rd.Dataset:
     return rd.read_parquet(f"{sf_dir}/embeddings.parquet",
@@ -247,7 +268,8 @@ def ivf_assignments(sf_dir: str, n_lists: int = 16,
     dedup.semantic_dedup.  Returns the (n_lists, dims) int64 centroid
     matrix plus a streaming Dataset of (list_id, vec_id, v) rows where
     ``v`` is the L2-normalized vector as float64 bytes."""
-    s_ids, S = _query_matrix(sf_dir, sample_stride, normalize=False)
+    eff = effective_sample_stride(sf_dir, sample_stride)
+    s_ids, S = _query_matrix(sf_dir, eff, normalize=False)
     C = _kmeans_int(s_ids, S, n_lists, iters)
     c_ref = ray.put(C)
 
@@ -689,7 +711,8 @@ def knn_ivfpq(sf_dir: str, k: int = 5, query_stride: int = 50,
     codebooks + per-query LUTs (all sample/constant-sized)."""
     from ..agg import hash_join
 
-    s_ids, S = _query_matrix(sf_dir, sample_stride, normalize=False)
+    eff = effective_sample_stride(sf_dir, sample_stride)
+    s_ids, S = _query_matrix(sf_dir, eff, normalize=False)
     C = _kmeans_int(s_ids, S, n_lists, iters)
     books = _pq_codebooks(sf_dir, n_sub, n_codes)
     c_ref = ray.put((C, books))
@@ -764,26 +787,27 @@ def knn_ivfpq(sf_dir: str, k: int = 5, query_stride: int = 50,
                 .groupby("query_id", sort=False).head(rerank))
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    # the per-batch-combined ADC survivors are OUTPUT-sized (≤ rerank ×
-    # queries per block), so the global top-R collects to the driver —
-    # bounded by queries × rerank rows, the same budget _query_matrix
-    # already uses — instead of paying a sort exchange
-    parts = list(joined.map_batches(adc_topr, batch_format="pyarrow")
-                 .iter_batches(batch_format="pyarrow"))
-    allr = (pa.concat_tables(parts) if parts
-            else pa.table({"query_id": pa.array([], pa.int64()),
-                           "vec_id": pa.array([], pa.int64()),
-                           "adc": pa.array([], pa.int64())}))
-    topr_df = (allr.to_pandas()
-               .sort_values(["adc", "vec_id"], kind="mergesort")
-               .groupby("query_id", sort=False).head(rerank))
+    # global top-R per query as a DISTRIBUTED groupby reduce over the
+    # per-batch-combined partials (the _score_candidates merge shape) —
+    # no driver-side concat of per-block partials; only the final reduced
+    # table (provably ≤ queries × rerank rows, the same budget
+    # _query_matrix already uses) ever reaches the driver
+    def topr_group(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.sort_values(["adc", "vec_id"], kind="mergesort")
+                .head(rerank)[["query_id", "vec_id"]])
+
+    topr = (joined.map_batches(adc_topr, batch_format="pyarrow")
+            .groupby("query_id")
+            .map_groups(topr_group, batch_format="pandas"))
 
     # rerank: broadcast the output-sized (vec_id → [query_id]) multimap
     # and SEMI-JOIN it against one streaming pass over the corpus — only
     # rerank × queries pairs ever score, and no all-to-all moves vectors
     wanted: dict[int, list[int]] = {}
-    for qid, vid in zip(topr_df["query_id"], topr_df["vec_id"]):
-        wanted.setdefault(int(vid), []).append(int(qid))
+    for t in topr.iter_batches(batch_format="pyarrow"):
+        for qid, vid in zip(t["query_id"].to_pylist(),
+                            t["vec_id"].to_pylist()):
+            wanted.setdefault(int(vid), []).append(int(qid))
     Qn = (Q_raw / np.linalg.norm(Q_raw, axis=1, keepdims=True)
           if len(q_ids) else Q_raw)
     w_ref = ray.put((wanted, q_ids, Qn))

@@ -32,7 +32,6 @@ from pathlib import Path
 
 import pyarrow as pa
 import pyarrow.dataset as pads
-import pyarrow.parquet as pq
 
 from ..urlkit import url_hash_batch
 
@@ -40,25 +39,70 @@ STORE_FMT = 2  # bump to invalidate stores built under an older layout
 
 
 def _compact_bucket(store_dir: str, b: int) -> int:
-    """Sort one bucket by (url_hash, url) and rewrite it as uncompressed
-    Arrow IPC; delete the parquet parts.  Chunked so per-batch string
-    offsets stay well under int32 even for multi-GB buckets."""
+    """Join status onto pages WITHIN the bucket (both sides are
+    hash-partitioned on url_hash, so every row of a url lives here — the
+    per-bucket hash join is exact and O(bucket), replacing the old
+    corpus-sized driver-side ``status_map`` dict), sort by (url_hash,
+    url) and rewrite as uncompressed Arrow IPC; delete the parquet
+    parts.  Chunked so per-batch string offsets stay well under int32
+    even for multi-GB buckets."""
     import pyarrow.compute as pc
 
     bdir = Path(store_dir) / f"bucket={b}"
-    if not bdir.exists():
+    sdir = Path(store_dir) / "_status" / f"bucket={b}"
+    parts = sorted(bdir.glob("*.parquet")) if bdir.exists() else []
+    sparts = sorted(sdir.glob("*.parquet")) if sdir.exists() else []
+    if not parts and not sparts:
         return 0
-    cols = ["url", "html", "status", "fail_times", "url_hash"]
-    parts = sorted(bdir.glob("*.parquet"))
-    t = pads.dataset([str(p) for p in parts]).to_table(columns=cols)
+    if parts:
+        pages = pads.dataset([str(p) for p in parts]).to_table(
+            columns=["url", "html", "url_hash"])
+    else:
+        pages = pa.table({"url": pa.array([], pa.string()),
+                          "html": pa.array([], pa.binary()),
+                          "url_hash": pa.array([], pa.uint64())})
+    if sparts:
+        status = pads.dataset([str(p) for p in sparts]).to_table(
+            columns=["url", "status", "fail_times", "url_hash"])
+    else:
+        status = pa.table({"url": pa.array([], pa.string()),
+                           "status": pa.array([], pa.int32()),
+                           "fail_times": pa.array([], pa.int32()),
+                           "url_hash": pa.array([], pa.uint64())})
+    joined = pages.join(status.select(["url", "status", "fail_times"]),
+                        keys="url", join_type="left outer")
+    t = pa.table({
+        "url": joined["url"],
+        "html": joined["html"],
+        "status": pc.fill_null(joined["status"].combine_chunks().cast(
+            pa.int32()), pa.scalar(200, pa.int32())),
+        "fail_times": pc.fill_null(joined["fail_times"].combine_chunks()
+                                   .cast(pa.int32()),
+                                   pa.scalar(0, pa.int32())),
+        "url_hash": joined["url_hash"],
+    })
+    # status-recorded URLs with NO page row resolve to their RECORDED
+    # status instead of 404 (oracle _effective_status parity): null-html
+    # rows, found by a per-bucket anti join — never a driver seen-set
+    extra = status.join(pages.select(["url"]), keys="url",
+                        join_type="left anti")
+    if extra.num_rows:
+        t = pa.concat_tables([t, pa.table({
+            "url": extra["url"],
+            "html": pa.array([None] * extra.num_rows, pa.binary()),
+            "status": extra["status"],
+            "fail_times": extra["fail_times"],
+            "url_hash": extra["url_hash"],
+        })])
     t = t.take(pc.sort_indices(t, sort_keys=[("url_hash", "ascending"),
                                              ("url", "ascending")]))
+    bdir.mkdir(parents=True, exist_ok=True)
     tmp = bdir / "sorted.arrow.tmp"
     with pa.OSFile(str(tmp), "wb") as f:
         with pa.ipc.new_file(f, t.schema) as w:
             w.write_table(t, max_chunksize=65536)
     os.replace(tmp, bdir / "sorted.arrow")
-    for p in parts:
+    for p in parts + sparts:
         p.unlink()
     return t.num_rows
 
@@ -87,66 +131,40 @@ def build_page_store(pages_parquet: str, status_parquet: str, store_dir: str,
             return meta["rows"]
         import shutil
         shutil.rmtree(out)
+    elif out.exists():
+        # a crashed previous build leaves parquet parts that a fresh
+        # write_parquet (unique file names) would silently duplicate
+        import shutil
+        shutil.rmtree(out)
     out.mkdir(parents=True, exist_ok=True)
 
-    status = pq.read_table(status_parquet)
-    status_map = {u: (s, f) for u, s, f in zip(status["url"].to_pylist(),
-                                               status["status"].to_pylist(),
-                                               status["fail_times"].to_pylist())}
-    status_ref = ray.put(status_map)
-
+    # Both sides hash-partition on url_hash into the SAME bucket layout
+    # (the status table is per-URL, i.e. corpus-sized at the design
+    # point — it never becomes a driver dict); the per-bucket compaction
+    # task then joins status onto pages co-partitioned.
     def add_bucket(batch: pa.Table) -> pa.Table:
-        smap = ray.get(status_ref)
         urls = batch["url"].to_pylist()
         hashes = url_hash_batch(urls)
         buckets = [h % num_buckets for h in hashes]
-        st = [smap.get(u, (200, 0)) for u in urls]
         return (batch
                 .append_column("url_hash", pa.array(hashes, pa.uint64()))
-                .append_column("bucket", pa.array(buckets, pa.int32()))
-                .append_column("status", pa.array([s for s, _ in st], pa.int32()))
-                .append_column("fail_times", pa.array([f for _, f in st], pa.int32())))
+                .append_column("bucket", pa.array(buckets, pa.int32())))
 
-    ds = rd.read_parquet(pages_parquet, columns=["url", "html"])
-    ds = ds.map_batches(add_bucket, batch_format="pyarrow")
-    ds.write_parquet(str(out), partition_cols=["bucket"])
+    (rd.read_parquet(status_parquet)
+     .map_batches(add_bucket, batch_format="pyarrow")
+     .write_parquet(str(out / "_status"), partition_cols=["bucket"]))
 
-    # Union in page_status-only URLs (status recorded but no page row) with
-    # null html so the engine resolves them to their RECORDED status instead
-    # of 404 (oracle _effective_status parity).  Driver memory here is
-    # O(status table), the small side: the distributed scan emits only the
-    # page-urls that intersect the status keys.
-    def matched(batch: pa.Table) -> pa.Table:
-        smap = ray.get(status_ref)
-        urls = [u for u in batch["url"].to_pylist() if u in smap]
-        return pa.table({"url": pa.array(urls, pa.string())})
+    (rd.read_parquet(pages_parquet, columns=["url", "html"])
+     .map_batches(add_bucket, batch_format="pyarrow")
+     .write_parquet(str(out), partition_cols=["bucket"]))
 
-    seen_urls: set[str] = set()
-    for t in (rd.read_parquet(pages_parquet, columns=["url"])
-              .map_batches(matched, batch_format="pyarrow")
-              .iter_batches(batch_format="pyarrow")):
-        seen_urls.update(t["url"].to_pylist())
-    missing = sorted(set(status_map) - seen_urls)
-    if missing:
-        hashes = url_hash_batch(missing)
-        extra = pa.table({
-            "url": pa.array(missing, pa.string()),
-            "html": pa.array([None] * len(missing), pa.binary()),
-            "url_hash": pa.array(hashes, pa.uint64()),
-            "status": pa.array([status_map[u][0] for u in missing], pa.int32()),
-            "fail_times": pa.array([status_map[u][1] for u in missing],
-                                   pa.int32()),
-        })
-        for b in sorted({h % num_buckets for h in hashes}):
-            mask = pa.array([h % num_buckets == b for h in hashes])
-            bdir = out / f"bucket={b}"
-            bdir.mkdir(exist_ok=True)
-            pq.write_table(extra.filter(mask), bdir / "status_only.parquet")
-
-    # per-bucket sort + IPC compaction, one task per bucket (parallel)
+    # per-bucket status join + sort + IPC compaction, one task per
+    # bucket (parallel)
     compact = ray.remote(_compact_bucket)
     n = sum(ray.get([compact.remote(str(out), b)
                      for b in range(num_buckets)]))
+    import shutil
+    shutil.rmtree(out / "_status", ignore_errors=True)
 
     import json
     (out / "_built.json").write_text(json.dumps(
