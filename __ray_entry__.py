@@ -41,28 +41,59 @@ def _scale_for(sf_dir: str) -> str:
     return "small" if "sf0.001" in sf_dir else "med"
 
 
+def _gen_fingerprint() -> str:
+    """Content hash of every module that determines the synthetic corpus
+    bytes — the /tmp cache directories are KEYED by it, so a cache left
+    behind by an older checkout of the generator can never be served
+    stale (the round-3 hazard: `/tmp/gsr_corpus_*` persisted across
+    driver runs with only an existence check)."""
+    import hashlib
+    h = hashlib.sha256()
+    for rel in ("fixtures/gen.py", "go_scrapper_ray/extract.py",
+                "go_scrapper_ray/urlkit.py", "go_scrapper_ray/config.py",
+                "go_scrapper_ray/gojson.py"):
+        h.update(rel.encode())
+        h.update((_REPO / rel).read_bytes())
+    return h.hexdigest()[:12]
+
+
 def _corpus(sf_dir: str) -> str:
     """Deterministic synthetic web corpus for the crawl queries (seed=42),
-    cached per scale under /tmp."""
+    cached per (scale, generator fingerprint) under /tmp.  Generation is
+    ATOMIC: build into a pid-unique temp dir, rename into place — a
+    crashed or concurrent generator can never leave a half-written
+    directory that a later run mistakes for a complete corpus."""
     scale = _scale_for(sf_dir)
     if scale not in _CORPUS_CACHE:
+        import os
+        import shutil
+
         from fixtures.gen import generate_corpus
 
-        out = f"/tmp/gsr_corpus_{scale}"
-        if not (Path(out) / "manifest.json").exists():
-            generate_corpus(out, scale=scale, seed=42)
-        _CORPUS_CACHE[scale] = out
+        out = Path(f"/tmp/gsr_corpus_{scale}_{_gen_fingerprint()}")
+        if not (out / "manifest.json").exists():
+            tmp = Path(f"{out}.tmp.{os.getpid()}")
+            shutil.rmtree(tmp, ignore_errors=True)
+            generate_corpus(str(tmp), scale=scale, seed=42)
+            try:
+                os.rename(tmp, out)
+            except OSError:  # lost a race to a concurrent generator
+                shutil.rmtree(tmp, ignore_errors=True)
+        _CORPUS_CACHE[scale] = str(out)
     return _CORPUS_CACHE[scale]
 
 
 def _crawl(sf_dir: str):
-    """Run (once per scale) the crawl engine; cache the CrawlResult."""
+    """Run (once per scale) the crawl engine; cache the CrawlResult.
+    The workdir (which holds the derived page store) shares the corpus
+    fingerprint key, so a regenerated corpus always gets a fresh store."""
     scale = _scale_for(sf_dir)
     if scale not in _CRAWL_CACHE:
         from go_scrapper_ray.pipelines.crawl import CrawlEngine
 
         corpus = _corpus(sf_dir)
-        eng = CrawlEngine(corpus, f"/tmp/gsr_crawl_{scale}",
+        eng = CrawlEngine(corpus,
+                          f"/tmp/gsr_crawl_{scale}_{_gen_fingerprint()}",
                           checkpoints=False)
         _CRAWL_CACHE[scale] = eng.run()
     return _CRAWL_CACHE[scale]
@@ -160,11 +191,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     they encode an iterative politeness-scheduled frontier loop (ordering
     depends on the virtual clock + retry state machine) and are checked
     instead by the byte-parity oracle suite in tests/test_crawl_parity.py
-    against tests/oracle.py.  Even the ANN paths are fully SQL-checked:
+    against tests/oracle.py.  Even the ANN paths are SQL-checked:
     knn_lsh (md5-parity hyperplanes, int-quantized codes) and knn_ivf
-    (deterministic integer k-means, iterations unrolled in the twin) are
-    bit-reproducible end-to-end, with recall floors vs knn_bruteforce
-    additionally pytest-enforced; media_features / media_frame_sample
+    (deterministic integer k-means, iterations unrolled in the twin)
+    produce bit-exact CANDIDATE SETS; the final cosine ranking is
+    fixture-verified (numpy vs DuckDB list_cosine_similarity differ in
+    float accumulation order, so near-tie scores on another corpus could
+    flip ranks) with recall floors vs knn_bruteforce additionally
+    pytest-enforced; media_features / media_frame_sample
     run their deterministic fake codec over utf-8 payload bytes, which
     the twins reproduce via codepoint aggregates."""
     from go_scrapper_ray.pipelines import (clean, dedup, events, graph,
@@ -908,8 +942,11 @@ def _knn_lsh_sql(k: int, query_stride: int, n_planes: int,
     ±1 hyperplanes, int-quantized bucket codes (bit-exact candidate sets),
     bucket + hamming-1 probes meeting corpus codes on (table_id, code),
     exact-cosine ranking over the candidates (the knn_bruteforce scoring
-    expression, empirically rank-stable vs numpy at this fixture's score
-    gaps)."""
+    expression).  Guarantee boundary: candidate sets are bit-exact;
+    the cosine RANKING is fixture-verified only — DuckDB's
+    list_cosine_similarity accumulates floats in a different order than
+    the engine's normalized-float64 numpy dot, so near-tie scores on
+    another corpus could flip ranks."""
     from go_scrapper_ray.pipelines.similarity import EMB_DIMS, KNN_LSH_SALT
 
     return f"""

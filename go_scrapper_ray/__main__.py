@@ -54,9 +54,14 @@ def spider_to_seed_row(d: dict, seed_id: int = 0) -> dict:
     """Map the reference Spider JSON fields (main.go:31-52) onto the
     engine's seeds-table row.  Unknown fields are ignored (the reference's
     json.Unmarshal drops them too); address is the nested object."""
+    from go_scrapper_ray.config import Persona
+
     addr = d.get("address") or {}
     return {
         "seed_id": seed_id,
+        # persona (main.go:40-44) rides along for a live-HTTP session;
+        # the seeds parquet schema and the lookup fetch ignore it
+        "persona": Persona.from_spider(d),
         "url": d.get("profile_key", "") or "",
         "business_name": d.get("business_name", "") or "",
         "addr_street": addr.get("street", "") or "",
@@ -129,16 +134,30 @@ def main(argv: list[str] | None = None) -> int:
         from go_scrapper_ray.pipelines.crawl import CrawlEngine
 
         # a STABLE workdir (-s WORKDIR=...) signals a resumable job:
-        # per-round checkpoints land under it, and a killed run restarts
-        # via CrawlEngine.resume_from(N) over the same workdir.  The
-        # throwaway tempdir path skips checkpoint I/O (nothing could
-        # ever resume from it).
+        # per-round checkpoints land under it, and re-submitting the SAME
+        # command after a kill AUTO-RESUMES from the latest complete
+        # checkpoint (run() would rmtree it and restart from scratch —
+        # the natural `ray job submit` retry must not destroy the very
+        # state it was configured to keep).  `-s RESUME=0` forces a fresh
+        # run.  The throwaway tempdir path skips checkpoint I/O (nothing
+        # could ever resume from it).
         workdir = setvars.get("WORKDIR")
         eng = CrawlEngine(args.corpus,
                           workdir or tempfile.mkdtemp(prefix="gsr_cli_"),
                           checkpoints=workdir is not None,
                           seeds_override=seeds_tbl)
-        res = eng.run()
+        ck = (eng.latest_checkpoint()
+              if workdir is not None
+              and setvars.get("RESUME", "auto") not in ("0", "never")
+              else None)
+        if ck is not None:
+            print(f"go_scrapper_ray: resuming from checkpoint round={ck} "
+                  f"under {workdir} (-s RESUME=0 forces a fresh run)",
+                  file=sys.stderr)
+            eng.resume_from(ck)
+            res = eng.resume_run()
+        else:
+            res = eng.run()
         workdir = str(eng.workdir)
 
         seed_ids = [s["seed_id"] for s in eng.seeds]

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import json
 from dataclasses import dataclass, field, asdict
+from typing import Any
 
 
 @dataclass
@@ -59,10 +60,41 @@ class CrawlConfig:
 
 
 @dataclass
+class Persona:
+    """Per-spider fetch identity — ``Spider.Persona`` (main.go:40-44).
+
+    ``proxy`` is the reference's credential string ``ACCESSKEY@HOST:PORT``
+    (parsed by ``state.session.parse_proxy``, the ``getFromProxy`` twin,
+    collyfunc.go:50-63); ``other_proxies`` is the failover list the
+    reference carries but never rotates through; ``additional_cookies``
+    is ``interface{}`` in the reference and is DECLARED but never read
+    (the package cookie jar starts nil and is only ever fed by
+    responses) — stored here for config-surface completeness, not
+    applied.  Zero effect on the lookup-based fetch; ``FetchSession``
+    maps proxy onto headers/transport for a live-HTTP page source."""
+
+    proxy: str = ""
+    other_proxies: tuple[str, ...] = ()
+    additional_cookies: Any = None
+
+    @classmethod
+    def from_spider(cls, d: dict | None) -> "Persona | None":
+        """Map the Spider JSON's nested persona object (absent → None,
+        like Go's zero-value struct the flows never touch)."""
+        p = (d or {}).get("persona")
+        if not p:
+            return None
+        return cls(proxy=p.get("proxy", "") or "",
+                   other_proxies=tuple(p.get("other_proxies") or ()),
+                   additional_cookies=p.get("additional_cookies"))
+
+
+@dataclass
 class Seed:
     """One crawl seed — the Spider config fields that matter
     (main.go:31-52): url may be empty → seed-resolution mode (Flow 2);
-    last_review_hashes non-empty → incremental mode (Flow 3)."""
+    last_review_hashes non-empty → incremental mode (Flow 3);
+    persona carries the proxy/cookie identity (main.go:40-44)."""
 
     seed_id: int
     url: str = ""
@@ -73,3 +105,4 @@ class Seed:
     addr_zip: str = ""
     first_page_only: int = 0
     last_review_hashes: tuple[str, ...] = field(default_factory=tuple)
+    persona: Persona | None = None

@@ -211,14 +211,19 @@ def train_shards(sf_dir: str, n_shards: int = 16,
     cols = ("doc_id", "text") if out_dir else ("doc_id",)
 
     def _corpus_sig() -> dict:
-        # Cheap input fingerprint: per-file (size, mtime) of the documents
-        # parquet — enough to invalidate resume state when the corpus or
-        # shard count changes under the same out_dir (a changed input with
-        # identical size+mtime is out of scope for a resume marker).
+        # Cheap input fingerprint: (size, mtime) of the documents parquet
+        # PLUS a parquet-footer content signal (num_rows + per-row-group
+        # byte sizes, metadata-only read) — so a corpus regenerated in
+        # place with preserved size+mtime (mtime-preserving copy, equal-
+        # length content edit) still invalidates the resume markers.
         src = Path(sf_dir) / "documents.parquet"
         st = os.stat(src)
+        md = pq.read_metadata(src)
         return {"n_shards": n_shards, "src": str(src),
-                "size": st.st_size, "mtime_ns": st.st_mtime_ns}
+                "size": st.st_size, "mtime_ns": st.st_mtime_ns,
+                "num_rows": md.num_rows,
+                "rg_bytes": [md.row_group(i).total_byte_size
+                             for i in range(md.num_row_groups)]}
 
     def stamp(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_pylist()

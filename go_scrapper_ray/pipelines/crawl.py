@@ -879,11 +879,31 @@ class CrawlEngine:
                          "dst": pa.array([], pa.string()),
                          "rel": pa.array([], pa.string())})
 
+    def latest_checkpoint(self) -> int | None:
+        """Highest round with a COMPLETE checkpoint under this workdir,
+        or None — the CLI's resume auto-detect probe."""
+        base = self.workdir / "checkpoint"
+        if not base.exists():
+            return None
+        rounds = [int(p.name.partition("=")[2]) for p in base.glob("round=*")
+                  if (p / "_complete").exists()]
+        return max(rounds, default=None)
+
     def resume_from(self, rnd: int):
         """Rebuild actor + driver state from a complete round checkpoint;
         subsequent rounds re-run from the frontier as checkpointed."""
         ckdir = self.workdir / "checkpoint" / f"round={rnd}"
         assert (ckdir / "_complete").exists()
+        state = json.loads((ckdir / "driver.json").read_text())
+        if "outcomes" in state:
+            # pre-seedctl-shard layout: per-seed state lived inline in
+            # driver.json and there are no seedctl_*.json files — there is
+            # no migration path, so say that instead of misdescribing it
+            # as a shard-count mismatch
+            raise ValueError(
+                f"checkpoint at {ckdir} uses the legacy pre-seedctl-shard "
+                "format (per-seed state inline in driver.json); it cannot "
+                "be resumed by this version — re-run from scratch")
         # the seedctl shard count is part of the checkpoint layout (state
         # is sharded by sid % N): refuse a mismatched resume loudly rather
         # than silently dropping the seeds of missing shards
@@ -900,7 +920,6 @@ class CrawlEngine:
         futs += [c.restore.remote(str(ckdir / f"seedctl_{i}.json"))
                  for i, c in enumerate(self.seedctl)]
         ray.get(futs)
-        state = json.loads((ckdir / "driver.json").read_text())
         self.round = state["round"]
         self.seq = state["seq"]
         self.edge_tables = [pq.read_table(str(ckdir / "edges.parquet"))]

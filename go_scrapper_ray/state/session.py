@@ -64,6 +64,26 @@ USER_AGENT_STRINGS = [
 ]
 
 
+def parse_proxy(proxy: str, key: str) -> str:
+    """``getFromProxy`` parity (collyfunc.go:50-63): the proxy credential
+    string is ``ACCESSKEY@HOST:PORT``; ``key="url"`` → ``http://HOST:PORT``,
+    ``key="key"`` → ``ACCESSKEY``, any other key → "".  Quirks kept: the
+    reference ``strings.Split``s on "@" and takes [0]/[1], so a string
+    with several "@" yields only the middle chunk as the host; a string
+    with NO "@" panics (index out of range) — ValueError here, the
+    established panic-parity path."""
+    parts = proxy.split("@")
+    if len(parts) < 2:
+        raise ValueError(
+            f"malformed proxy (want ACCESSKEY@HOST:PORT): {proxy!r}")
+    access_key, proxy_url = parts[0], parts[1]
+    if key == "url":
+        return "http://" + proxy_url
+    if key == "key":
+        return access_key
+    return ""
+
+
 class UARotator:
     """Deterministic stand-in for ``rand.Intn`` UA choice: (seed, ordinal)
     keyed so any task layout produces the same header for the same request
@@ -107,24 +127,50 @@ class CookieJar:
 
 
 class FetchSession:
-    """Per-fetch-actor session: jar + UA rotation, applied per request.
+    """Per-fetch-actor session: jar + UA rotation + persona proxy,
+    applied per request.
 
-    The Parquet page store carries no cookies, so ``apply`` is a no-op on
-    the response side there; a live-HTTP page source calls
-    ``jar.capture(host, response_cookies)`` after each fetch."""
+    The Parquet page store carries no cookies and needs no transport, so
+    both are no-ops there; a live-HTTP page source calls
+    ``jar.capture(host, response_cookies)`` after each fetch, builds its
+    client from ``transport()`` and sends ``request_headers(...)``."""
 
-    def __init__(self, seed: int = 0, last_response_wins: bool = True):
+    def __init__(self, seed: int = 0, last_response_wins: bool = True,
+                 persona=None):
         self.ua = UARotator(seed)
         self.jar = CookieJar(last_response_wins)
+        self.persona = persona  # config.Persona | None (main.go:40-44)
+
+    def transport(self) -> dict:
+        """The per-spider collector transport (collyfunc.go:70-92) as a
+        plain dict an HTTP-client adapter consumes: proxy URL from the
+        persona credential, TLS verification disabled, and the colly
+        timeouts (ExpectContinue 4 s, ResponseHeader 10 s, request
+        200 s)."""
+        t = {"proxy_url": None,
+             "tls_insecure_skip_verify": True,
+             "expect_continue_timeout_s": 4,
+             "response_header_timeout_s": 10,
+             "request_timeout_s": 200}
+        if self.persona is not None and self.persona.proxy:
+            t["proxy_url"] = parse_proxy(self.persona.proxy, "url")
+        return t
 
     def request_headers(self, host: str, ordinal: int) -> dict[str, str]:
-        h = {
+        h = {}
+        if self.persona is not None and self.persona.proxy:
+            # collyfunc.go:93-94: Basic base64(ACCESSKEY), set per request
+            import base64
+            key = parse_proxy(self.persona.proxy, "key")
+            h["Proxy-Authorization"] = (
+                "Basic " + base64.b64encode(key.encode()).decode())
+        h.update({
             # collyfunc.go:95-98 fixed header set
             "X-Crawlera-Profile": "desktop",
             "upgrade-insecure-requests": "1",
             "Connection": "keep-alive",
             "User-Agent": self.ua.for_ordinal(ordinal),
-        }
+        })
         cookies = self.jar.for_request(host)
         if cookies:
             h["Cookie"] = "; ".join(f"{k}={v}" for k, v in cookies.items())

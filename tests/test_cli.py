@@ -99,3 +99,41 @@ def test_cli_append_mode(ray_session, fixture_corpus, tmp_path):
     assert len(lines) % 2 == 0 and len(lines) > 0
     half = len(lines) // 2
     assert lines[:half] == lines[half:]
+
+
+def test_cli_auto_resume_on_rerun(ray_session, fixture_corpus, tmp_path,
+                                  capsys):
+    """Re-submitting the same command over a stable WORKDIR must RESUME
+    from the latest complete checkpoint (not rmtree it and restart), and
+    -s RESUME=0 must force the fresh-run path instead."""
+    corpus_dir, _ = fixture_corpus
+    oc = OracleCrawl(corpus_dir)
+    seed = next(s for s in oc.seeds if s["url"])
+    spider = {"profile_key": seed["url"]}
+    out = tmp_path / "reviews.jsonl"
+    wd = tmp_path / "wd"
+
+    assert main(["--corpus", corpus_dir, "-a", f"SPIDER={_b64(spider)}",
+                 "-o", str(out), "-s", f"WORKDIR={wd}"]) == 0
+    assert not capsys.readouterr().err.count("resuming")
+    first = out.read_text().splitlines()
+    cks = {p.name for p in (wd / "checkpoint").iterdir()
+           if (p / "_complete").exists()}
+    assert cks
+
+    # rerun: resumes (stderr notice), checkpoints survive, output appends
+    # byte-identically
+    assert main(["--corpus", corpus_dir, "-a", f"SPIDER={_b64(spider)}",
+                 "-o", str(out), "-s", f"WORKDIR={wd}"]) == 0
+    assert "resuming from checkpoint" in capsys.readouterr().err
+    assert {p.name for p in (wd / "checkpoint").iterdir()
+            if (p / "_complete").exists()} >= cks
+    lines = out.read_text().splitlines()
+    assert lines == first + first
+
+    # RESUME=0: fresh run — no resume notice, still identical output
+    assert main(["--corpus", corpus_dir, "-a", f"SPIDER={_b64(spider)}",
+                 "-o", str(out), "-s", f"WORKDIR={wd}",
+                 "-s", "RESUME=0"]) == 0
+    assert "resuming" not in capsys.readouterr().err
+    assert out.read_text().splitlines() == first * 3

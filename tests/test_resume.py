@@ -118,3 +118,30 @@ def test_resume_rejects_mismatched_seedctl_shards(full_run,
     eng = CrawlEngine(corpus_dir, str(wd4), cfg=cfg, checkpoints=True)
     with pytest.raises(ValueError, match="seedctl"):
         eng.resume_from(first)
+
+
+def test_resume_rejects_legacy_checkpoint_format(full_run,
+                                                 tmp_path_factory):
+    """A pre-seedctl-shard checkpoint (per-seed state inline in
+    driver.json, no seedctl_*.json) gets a dedicated format error, not a
+    misleading shard-count mismatch."""
+    import json
+
+    from go_scrapper_ray.pipelines.crawl import CrawlEngine
+
+    corpus_dir, wd, _ = full_run
+    first = sorted(int(p.name.split("=")[1])
+                   for p in (wd / "checkpoint").iterdir()
+                   if (p / "_complete").exists())[0]
+    wd5 = tmp_path_factory.mktemp("resume_legacy")
+    shutil.rmtree(wd5)
+    shutil.copytree(wd, wd5)
+    ckdir = wd5 / "checkpoint" / f"round={first}"
+    for p in ckdir.glob("seedctl_*.json"):
+        p.unlink()
+    drv = json.loads((ckdir / "driver.json").read_text())
+    drv["outcomes"] = {"0": {"status": 1}}  # legacy inline per-seed state
+    (ckdir / "driver.json").write_text(json.dumps(drv))
+    eng = CrawlEngine(corpus_dir, str(wd5), checkpoints=True)
+    with pytest.raises(ValueError, match="legacy pre-seedctl-shard"):
+        eng.resume_from(first)

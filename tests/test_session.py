@@ -46,3 +46,63 @@ def test_fetch_session_headers():
     assert "Cookie" not in h
     s.jar.capture("a.example", {"sid": "9"})
     assert s.request_headers("a.example", 1)["Cookie"] == "sid=9"
+
+
+def test_parse_proxy_getfromproxy_parity():
+    from go_scrapper_ray.state.session import parse_proxy
+
+    # collyfunc.go:50-63: split on "@", [0]=key, [1]=host:port
+    assert parse_proxy("KEY123@proxy.example:8010", "url") == \
+        "http://proxy.example:8010"
+    assert parse_proxy("KEY123@proxy.example:8010", "key") == "KEY123"
+    # unknown key → "" (the switch's zero value)
+    assert parse_proxy("KEY123@h:1", "nope") == ""
+    # multi-@ quirk: Split[1] is the MIDDLE chunk only
+    assert parse_proxy("k@h1:1@h2:2", "url") == "http://h1:1"
+    # no "@" → reference panics (index out of range) → ValueError
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        parse_proxy("noatsign", "url")
+
+
+def test_fetch_session_persona_transport_and_auth():
+    import base64
+
+    from go_scrapper_ray.config import Persona
+    from go_scrapper_ray.state.session import FetchSession
+
+    p = Persona(proxy="SECRET@proxy.example:8010",
+                other_proxies=("k2@p2:1",),
+                additional_cookies={"sid": "x"})
+    s = FetchSession(seed=1, persona=p)
+    t = s.transport()
+    # collyfunc.go:70-92: proxy URL + InsecureSkipVerify + colly timeouts
+    assert t["proxy_url"] == "http://proxy.example:8010"
+    assert t["tls_insecure_skip_verify"] is True
+    assert (t["expect_continue_timeout_s"], t["response_header_timeout_s"],
+            t["request_timeout_s"]) == (4, 10, 200)
+    h = s.request_headers("www.yelp.com", 0)
+    # collyfunc.go:93-94: Basic base64(ACCESSKEY), alongside the fixed set
+    assert h["Proxy-Authorization"] == \
+        "Basic " + base64.b64encode(b"SECRET").decode()
+    assert h["X-Crawlera-Profile"] == "desktop"
+    # additional_cookies is declared-but-never-read in the reference:
+    # stored, NOT applied to requests
+    assert "Cookie" not in h
+
+    # no persona → no proxy header, null transport proxy
+    s0 = FetchSession(seed=1)
+    assert "Proxy-Authorization" not in s0.request_headers("h", 0)
+    assert s0.transport()["proxy_url"] is None
+
+
+def test_persona_from_spider_mapping():
+    from go_scrapper_ray.config import Persona
+
+    d = {"persona": {"proxy": "k@h:1", "other_proxies": ["a@b:2"],
+                     "additional_cookies": {"c": 1}}}
+    p = Persona.from_spider(d)
+    assert p.proxy == "k@h:1" and p.other_proxies == ("a@b:2",)
+    assert p.additional_cookies == {"c": 1}
+    assert Persona.from_spider({}) is None
+    assert Persona.from_spider({"persona": None}) is None
