@@ -9,7 +9,7 @@ here calls ray.init()/ray.shutdown().
 ``queries()`` — one entry per implemented operator (SURVEY.md §2 + the
                 training-data ops); each takes sf_dir.
 ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query
-                (same column names!).  101 of 106 queries are SQL-checked,
+                (same column names!).  102 of 107 queries are SQL-checked,
                 including the sketch ops (simhash / minhash LSH dedup /
                 winnowing / langid — their kernels use md5-upper64 token
                 hashes and mod-2**64 permutations precisely so DuckDB can
@@ -186,7 +186,7 @@ def _q_canonicalize(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """101 of 106 queries carry a DuckDB oracle (oracle_sql()).  The only 5
+    """102 of 107 queries carry a DuckDB oracle (oracle_sql()).  The only 5
     without one are the crawl_* outputs, which are structurally non-SQL:
     they encode an iterative politeness-scheduled frontier loop (ordering
     depends on the virtual clock + retry state machine) and are checked
@@ -246,6 +246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": similarity.knn_bruteforce,
         "knn_lsh": similarity.knn_lsh,                    # SQL-checked ANN
         "knn_ivf": similarity.knn_ivf,                    # SQL-checked ANN
+        "emb_kmeans_dist": similarity.kmeans_assign_dist,  # distributed fit
         "emb_norm_stats": similarity.emb_norm_stats,
         # --- events / streaming-shaped ---
         "events_windowed": events.windowed_counts,
@@ -992,7 +993,8 @@ def _knn_lsh_sql(k: int, query_stride: int, n_planes: int,
 
 
 def _ivf_kmeans_ctes(n_lists: int, sample_stride: int, iters: int,
-                     query_stride: int, n_probe: int) -> str:
+                     query_stride: int, n_probe: int,
+                     budgeted: bool = True) -> str:
     """Shared CTE prefix for the IVF twins (knn_ivf / knn_ivfpq): the
     unrolled integer k-means c0..c{iters}, corpus assignment fa and query
     probe table — exact int dots/sums throughout; the only float work per
@@ -1003,9 +1005,12 @@ def _ivf_kmeans_ctes(n_lists: int, sample_stride: int, iters: int,
     the twin stays correct at any corpus size."""
     from go_scrapper_ray.pipelines.similarity import SAMPLE_BUDGET
 
-    sstr = (f"(SELECT greatest({sample_stride}, "
-            f"(count(*) + {SAMPLE_BUDGET - 1}) // {SAMPLE_BUDGET}) "
-            f"FROM embeddings)")
+    if budgeted:
+        sstr = (f"(SELECT greatest({sample_stride}, "
+                f"(count(*) + {SAMPLE_BUDGET - 1}) // {SAMPLE_BUDGET}) "
+                f"FROM embeddings)")
+    else:  # the distributed full-corpus k-means: literal stride, no budget
+        sstr = str(sample_stride)
     parts = [f"""
         WITH eq AS MATERIALIZED (SELECT vec_id,
                       list_transform(embedding,
@@ -1051,6 +1056,17 @@ def _ivf_kmeans_ctes(n_lists: int, sample_stride: int, iters: int,
         probe AS (SELECT vec_id AS query_id, c AS list_id FROM fr
                   WHERE vec_id % {query_stride} = 0 AND rn <= {n_probe})""")
     return "".join(parts)
+
+
+def _kmeans_dist_sql(n_lists: int, iters: int) -> str:
+    """DuckDB twin of similarity.kmeans_assign_dist — the FULL-CORPUS
+    (stride 1, unbudgeted) unrolled integer k-means; the engine side
+    runs the same math as one streaming assignment + component-sum
+    aggregate per iteration, so the centroid trajectory and final
+    assignment are bit-identical."""
+    return _ivf_kmeans_ctes(n_lists, 1, iters, query_stride=1, n_probe=1,
+                            budgeted=False) + """
+        SELECT vec_id, list_id FROM fa"""
 
 
 def _knn_ivf_sql(k: int, query_stride: int, n_lists: int, n_probe: int,
@@ -1436,6 +1452,9 @@ def oracle_sql() -> dict[str, str]:
             _sig_default(similarity.knn_ivf, "n_probe"),
             _sig_default(similarity.knn_ivf, "sample_stride"),
             _sig_default(similarity.knn_ivf, "iters")),
+        "emb_kmeans_dist": _kmeans_dist_sql(
+            _sig_default(similarity.kmeans_assign_dist, "n_lists"),
+            _sig_default(similarity.kmeans_assign_dist, "iters")),
         "knn_bruteforce": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qe
                        FROM embeddings WHERE vec_id % 50 = 0),

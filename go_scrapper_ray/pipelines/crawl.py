@@ -24,11 +24,14 @@ Scale notes (10^10-URL design points, tested single-node):
   per round it routes the control table's shard slices (columnar take)
   and the released-entry key sort; everything per-seed happens in the
   SeedCtlShard actors (state/seeds.py).
-* that release sort is the one remaining driver-side O(round) step: a
-  columnar pc.sort_indices over five int columns (~1 µs/URL, so ~1 s at a
-  10^6-URL round).  Decentralizing it into a (round, shard, local_idx) seq
-  would change tie-break observables for no measured win — the frontier
-  actors' heap memory saturates far earlier; documented as a deliberate
+* the release path is INT-ONLY on the driver: frontier shards put their
+  full release tables (strings + virtual_ts) to plasma and return key
+  tables (release_indexed); the driver ranks seq and orders (bucket, seq)
+  over ints, and each round task gathers its own rows from the shard
+  tables (two vectorized takes, zero-copy reads).  The remaining driver
+  O(round) step is the five-int-column pc.sort_indices (~0.1 µs/URL);
+  decentralizing THAT into a (round, shard, local_idx) seq would change
+  tie-break observables for no measured win — documented as a deliberate
   non-goal.
 * per-seed record groups are small (one business), so the finalize "sort"
   is a hash-partitioned per-shard sort, NOT a global sort.
@@ -194,16 +197,20 @@ def _finalize_task(bundle: dict, shard: int, watermarks: dict,
 
 
 @ray.remote(num_returns=1 + N_FIN_SHARDS)
-def _round_task(table: pa.Table, start: int, length: int, bundle: dict,
-                nb: int, visit_dir: str, rec_dir: str):
+def _round_task(idx: pa.Table, start: int, length: int, bundle: dict,
+                nb: int, visit_dir: str, rec_dir: str, *shard_tbls):
     """One fetch+extract+write task over one scheduled block.
 
-    The round table is put to plasma ONCE and every task receives
-    ``(ref, start, length)`` — Ray resolves the ref zero-copy per worker
-    (first touch faults the segment, later tasks reuse it), and the
-    driver's submit loop serializes ~100 bytes per task instead of a
-    sliced copy of the rows (measured 2.8 s of serial driver time per
-    24k-seed crawl).
+    The round's INT-ONLY index table (shard, row, seq, round, bucket —
+    bucket-sorted) is put to plasma once and every task receives
+    ``(idx_ref, start, length, ..., *shard_release_tables)`` — Ray
+    resolves the refs zero-copy per worker (first touch faults the
+    segment, later tasks reuse it), and the driver's submit loop
+    serializes ~100 bytes per task.  The task GATHERS its own rows from
+    the frontier shards' release tables (two vectorized takes over its
+    slice), so the string columns never cross the driver at all — the
+    decentralization of the old driver-side (bucket, seq) full-table
+    gather + ray.put.
 
     The round loop deliberately uses RAW Ray tasks, not a per-round Dataset
     execution: a crawl is an iterative loop of many sub-second rounds, and
@@ -213,9 +220,27 @@ def _round_task(table: pa.Table, start: int, length: int, bundle: dict,
     pipelines.  ``bundle`` nests ObjectRefs (nested refs are NOT auto
     resolved) so bucket tables stay zero-copy in plasma and broadcast state
     is fetched once per worker (module caches in the kernels)."""
+    import numpy as np
+
     _dbg = os.environ.get("GSR_TASK_TIMING")
     t0 = time.perf_counter()
-    block = table.slice(start, length)
+    sl = idx.slice(start, length)
+    sh = sl["shard"].to_numpy(zero_copy_only=False)
+    rows = sl["row"].to_numpy(zero_copy_only=False)
+    pos_parts, tbl_parts = [], []
+    for s in np.unique(sh):
+        sel = np.flatnonzero(sh == s)
+        pos_parts.append(sel)
+        tbl_parts.append(shard_tbls[int(s)].take(pa.array(rows[sel])))
+    gathered = pa.concat_tables(tbl_parts).combine_chunks()
+    perm = np.empty(len(sh), np.int64)
+    perm[np.concatenate(pos_parts)] = np.arange(len(sh), dtype=np.int64)
+    # rows back in slice (bucket, seq) order + the driver-assigned columns
+    block = (gathered.take(pa.array(perm))
+             .append_column("seq", sl["seq"])
+             .append_column("round", sl["round"])
+             .append_column("bucket", sl["bucket"])
+             .select([f.name for f in SCHED_SCHEMA]))
     f = fetch_batch_store(block, bundle["store_dir"], nb)
     t1 = time.perf_counter()
     part = f"part-{f['seq'][0].as_py()}.parquet"
@@ -532,14 +557,14 @@ class CrawlEngine:
         self._intake()
         tt = self._t("intake", tt)
         while True:
-            released = self._release()
+            keys, refs = self._release()
             tt = self._t("release", tt)
-            if released.num_rows:
-                self._run_round(released)
+            if keys is not None:
+                self._run_round(keys, refs)
             tt = time.perf_counter()
             grew = self._grow_windows()
             tt = self._t("grow", tt)
-            if not released.num_rows and not grew:
+            if keys is None and not grew:
                 pending = sum(ray.get([f.pending.remote() for f in self.frontier]))
                 if pending == 0:
                     break
@@ -649,24 +674,34 @@ class CrawlEngine:
         self._mark_rejected(rejected_sids)
         self._push_entries(entries)
 
-    def _release(self) -> pa.Table:
-        """Merge shard release tables, impose the canonical deterministic
-        order, assign contiguous ``seq`` — all columnar (pc.sort_indices);
-        the driver runs no per-entry Python."""
-        parts = ray.get([f.release.remote() for f in self.frontier])
-        parts = [t for t in parts if t.num_rows]
-        if not parts:
-            from ..state.frontier import RELEASE_SCHEMA
-            return pa.table(
-                {f.name: [] for f in RELEASE_SCHEMA},
-                schema=RELEASE_SCHEMA).append_column(
-                "seq", pa.array([], pa.int64()))
-        tbl = pa.concat_tables(parts).combine_chunks()
-        # seq = rank under the canonical key, attached WITHOUT reordering
-        # the rows — _run_round's (bucket, seq) sort is the single full
-        # gather per round (a second string-column take here measured ~1s
-        # per crawl at 220k URLs)
+    def _release(self):
+        """Merge shard release KEY tables, impose the canonical
+        deterministic order, assign contiguous ``seq`` — all columnar over
+        INT-ONLY columns.  The full release tables (url/canon/host strings
+        + virtual_ts) never visit the driver: each shard puts its table to
+        plasma (``release_indexed``) and the round tasks gather their own
+        rows from those refs — the old path's three driver-side string
+        copies (ray.get concat, (bucket, seq) take, ray.put) measured ~1 s
+        of per-job serial time at 220k URLs and scaled with round width.
+        Returns ``(key_table | None, [shard_table_refs])``; key rows carry
+        (shard, row) locators aligned with the refs list."""
+        parts = ray.get([f.release_indexed.remote() for f in self.frontier])
         import numpy as np
+        key_parts, refs = [], []
+        for kt, ref in parts:
+            if kt is None:
+                continue
+            n = kt.num_rows
+            kt = (kt.append_column(
+                      "shard", pa.array(np.full(n, len(refs), np.int8),
+                                        pa.int8()))
+                  .append_column("row",
+                                 pa.array(np.arange(n, dtype=np.int64))))
+            key_parts.append(kt)
+            refs.append(ref)
+        if not key_parts:
+            return None, []
+        tbl = pa.concat_tables(key_parts).combine_chunks()
         order = pc.sort_indices(tbl, sort_keys=[
             ("seed_id", "ascending"), ("depth", "ascending"),
             ("parent_seq", "ascending"), ("emit_idx", "ascending"),
@@ -675,20 +710,21 @@ class CrawlEngine:
         rank[order] = np.arange(len(order), dtype=np.int64)
         tbl = tbl.append_column("seq", pa.array(self.seq + rank))
         self.seq += tbl.num_rows
-        return tbl
+        return tbl, refs
 
-    def _run_round(self, released: pa.Table):
+    def _run_round(self, keys: pa.Table, shard_refs: list):
         rnd = self.round
         self.round += 1
         t0 = time.perf_counter()
         # bucket-align (seq is already assigned, so canonical order is
         # unaffected): each fetch task then touches few buckets.  All
-        # columnar — numpy modulo + pc.sort_indices, no per-entry Python.
+        # columnar — numpy modulo + pc.sort_indices over the INT-ONLY key
+        # table; the string gather happens inside each round task.
         nb = self.cfg.num_fetch_buckets
         import numpy as np
-        n_rel = released.num_rows
-        uh = released["url_hash"].to_numpy(zero_copy_only=False)
-        tbl = (released
+        n_rel = keys.num_rows
+        uh = keys["url_hash"].to_numpy(zero_copy_only=False)
+        tbl = (keys
                .append_column("bucket",
                               pa.array((uh % nb).astype(np.int32), pa.int32()))
                .append_column("round",
@@ -696,7 +732,8 @@ class CrawlEngine:
                                        pa.int32())))
         order = pc.sort_indices(tbl, sort_keys=[("bucket", "ascending"),
                                                 ("seq", "ascending")])
-        table = tbl.take(order).select([f.name for f in SCHED_SCHEMA])
+        table = tbl.take(order).select(
+            ["shard", "row", "seq", "round", "bucket", "wclass"])
         # block split by estimated WORK, not rows: DOM-parsed pages
         # (profile/landing/nonrec) cost ~20x a JSON feed page, so row-count
         # splitting starves the cluster on parse-heavy rounds (measured:
@@ -704,11 +741,12 @@ class CrawlEngine:
         # bucket-sorted table at equal cumulative-weight boundaries.
         ncpu = int(os.environ.get("GSR_MAX_BLOCKS", 0)) or \
             int(ray.cluster_resources().get("CPU", 8))
-        kinds = table["kind"].to_numpy(zero_copy_only=False)
+        wcl = table["wclass"].to_numpy(zero_copy_only=False)
         # per-kind cost ratios re-measured AFTER the fastpath scanners
         # (fastpath.py): feed ~0.55ms, profile/search/landing ~1.5-1.8ms,
-        # nonrec ~0.9ms since the one-pass item walk (nonrec_items)
-        weights = np.select([kinds == FEED, kinds == NONREC_PAGE],
+        # nonrec ~0.9ms since the one-pass item walk (nonrec_items);
+        # wclass 0 = feed, 1 = nonrec, 2 = parse-heavy (frontier shard)
+        weights = np.select([wcl == 0, wcl == 1],
                             [1.0, 1.6], default=3.0)
         cum = np.cumsum(weights)
         total_w = float(cum[-1]) if len(cum) else 0.0
@@ -736,10 +774,14 @@ class CrawlEngine:
         # Only the (small) control/link rows return to the driver;
         # records/visit-log stream straight from tasks to Parquet.  File
         # names derive from each block's first seq (deterministic +
-        # idempotent on task retry).
-        table_ref = ray.put(table)
-        futs = [_round_task.remote(table_ref, s, ln, bundle, nb,
-                                   str(visit_dir), str(rec_dir))
+        # idempotent on task retry).  The shard_refs ride as TOP-LEVEL
+        # variadic args so Ray resolves them zero-copy per worker; each
+        # task gathers its slice's rows itself (parallel, off-driver).
+        idx_ref = ray.put(table.select(["shard", "row", "seq", "round",
+                                        "bucket"]))
+        futs = [_round_task.remote(idx_ref, s, ln, bundle, nb,
+                                   str(visit_dir), str(rec_dir),
+                                   *shard_refs)
                 for s, ln in spans]
         t0 = self._t("submit", t0)
         ctrl_refs = [f[0] for f in futs]
@@ -944,11 +986,11 @@ class CrawlEngine:
     def resume_run(self) -> "CrawlResult":
         """Continue the round loop after resume_from()."""
         while True:
-            released = self._release()
-            if released.num_rows:
-                self._run_round(released)
+            keys, refs = self._release()
+            if keys is not None:
+                self._run_round(keys, refs)
             grew = self._grow_windows()
-            if not released.num_rows and not grew:
+            if keys is None and not grew:
                 if sum(ray.get([f.pending.remote() for f in self.frontier])) == 0:
                     break
         return self._finalize()
@@ -1012,15 +1054,16 @@ class CrawlEngine:
         t0 = self._t("fin_status", t0)
 
         outcomes: dict[int, SeedOutcome] = {}
-        meta: dict[int, dict | None] = {}
-        for o_frag, m_frag in frags:
+        for o_frag, _m_frag, _mj in frags:
             outcomes.update(o_frag)
-            meta.update(m_frag)
         # compact separators: indent=1 string-building measured 1.19 s of
-        # the 96k-seed finalize; consumers json.loads it (format-agnostic)
+        # the 96k-seed finalize; consumers json.loads it (format-agnostic).
+        # The per-shard fragments arrive PRE-SERIALIZED (parallel dumps in
+        # the seed shards, shard-order concatenation — key order changed
+        # from globally-sorted to per-shard-sorted, which every consumer
+        # json.loads through)
         (self.workdir / "meta.json").write_text(
-            json.dumps({str(k): meta[k] for k in sorted(meta)},
-                       separators=(",", ":")))
+            "{" + ",".join(mj for _o, _m, mj in frags if mj) + "}")
         t0 = self._t("fin_meta", t0)
         edges = self._edges_table()
         self._t("fin_edges", t0)

@@ -228,6 +228,124 @@ def _kmeans_int(ids: np.ndarray, M_raw: np.ndarray, k: int,
     return C
 
 
+def kmeans_assign_dist(sf_dir: str, n_lists: int = 16,
+                       iters: int = 10) -> rd.Dataset:
+    """(vec_id, list_id): FULL-CORPUS deterministic integer k-means with
+    per-iteration DISTRIBUTED assignment — the at-scale path that
+    replaces the sampled single-process fit of ``_kmeans_int`` (whose
+    docstring promises exactly this shape at 100 TB).  No stage ever
+    holds more than (n_lists × dims) integers of centroid state:
+
+      * init: the n_lists corpus vectors with the smallest
+        (md5_upper64(decimal vec_id), vec_id) — found by a per-batch
+        partial top-k merge, then one filtered parquet read;
+      * per iteration: broadcast the centroid matrix, one streaming
+        ``map_batches`` computes the exact-int argmax assignment AND the
+        per-cluster component-sum/count partials (np.add.at scatter —
+        (n_lists × dims) rows per batch), a ``hash_agg`` sums them, and
+        the driver applies the exact integer update
+        c_d = round_half_away(1000·sum_d/sqrt(Σ sum_d²)) to its
+        (n_lists × dims) state — component sums are order-independent
+        integers, so the centroid trajectory is BIT-IDENTICAL to
+        ``_kmeans_int`` run over the same (full) vector set, and the
+        DuckDB twin is the shared unrolled-CTE k-means at stride 1;
+      * final: one more streaming assignment pass with the fitted
+        centroids.
+
+    Cost: iters+1 corpus scans of exchange width (n_lists × dims) each —
+    the classic map-reduce k-means; corpus vectors never collect
+    anywhere."""
+    import pyarrow.parquet as pq
+
+    from .dedup import md5_upper64
+    from ..agg import hash_agg
+
+    # ---- init: distributed partial top-k under the (md5, vec_id) order
+    def init_partial(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keys = np.fromiter((md5_upper64(str(int(i)).encode()) for i in ids),
+                           dtype=np.uint64, count=len(ids))
+        order = np.lexsort((ids, keys))[:n_lists]
+        return pa.table({"vec_id": pa.array(ids[order], pa.int64()),
+                         "mh": pa.array(keys[order], pa.uint64())})
+
+    cand = (rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id"])
+            .map_batches(init_partial, batch_format="pyarrow"))
+    parts = [t for t in cand.iter_batches(batch_format="pyarrow")]
+    allc = pa.concat_tables(parts) if parts else pa.table(
+        {"vec_id": pa.array([], pa.int64()), "mh": pa.array([], pa.uint64())})
+    ids_np = allc["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    mh_np = allc["mh"].to_numpy(zero_copy_only=False)
+    pick = np.lexsort((ids_np, mh_np))[:n_lists]
+    init_ids = ids_np[pick]  # in (md5, id) order — the centroid index order
+    ct = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "in", init_ids.tolist())])
+    cvecs = {int(v): e for v, e in zip(ct["vec_id"].to_pylist(),
+                                       ct["embedding"].to_pylist())}
+    C = _quant1000(np.array([cvecs[int(i)] for i in init_ids],
+                            dtype=np.float64))
+
+    emb = _emb(sf_dir)
+    D = C.shape[1]
+    for _ in range(iters):
+        c_ref = ray.put(C)
+
+        def sum_partial(t: pa.Table) -> pa.Table:
+            CC = ray.get(c_ref)
+            Q = _quant1000(np.array(t["embedding"].to_pylist(),
+                                    dtype=np.float64))
+            a = np.argmax(Q @ CC.T, axis=1)  # first max = smallest idx
+            sums = np.zeros((n_lists, D), np.int64)
+            np.add.at(sums, a, Q)
+            cnt = np.bincount(a, minlength=n_lists).astype(np.int64)
+            return pa.table({
+                "c": pa.array(np.repeat(np.arange(n_lists, dtype=np.int64),
+                                        D)),
+                "d": pa.array(np.tile(np.arange(D, dtype=np.int64),
+                                      n_lists)),
+                "p_sum": pa.array(sums.reshape(-1)),
+                "p_n": pa.array(np.repeat(cnt, D)),
+            })
+
+        agg = hash_agg(emb.map_batches(sum_partial, batch_format="pyarrow"),
+                       ["c", "d"], [("p_sum", "sum", "sd"),
+                                    ("p_n", "sum", "n")],
+                       num_partitions=8)
+        sums = np.zeros((n_lists, D), np.int64)
+        cnts = np.zeros(n_lists, np.int64)
+        for t in agg.iter_batches(batch_format="pyarrow"):  # n_lists×D rows
+            cc = t["c"].to_numpy(zero_copy_only=False)
+            dd = t["d"].to_numpy(zero_copy_only=False)
+            sums[cc, dd] = t["sd"].to_numpy(zero_copy_only=False)
+            cnts[cc] = t["n"].to_numpy(zero_copy_only=False)
+        newC = C.copy()
+        for c in range(n_lists):
+            if cnts[c] == 0:
+                continue
+            T = int(np.dot(sums[c], sums[c]))
+            if T == 0:
+                continue
+            v = (1000.0 * sums[c]) / np.sqrt(float(T))
+            newC[c] = np.copysign(np.floor(np.abs(v) + 0.5),
+                                  v).astype(np.int64)
+        C = newC
+
+    c_ref = ray.put(C)
+
+    def assign(t: pa.Table) -> pa.Table:
+        CC = ray.get(c_ref)
+        Q = _quant1000(np.array(t["embedding"].to_pylist(),
+                                dtype=np.float64))
+        return pa.table({
+            "vec_id": t["vec_id"],
+            "list_id": pa.array(np.argmax(Q @ CC.T, axis=1).astype(np.int64)),
+        })
+
+    return emb.map_batches(assign, batch_format="pyarrow")
+
+
 def _score_candidates(joined: rd.Dataset, k: int) -> rd.Dataset:
     """(query_id, qv, vec_id, v) rows → per-batch vectorized scores →
     per-query top-k merge (candidate sets are probe-bounded, so the merge

@@ -31,7 +31,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from ..flow import politeness_gaps_vec
+from ..flow import FEED, NONREC_PAGE, politeness_gaps_vec
 from ..urlkit import (host_hash64 as _host_hash64, host_of,
                       url_hash64 as _url_hash64)
 from .robots import RobotsRules
@@ -202,6 +202,30 @@ class FrontierShard:
             self.pending_tables.append(t.filter(pc.invert(mask)))
             rel = rel.filter(mask)
         return rel.select([f.name for f in RELEASE_SCHEMA])
+
+    def release_indexed(self):
+        """``release()`` for the DECENTRALIZED round prep: the full table
+        (url/canon/host strings + virtual_ts) goes to plasma from THIS
+        actor and only an int-only KEY table returns to the driver —
+        canonical-order keys for the global seq rank, ``url_hash`` for
+        bucketing, and a ``wclass`` weight class (0 feed / 1 nonrec /
+        2 parse-heavy) for the work-balanced block split.  The driver
+        never touches a string column; each round task gathers its own
+        rows from the shard tables (see crawl._round_task).  Returns
+        ``(key_table | None, full_table_ref | None)``."""
+        rel = self.release()
+        if rel.num_rows == 0:
+            return None, None
+        wcl = pc.fill_null(
+            pc.index_in(rel["kind"], value_set=pa.array([FEED, NONREC_PAGE])),
+            2).cast(pa.int8())
+        keys = pa.table({
+            "seed_id": rel["seed_id"], "depth": rel["depth"],
+            "parent_seq": rel["parent_seq"], "emit_idx": rel["emit_idx"],
+            "attempt": rel["attempt"], "url_hash": rel["url_hash"],
+            "wclass": wcl,
+        })
+        return keys, ray.put(rel)
 
     def pending(self) -> int:
         return sum(t.num_rows for t in self.pending_tables)

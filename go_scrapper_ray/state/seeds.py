@@ -321,7 +321,13 @@ class SeedCtlShard:
             "scraping_status": o.status,
             "item_scraped_count": o.item_scraped_count,
         }) for sid, o in self.outcomes.items()}
-        return self.outcomes, meta
+        # meta fragment pre-serialized HERE so the 8 shards json.dumps in
+        # parallel — the driver's single-threaded dump of a 96k-seed meta
+        # measured 0.35 s of finalize tail; it now only joins 8 strings
+        meta_json = ",".join(
+            f"{json.dumps(str(sid))}:{json.dumps(meta[sid], separators=(',', ':'))}"
+            for sid in sorted(meta))
+        return self.outcomes, meta, meta_json
 
     def stats(self) -> dict:
         return {"records_so_far": sum(self.record_counts.values()),

@@ -69,16 +69,54 @@ def check(name: str, sf_dir: str) -> tuple[bool, str]:
 
 
 if __name__ == "__main__":
+    import json
+
     import ray
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i:i + 2]
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=8, include_dashboard=False)
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    sf = argv[0] if argv else "/root/testdata/sf0.01"
     import __ray_entry__ as e
-    names = sys.argv[2:] or sorted(e.oracle_sql())
+    oracles = e.oracle_sql()
+    # default: EVERY queries() entry — SQL-checked when a twin exists,
+    # rows-only (`no_oracle`) otherwise, mirroring the driver's own gate
+    names = argv[1:] or sorted(e.queries())
     failed = 0
+    results: dict[str, dict] = {}
     for n in names:
-        ok, msg = check(n, sf)
-        print(f"{'PASS' if ok else 'FAIL'} {n}: {msg}")
-        failed += not ok
+        if n in oracles:
+            ok, msg = check(n, sf)
+            results[n] = {"status": "PASS" if ok else "FAIL", "detail": msg,
+                          "mode": "sql_strict_hash"}
+            failed += not ok
+        else:
+            try:
+                df = to_df(e.queries()[n](sf))
+                results[n] = {"status": "PASS", "mode": "no_oracle",
+                              "detail": f"rows={len(df)}"}
+            except Exception as ex:  # noqa: BLE001 — recorded, not raised
+                results[n] = {"status": "FAIL", "mode": "no_oracle",
+                              "detail": repr(ex)[:200]}
+                failed += 1
+        r = results[n]
+        print(f"{r['status']} {n}: {r['detail']}")
+    if json_out:
+        summary = {
+            "sf_dir": sf,
+            "n_queries": len(results),
+            "n_sql_checked": sum(1 for r in results.values()
+                                 if r["mode"] == "sql_strict_hash"),
+            "n_pass": sum(1 for r in results.values()
+                          if r["status"] == "PASS"),
+            "n_fail": failed,
+            "results": results,
+        }
+        with open(json_out, "w") as f:
+            json.dump(summary, f, indent=1)
     ray.shutdown()
     sys.exit(1 if failed else 0)
