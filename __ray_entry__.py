@@ -51,7 +51,8 @@ def _gen_fingerprint() -> str:
     h = hashlib.sha256()
     for rel in ("fixtures/gen.py", "go_scrapper_ray/extract.py",
                 "go_scrapper_ray/urlkit.py", "go_scrapper_ray/config.py",
-                "go_scrapper_ray/gojson.py"):
+                "go_scrapper_ray/gojson.py", "go_scrapper_ray/dates.py",
+                "go_scrapper_ray/minidom.py", "go_scrapper_ray/fastpath.py"):
         h.update(rel.encode())
         h.update((_REPO / rel).read_bytes())
     return h.hexdigest()[:12]

@@ -54,14 +54,9 @@ def spider_to_seed_row(d: dict, seed_id: int = 0) -> dict:
     """Map the reference Spider JSON fields (main.go:31-52) onto the
     engine's seeds-table row.  Unknown fields are ignored (the reference's
     json.Unmarshal drops them too); address is the nested object."""
-    from go_scrapper_ray.config import Persona
-
     addr = d.get("address") or {}
     return {
         "seed_id": seed_id,
-        # persona (main.go:40-44) rides along for a live-HTTP session;
-        # the seeds parquet schema and the lookup fetch ignore it
-        "persona": Persona.from_spider(d),
         "url": d.get("profile_key", "") or "",
         "business_name": d.get("business_name", "") or "",
         "addr_street": addr.get("street", "") or "",
@@ -120,6 +115,16 @@ def main(argv: list[str] | None = None) -> int:
             print(f"go_scrapper_ray: {e}", file=sys.stderr)
             return 1
         seeds_tbl = _seed_table([spider_to_seed_row(spider)])
+        # persona (main.go:40-44) decodes at the CLI surface; the
+        # lookup-based fetch has no transport, so it applies only when a
+        # live-HTTP page source builds FetchSession(persona=...) — say so
+        # rather than silently accepting a proxy that does nothing here
+        from go_scrapper_ray.config import Persona
+        persona = Persona.from_spider(spider)
+        if persona is not None and persona.proxy:
+            print("go_scrapper_ray: persona/proxy parsed; the lookup-"
+                  "based fetch ignores transport (applies only with a "
+                  "live-HTTP page source)", file=sys.stderr)
 
     import os
 
@@ -151,11 +156,20 @@ def main(argv: list[str] | None = None) -> int:
               and setvars.get("RESUME", "auto") not in ("0", "never")
               else None)
         if ck is not None:
-            print(f"go_scrapper_ray: resuming from checkpoint round={ck} "
-                  f"under {workdir} (-s RESUME=0 forces a fresh run)",
-                  file=sys.stderr)
-            eng.resume_from(ck)
-            res = eng.resume_run()
+            try:
+                eng.resume_from(ck)
+            except ValueError as e:
+                # different job under the same WORKDIR (corpus/seeds
+                # changed) or an unreadable format: start fresh — run()'s
+                # prologue clears the stale checkpoints
+                print(f"go_scrapper_ray: not resuming ({e}); "
+                      "starting a fresh run", file=sys.stderr)
+                res = eng.run()
+            else:
+                print(f"go_scrapper_ray: resuming from checkpoint "
+                      f"round={ck} under {workdir} (-s RESUME=0 forces "
+                      "a fresh run)", file=sys.stderr)
+                res = eng.resume_run()
         else:
             res = eng.run()
         workdir = str(eng.workdir)

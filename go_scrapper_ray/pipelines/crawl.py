@@ -440,6 +440,16 @@ class CrawlEngine:
         self.robots = {h: RobotsRules.parse(t) for h, t in
                        zip(rb["host"].to_pylist(), rb["robots_txt"].to_pylist())}
 
+        # job signature: a resumable checkpoint is only valid for the SAME
+        # (corpus, seed set) — stamped into driver.json and checked on
+        # resume so a stable WORKDIR reused with a different spider or
+        # corpus cannot silently emit the previous job's records
+        import hashlib
+        self.job_sig = hashlib.sha256(json.dumps(
+            {"corpus": str(self.corpus.resolve()),
+             "seeds": self.seeds},
+            sort_keys=True, default=str).encode()).hexdigest()[:16]
+
         # broadcast once: seed configs + watermark hash sets
         seeds_map = {s["seed_id"]: s for s in self.seeds}
         self.watermarks = {s["seed_id"]: set(s["last_review_hashes"])
@@ -693,8 +703,8 @@ class CrawlEngine:
                 continue
             n = kt.num_rows
             kt = (kt.append_column(
-                      "shard", pa.array(np.full(n, len(refs), np.int8),
-                                        pa.int8()))
+                      "shard", pa.array(np.full(n, len(refs), np.int32),
+                                        pa.int32()))
                   .append_column("row",
                                  pa.array(np.arange(n, dtype=np.int64))))
             key_parts.append(kt)
@@ -892,7 +902,8 @@ class CrawlEngine:
         stat_futs = [c.stats.remote() for c in self.seedctl]
         ray.get(futs)
         pq.write_table(self._edges_table(), str(ckdir / "edges.parquet"))
-        state = {"round": self.round, "seq": self.seq}
+        state = {"round": self.round, "seq": self.seq,
+                 "job_sig": self.job_sig}
         (ckdir / "driver.json").write_text(json.dumps(state))
         stats = ray.get(stat_futs)
         # per-checkpoint lineage + metrics: which shard files belong to this
@@ -946,6 +957,12 @@ class CrawlEngine:
                 f"checkpoint at {ckdir} uses the legacy pre-seedctl-shard "
                 "format (per-seed state inline in driver.json); it cannot "
                 "be resumed by this version — re-run from scratch")
+        if "job_sig" in state and state["job_sig"] != self.job_sig:
+            raise ValueError(
+                f"checkpoint at {ckdir} was written by a DIFFERENT job "
+                "(corpus or seed set changed under this workdir); "
+                "resuming would emit the previous job's records — use a "
+                "fresh WORKDIR or force a fresh run")
         # the seedctl shard count is part of the checkpoint layout (state
         # is sharded by sid % N): refuse a mismatched resume loudly rather
         # than silently dropping the seeds of missing shards
@@ -1054,7 +1071,7 @@ class CrawlEngine:
         t0 = self._t("fin_status", t0)
 
         outcomes: dict[int, SeedOutcome] = {}
-        for o_frag, _m_frag, _mj in frags:
+        for o_frag, _mj in frags:
             outcomes.update(o_frag)
         # compact separators: indent=1 string-building measured 1.19 s of
         # the 96k-seed finalize; consumers json.loads it (format-agnostic).
@@ -1063,7 +1080,7 @@ class CrawlEngine:
         # from globally-sorted to per-shard-sorted, which every consumer
         # json.loads through)
         (self.workdir / "meta.json").write_text(
-            "{" + ",".join(mj for _o, _m, mj in frags if mj) + "}")
+            "{" + ",".join(mj for _o, mj in frags if mj) + "}")
         t0 = self._t("fin_meta", t0)
         edges = self._edges_table()
         self._t("fin_edges", t0)

@@ -587,9 +587,12 @@ def ngram_jaccard_dups(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
         g = t.group_by("token").aggregate([("token", "count")])
         return g.rename_columns(["token", "p_n"])
 
+    # materialized: both the gating count and the rank pass (dense
+    # collect OR rare sort+limit) consume it — unmaterialized it would
+    # re-execute the whole token-df shuffle twice
     df_ds = hash_agg(toks.map_batches(df_partial,
                                       batch_format="pyarrow"),
-                     "token", [("p_n", "sum", "n")])
+                     "token", [("p_n", "sum", "n")]).materialize()
     # The broadcast rank state is BOUNDED, never the whole web-scale
     # vocab: a distributed count gates between
     #  * DENSE (vocab <= 65536): collect the full (token, df) table —

@@ -212,20 +212,33 @@ def _kmeans_int(ids: np.ndarray, M_raw: np.ndarray, k: int,
     C = Q[order[:k]].copy()  # (k, D) int64
     for _ in range(iters):
         assign = np.argmax(Q @ C.T, axis=1)  # first max = smallest idx
-        newC = C.copy()
-        for c in range(len(C)):
-            sel = Q[assign == c]
-            if len(sel) == 0:
-                continue
-            sums = sel.sum(axis=0)                   # exact int64
-            T = int(np.dot(sums, sums))              # exact (≤ ~1.6e13)
-            if T == 0:
-                continue
-            v = (1000.0 * sums) / np.sqrt(float(T))
-            newC[c] = np.copysign(np.floor(np.abs(v) + 0.5),
-                                  v).astype(np.int64)
-        C = newC
+        sums = np.zeros((len(C), Q.shape[1]), np.int64)
+        np.add.at(sums, assign, Q)                   # exact int64
+        cnts = np.bincount(assign, minlength=len(C)).astype(np.int64)
+        C = _centroid_update(C, sums, cnts)
     return C
+
+
+def _centroid_update(C: np.ndarray, sums: np.ndarray,
+                     cnts: np.ndarray) -> np.ndarray:
+    """One exact-integer spherical-k-means centroid update — the SINGLE
+    definition shared by ``_kmeans_int`` (local fit) and
+    ``kmeans_assign_dist`` (map-reduce fit), and mirrored by the DuckDB
+    twin's ``c{t}`` CTE: c_d = round_half_away(1000·sum_d/sqrt(Σ sum_d²));
+    empty and zero-sum clusters keep their previous centroid.  The
+    component sums and Σ sum_d² are exact ints (order-independent), so
+    both callers produce bit-identical trajectories."""
+    newC = C.copy()
+    for c in range(len(C)):
+        if cnts[c] == 0:
+            continue
+        T = int(np.dot(sums[c], sums[c]))            # exact (≤ ~1.6e13)
+        if T == 0:
+            continue
+        v = (1000.0 * sums[c]) / np.sqrt(float(T))
+        newC[c] = np.copysign(np.floor(np.abs(v) + 0.5),
+                              v).astype(np.int64)
+    return newC
 
 
 def kmeans_assign_dist(sf_dir: str, n_lists: int = 16,
@@ -320,17 +333,7 @@ def kmeans_assign_dist(sf_dir: str, n_lists: int = 16,
             dd = t["d"].to_numpy(zero_copy_only=False)
             sums[cc, dd] = t["sd"].to_numpy(zero_copy_only=False)
             cnts[cc] = t["n"].to_numpy(zero_copy_only=False)
-        newC = C.copy()
-        for c in range(n_lists):
-            if cnts[c] == 0:
-                continue
-            T = int(np.dot(sums[c], sums[c]))
-            if T == 0:
-                continue
-            v = (1000.0 * sums[c]) / np.sqrt(float(T))
-            newC[c] = np.copysign(np.floor(np.abs(v) + 0.5),
-                                  v).astype(np.int64)
-        C = newC
+        C = _centroid_update(C, sums, cnts)
 
     c_ref = ray.put(C)
 

@@ -132,11 +132,22 @@ def build_page_store(pages_parquet: str, status_parquet: str, store_dir: str,
         import shutil
         shutil.rmtree(out)
     elif out.exists():
-        # a crashed previous build leaves parquet parts that a fresh
+        # a crashed pre-atomic build left parquet parts a fresh
         # write_parquet (unique file names) would silently duplicate
         import shutil
         shutil.rmtree(out)
-    out.mkdir(parents=True, exist_ok=True)
+
+    # ATOMIC build: everything lands in a pid-unique temp dir that is
+    # renamed into place only once _built.json is inside it — a crashed
+    # builder leaves only a dead temp dir, and two CONCURRENT builders
+    # of a shared store_dir (it is documented as shareable across runs)
+    # cannot interleave writes; the rename loser validates the winner's
+    # store and uses it.
+    import json
+    import shutil
+    tmp = Path(f"{out}.tmp.{os.getpid()}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    tmp.mkdir(parents=True, exist_ok=True)
 
     # Both sides hash-partition on url_hash into the SAME bucket layout
     # (the status table is per-URL, i.e. corpus-sized at the design
@@ -152,24 +163,29 @@ def build_page_store(pages_parquet: str, status_parquet: str, store_dir: str,
 
     (rd.read_parquet(status_parquet)
      .map_batches(add_bucket, batch_format="pyarrow")
-     .write_parquet(str(out / "_status"), partition_cols=["bucket"]))
+     .write_parquet(str(tmp / "_status"), partition_cols=["bucket"]))
 
     (rd.read_parquet(pages_parquet, columns=["url", "html"])
      .map_batches(add_bucket, batch_format="pyarrow")
-     .write_parquet(str(out), partition_cols=["bucket"]))
+     .write_parquet(str(tmp), partition_cols=["bucket"]))
 
     # per-bucket status join + sort + IPC compaction, one task per
     # bucket (parallel)
     compact = ray.remote(_compact_bucket)
-    n = sum(ray.get([compact.remote(str(out), b)
+    n = sum(ray.get([compact.remote(str(tmp), b)
                      for b in range(num_buckets)]))
-    import shutil
-    shutil.rmtree(out / "_status", ignore_errors=True)
+    shutil.rmtree(tmp / "_status", ignore_errors=True)
 
-    import json
-    (out / "_built.json").write_text(json.dumps(
+    (tmp / "_built.json").write_text(json.dumps(
         {"rows": n, "buckets": num_buckets, "hash": URL_HASH_VERSION,
          "fmt": STORE_FMT}))
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        # lost the race — another builder installed the store first
+        shutil.rmtree(tmp, ignore_errors=True)
+        meta = json.loads((out / "_built.json").read_text())
+        return meta["rows"]
     return n
 
 

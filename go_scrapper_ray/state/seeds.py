@@ -323,11 +323,13 @@ class SeedCtlShard:
         }) for sid, o in self.outcomes.items()}
         # meta fragment pre-serialized HERE so the 8 shards json.dumps in
         # parallel — the driver's single-threaded dump of a 96k-seed meta
-        # measured 0.35 s of finalize tail; it now only joins 8 strings
+        # measured 0.35 s of finalize tail; it now only joins 8 strings.
+        # Only the JSON ships (the dict would ride the actor boundary
+        # just to be discarded driver-side).
         meta_json = ",".join(
             f"{json.dumps(str(sid))}:{json.dumps(meta[sid], separators=(',', ':'))}"
             for sid in sorted(meta))
-        return self.outcomes, meta, meta_json
+        return self.outcomes, meta_json
 
     def stats(self) -> dict:
         return {"records_so_far": sum(self.record_counts.values()),

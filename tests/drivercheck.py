@@ -76,6 +76,10 @@ if __name__ == "__main__":
     json_out = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv):
+            print("usage: drivercheck.py [sf_dir] [query ...] "
+                  "[--json OUT.json]", file=sys.stderr)
+            sys.exit(2)
         json_out = argv[i + 1]
         del argv[i:i + 2]
     if not ray.is_initialized():

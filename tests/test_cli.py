@@ -137,3 +137,34 @@ def test_cli_auto_resume_on_rerun(ray_session, fixture_corpus, tmp_path,
                  "-s", "RESUME=0"]) == 0
     assert "resuming" not in capsys.readouterr().err
     assert out.read_text().splitlines() == first * 3
+
+
+def test_cli_resume_refuses_different_spider(ray_session, fixture_corpus,
+                                             tmp_path, capsys):
+    """A stable WORKDIR reused with a DIFFERENT spider must not resume the
+    old job's checkpoints (that would emit the old spider's records) — the
+    job signature forces a fresh run instead."""
+    corpus_dir, _ = fixture_corpus
+    oc = OracleCrawl(corpus_dir)
+    urls = [s["url"] for s in oc.seeds if s["url"]]
+    assert len(urls) >= 2
+    wd = tmp_path / "wd"
+    out_a = tmp_path / "a.jsonl"
+    out_b = tmp_path / "b.jsonl"
+
+    assert main(["--corpus", corpus_dir,
+                 "-a", f"SPIDER={_b64({'profile_key': urls[0]})}",
+                 "-o", str(out_a), "-s", f"WORKDIR={wd}"]) == 0
+    capsys.readouterr()
+    assert main(["--corpus", corpus_dir,
+                 "-a", f"SPIDER={_b64({'profile_key': urls[1]})}",
+                 "-o", str(out_b), "-s", f"WORKDIR={wd}"]) == 0
+    err = capsys.readouterr().err
+    assert "not resuming" in err and "DIFFERENT job" in err
+    # spider B got ITS OWN crawl, not A's resumed records
+    oc_b = OracleCrawl(corpus_dir)
+    seed_b = next(s for s in oc_b.seeds if s["url"] == urls[1])
+    oc_b.seeds = [seed_b]
+    oc_b.run()
+    assert out_b.read_text().splitlines() == \
+        oc_b.jsonl_lines(seed_b["seed_id"])
