@@ -103,6 +103,32 @@ def hash_agg(
               .map_groups(_agg, batch_format="pyarrow"))
 
 
+def topk(ds, sort_keys: Sequence[tuple[str, str]], k: int):
+    """Exact distributed top-k WITHOUT a global sort exchange.
+
+    ``ds.sort(...).limit(k)`` pays the full range-partitioned sort
+    (sample pass + all-to-all exchange, ~1 s of fixed cost) to keep k
+    rows; but the global top-k is contained in the union of per-block
+    top-ks, so a per-block vectorized head (pc.sort_indices, k rows
+    kept) followed by a one-block final head is exact and ships only
+    k × n_blocks rows.  ``sort_keys`` is pyarrow style:
+    ``[("n", "descending"), ("gram", "ascending")]``.  Output rows come
+    back sorted under the same key (same contract as sort().limit())."""
+    import pyarrow.compute as pc
+
+    keys = list(sort_keys)
+
+    def head(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=keys)
+        if len(idx) > k:
+            idx = idx.slice(0, k)
+        return t.take(idx)
+
+    return (ds.map_batches(head, batch_format="pyarrow", batch_size=None)
+              .repartition(1)
+              .map_batches(head, batch_format="pyarrow", batch_size=None))
+
+
 def hash_join(
     left,
     right,

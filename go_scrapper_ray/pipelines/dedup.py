@@ -618,7 +618,9 @@ def ngram_jaccard_dups(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
         # words — popcount(AND) then vectorizes across whole pair batches
         n_words = (len(rank) + 63) // 64
     else:
-        rare = df_ds.sort(["n", "token"]).limit(RARE_V)
+        from ..agg import topk
+        rare = topk(df_ds, [("n", "ascending"), ("token", "ascending")],
+                    RARE_V)
         vocab = []
         for t in rare.iter_batches(batch_format="pyarrow"):
             vocab.extend(t["token"].to_pylist())

@@ -149,7 +149,8 @@ def top_users_by_value(sf_dir: str, n: int = 10) -> rd.Dataset:
     agg = hash_agg(_events(sf_dir, ("user_id", "value"))
                    .map_batches(partial, batch_format="pyarrow"),
                    "user_id", [("p_cents", "sum", "cents")])
-    return agg.sort(["cents", "user_id"], descending=[True, False]).limit(n)
+    from ..agg import topk
+    return topk(agg, [("cents", "descending"), ("user_id", "ascending")], n)
 
 def funnel(sf_dir: str) -> rd.Dataset:
     """(user_id, n_views, n_clicks, n_purchases, first_view_us,
@@ -995,10 +996,10 @@ def heavy_hitters(sf_dir: str, d: int = 4, w: int = 256,
         return pa.table({"user_id": pa.array(uids, pa.int64()),
                          "n_est": pa.array(est, pa.int64())})
 
-    return (users.select_columns(["user_id"])
-            .map_batches(estimate, batch_format="pyarrow")
-            .sort(["n_est", "user_id"], descending=[True, False])
-            .limit(k))
+    from ..agg import topk
+    return topk(users.select_columns(["user_id"])
+                .map_batches(estimate, batch_format="pyarrow"),
+                [("n_est", "descending"), ("user_id", "ascending")], k)
 
 
 def window_top_user(sf_dir: str, window_s: int = 3600,

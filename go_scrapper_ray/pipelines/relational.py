@@ -66,9 +66,10 @@ def top_suppliers_by_revenue(sf_dir: str, n: int = 10) -> rd.Dataset:
                    .map_batches(partial, batch_format="pyarrow"),
                    "l_suppkey", [("p_cents", "sum", "cents")])
     joined = broadcast_join(agg, sup, "l_suppkey", "s_suppkey", ["s_name"])
-    return (joined.map_batches(
-        lambda t: t.select(["s_name", "cents"]), batch_format="pyarrow")
-        .sort(["cents", "s_name"], descending=[True, False]).limit(n))
+    from ..agg import topk
+    return topk(joined.map_batches(
+        lambda t: t.select(["s_name", "cents"]), batch_format="pyarrow"),
+        [("cents", "descending"), ("s_name", "ascending")], n)
 
 
 def order_priority_counts(sf_dir: str) -> rd.Dataset:
@@ -227,8 +228,9 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING",
                        left_cols={"revenue_c": pa.int64()},
                        right_cols={"o_orderdate_us": pa.int64(),
                                    "o_orderpriority": pa.string()})
-    top = (joined.sort(["revenue_c", "l_orderkey"],
-                       descending=[True, False]).limit(n))
+    from ..agg import topk
+    top = topk(joined, [("revenue_c", "descending"),
+                        ("l_orderkey", "ascending")], n)
     return top.map_batches(
         lambda t: t.select(["l_orderkey", "revenue_c", "o_orderdate_us",
                             "o_orderpriority"]),
@@ -548,8 +550,9 @@ def returned_item_revenue(sf_dir: str, date_from: str = "1996-01-01",
                            ["c_name", "c_nationkey"])
     named = broadcast_join(named, nation, "c_nationkey", "n_nationkey",
                            ["n_name"])
-    top = named.sort(["cents", "o_custkey"],
-                     descending=[True, False]).limit(n)
+    from ..agg import topk
+    top = topk(named, [("cents", "descending"),
+                       ("o_custkey", "ascending")], n)
     return top.map_batches(
         lambda t: pa.table({"c_custkey": t["o_custkey"],
                             "c_name": t["c_name"],

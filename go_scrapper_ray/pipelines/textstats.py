@@ -346,10 +346,12 @@ def topk_ngrams(sf_dir: str, k: int = 100) -> rd.Dataset:
         return pa.table({"gram": pa.array(list(c.keys()), pa.string()),
                          "p_n": pa.array(list(c.values()), pa.int64())})
 
+    from ..agg import topk
+
     agg = hash_agg(docs(sf_dir).map_batches(partial,
                                             batch_format="pyarrow"),
                    "gram", [("p_n", "sum", "n")])
-    return agg.sort(["n", "gram"], descending=[True, False]).limit(k)
+    return topk(agg, [("n", "descending"), ("gram", "ascending")], k)
 
 
 def langid(sf_dir: str, concurrency: int = 12) -> rd.Dataset:
@@ -501,10 +503,12 @@ def doc_frequency(sf_dir: str, k: int = 200) -> rd.Dataset:
         return pa.table({"token": pa.array(list(c.keys()), pa.string()),
                          "p_n": pa.array(list(c.values()), pa.int64())})
 
+    from ..agg import topk
+
     agg = hash_agg(docs(sf_dir).map_batches(partial,
                                             batch_format="pyarrow"),
                    "token", [("p_n", "sum", "df")])
-    return agg.sort(["df", "token"], descending=[True, False]).limit(k)
+    return topk(agg, [("df", "descending"), ("token", "ascending")], k)
 
 
 def top_terms(sf_dir: str, k: int = 3) -> rd.Dataset:
@@ -701,8 +705,10 @@ def oov_rate(sf_dir: str, vocab_size: int = 100) -> rd.Dataset:
     df = hash_agg(docs(sf_dir).map_batches(df_partial,
                                            batch_format="pyarrow"),
                   "token", [("p_df", "sum", "df")])
-    top = (df.sort(["df", "token"], descending=[True, False])
-           .limit(vocab_size).to_pandas())
+    from ..agg import topk as _topk
+
+    top = _topk(df, [("df", "descending"), ("token", "ascending")],
+                vocab_size).to_pandas()
     vocab = frozenset(top["token"])
     vocab_ref = ray.put(vocab)
 
