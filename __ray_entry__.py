@@ -9,7 +9,7 @@ here calls ray.init()/ray.shutdown().
 ``queries()`` — one entry per implemented operator (SURVEY.md §2 + the
                 training-data ops); each takes sf_dir.
 ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query
-                (same column names!).  102 of 107 queries are SQL-checked,
+                (same column names!).  105 of 110 queries are SQL-checked,
                 including the sketch ops (simhash / minhash LSH dedup /
                 winnowing / langid — their kernels use md5-upper64 token
                 hashes and mod-2**64 permutations precisely so DuckDB can
@@ -187,7 +187,7 @@ def _q_canonicalize(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """102 of 107 queries carry a DuckDB oracle (oracle_sql()).  The only 5
+    """105 of 110 queries carry a DuckDB oracle (oracle_sql()).  The only 5
     without one are the crawl_* outputs, which are structurally non-SQL:
     they encode an iterative politeness-scheduled frontier loop (ordering
     depends on the virtual clock + retry state machine) and are checked
@@ -225,6 +225,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_gopher_quality": textstats.gopher_quality,
         "docs_topk_ngrams": textstats.topk_ngrams,
         "docs_doc_frequency": textstats.doc_frequency,
+        "docs_bpe_pairs": textstats.bpe_pair_counts,      # BPE merge table
+        "docs_length_outliers": textstats.length_outliers,  # per-lang gates
+        "docs_topic_clusters": textstats.topic_clusters,  # hashed-BoW kmeans
         "docs_normalize": textstats.normalize,
         "docs_sample": textstats.sample_stratified,
         "docs_mixture_quota": textstats.mixture_quota,
@@ -1059,6 +1062,96 @@ def _ivf_kmeans_ctes(n_lists: int, sample_stride: int, iters: int,
     return "".join(parts)
 
 
+def _topic_clusters_sql(n_clusters: int, dim: int, iters: int) -> str:
+    """DuckDB twin of textstats.topic_clusters — hashed bag-of-words
+    counts + the unrolled full-corpus integer k-means.  Differences from
+    _ivf_kmeans_ctes: comp comes from token hashing (sparse — absent
+    (vec, d) pairs are implicit zeros, which the dot/sum joins handle
+    exactly), c0 zero-fills via CROSS JOIN dims (an initial centroid
+    from an empty doc must exist explicitly), and empty documents join
+    back at the end with COALESCE cluster 0 (argmax of an all-zero dot
+    row ties to the smallest centroid)."""
+    parts = [rf"""
+        WITH ids AS MATERIALIZED (SELECT doc_id AS vec_id FROM documents),
+        comp AS MATERIALIZED (
+          SELECT doc_id AS vec_id,
+                 CAST(md5_number_upper(w) % {dim} AS BIGINT) AS d,
+                 count(*)::BIGINT AS v
+          FROM (SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '\S+')) AS w
+                FROM documents)
+          GROUP BY 1, 2),
+        init AS MATERIALIZED (SELECT vec_id,
+                   row_number() OVER (ORDER BY
+                     md5_number_upper(vec_id::VARCHAR), vec_id) - 1 AS c
+                 FROM ids
+                 ORDER BY md5_number_upper(vec_id::VARCHAR), vec_id
+                 LIMIT {n_clusters}),
+        dims AS (SELECT unnest(range({dim})) AS d),
+        c0 AS MATERIALIZED (SELECT i.c, dims.d, COALESCE(s.v, 0) AS val
+               FROM init i CROSS JOIN dims
+               LEFT JOIN comp s ON s.vec_id = i.vec_id AND s.d = dims.d)"""]
+    for t in range(1, iters + 1):
+        p = t - 1
+        parts.append(f""",
+        d{t} AS MATERIALIZED (SELECT s.vec_id, cc.c, sum(s.v * cc.val) AS dot
+                 FROM comp s JOIN c{p} cc USING (d) GROUP BY 1, 2),
+        a{t} AS MATERIALIZED (SELECT vec_id, c FROM (
+                   SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id
+                     ORDER BY dot DESC, c) AS rn FROM d{t}) WHERE rn = 1),
+        m{t} AS MATERIALIZED (SELECT a.c, s.d, sum(s.v) AS sd
+                 FROM a{t} a JOIN comp s ON s.vec_id = a.vec_id
+                 GROUP BY 1, 2),
+        t{t} AS MATERIALIZED (SELECT c, sum(sd * sd) AS tt FROM m{t} GROUP BY c),
+        c{t} AS MATERIALIZED (SELECT cp.c, cp.d,
+                   CASE WHEN t.tt IS NULL OR t.tt = 0 THEN cp.val
+                        ELSE CAST(round((1000.0 * m.sd) / sqrt(t.tt))
+                                  AS BIGINT) END AS val
+                 FROM c{p} cp
+                 LEFT JOIN m{t} m ON m.c = cp.c AND m.d = cp.d
+                 LEFT JOIN t{t} t ON t.c = cp.c)""")
+    parts.append(f""",
+        fd AS MATERIALIZED (SELECT s.vec_id, cc.c, sum(s.v * cc.val) AS dot
+               FROM comp s JOIN c{iters} cc USING (d) GROUP BY 1, 2),
+        fa AS MATERIALIZED (SELECT vec_id, c AS list_id FROM (
+                 SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY dot DESC, c) AS rn FROM fd) WHERE rn = 1)
+        SELECT ids.vec_id AS doc_id,
+               COALESCE(fa.list_id, 0)::BIGINT AS cluster_id
+        FROM ids LEFT JOIN fa ON fa.vec_id = ids.vec_id""")
+    return "".join(parts)
+
+
+def _bpe_pairs_sql(k: int) -> str:
+    """DuckDB twin of textstats.bpe_pair_counts — adjacent character
+    pairs inside lowercased \\S+ tokens, exact top-k."""
+    return r"""
+        WITH toks AS (SELECT unnest(regexp_extract_all(lower(text), '\S+'))
+                        AS tok
+                      FROM documents),
+        pos AS (SELECT tok, unnest(generate_series(1, length(tok) - 1)) AS i
+                FROM toks WHERE length(tok) >= 2),
+        p AS (SELECT substr(tok, i, 2) AS pair FROM pos),
+        c AS (SELECT pair, count(*)::BIGINT AS n FROM p GROUP BY pair)
+        SELECT pair, n FROM c ORDER BY n DESC, pair LIMIT """ + str(k)
+
+
+def _length_outliers_sql(lo_q: float, hi_q: float) -> str:
+    """DuckDB twin of textstats.length_outliers — per-language
+    quantile_disc gates over \\S+ token counts."""
+    return rf"""
+        WITH n AS (SELECT doc_id, lang,
+                     length(regexp_extract_all(text, '\S+'))::BIGINT
+                       AS n_tokens
+                   FROM documents),
+        th AS (SELECT lang, quantile_disc(n_tokens, {lo_q}) AS lo,
+                      quantile_disc(n_tokens, {hi_q}) AS hi
+               FROM n GROUP BY lang)
+        SELECT n.doc_id, n.lang, n.n_tokens,
+               (n.n_tokens < th.lo OR n.n_tokens > th.hi) AS outlier
+        FROM n JOIN th USING (lang)"""
+
+
 def _kmeans_dist_sql(n_lists: int, iters: int) -> str:
     """DuckDB twin of similarity.kmeans_assign_dist — the FULL-CORPUS
     (stride 1, unbudgeted) unrolled integer k-means; the engine side
@@ -1456,6 +1549,15 @@ def oracle_sql() -> dict[str, str]:
         "emb_kmeans_dist": _kmeans_dist_sql(
             _sig_default(similarity.kmeans_assign_dist, "n_lists"),
             _sig_default(similarity.kmeans_assign_dist, "iters")),
+        "docs_bpe_pairs": _bpe_pairs_sql(
+            _sig_default(textstats.bpe_pair_counts, "k")),
+        "docs_length_outliers": _length_outliers_sql(
+            _sig_default(textstats.length_outliers, "lo_q"),
+            _sig_default(textstats.length_outliers, "hi_q")),
+        "docs_topic_clusters": _topic_clusters_sql(
+            _sig_default(textstats.topic_clusters, "n_clusters"),
+            _sig_default(textstats.topic_clusters, "dim"),
+            _sig_default(textstats.topic_clusters, "iters")),
         "knn_bruteforce": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qe
                        FROM embeddings WHERE vec_id % 50 = 0),

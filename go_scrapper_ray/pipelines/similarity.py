@@ -241,35 +241,42 @@ def _centroid_update(C: np.ndarray, sums: np.ndarray,
     return newC
 
 
-def kmeans_assign_dist(sf_dir: str, n_lists: int = 16,
-                       iters: int = 10) -> rd.Dataset:
-    """(vec_id, list_id): FULL-CORPUS deterministic integer k-means with
-    per-iteration DISTRIBUTED assignment — the at-scale path that
-    replaces the sampled single-process fit of ``_kmeans_int`` (whose
-    docstring promises exactly this shape at 100 TB).  No stage ever
-    holds more than (n_lists × dims) integers of centroid state:
+def _decode_feat(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(ids, Q) from a featurized batch (vec_id int64, q binary int64[D])."""
+    ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    blobs = t["q"].to_pylist()
+    if not blobs:
+        return ids, np.empty((0, 0), np.int64)
+    D = len(blobs[0]) // 8
+    return ids, np.frombuffer(b"".join(blobs), np.int64).reshape(len(ids), D)
 
-      * init: the n_lists corpus vectors with the smallest
-        (md5_upper64(decimal vec_id), vec_id) — found by a per-batch
-        partial top-k merge, then one filtered parquet read;
+
+def _kmeans_dist_core(feat: rd.Dataset, n_lists: int,
+                      iters: int) -> tuple[np.ndarray, rd.Dataset]:
+    """FULL-CORPUS deterministic integer k-means with per-iteration
+    DISTRIBUTED assignment over a MATERIALIZED featurized table
+    (vec_id int64, q binary int64-vector) — the at-scale fit that
+    replaces the sampled single-process ``_kmeans_int`` (whose docstring
+    promises exactly this shape at 100 TB).  No stage ever holds more
+    than (n_lists × dims) integers of centroid state:
+
+      * init: the n_lists rows with the smallest
+        (md5_upper64(decimal vec_id), vec_id) — per-batch partial top-k
+        merge, then one filtered pass collects just those k vectors;
       * per iteration: broadcast the centroid matrix, one streaming
         ``map_batches`` computes the exact-int argmax assignment AND the
         per-cluster component-sum/count partials (np.add.at scatter —
         (n_lists × dims) rows per batch), a ``hash_agg`` sums them, and
-        the driver applies the exact integer update
-        c_d = round_half_away(1000·sum_d/sqrt(Σ sum_d²)) to its
-        (n_lists × dims) state — component sums are order-independent
-        integers, so the centroid trajectory is BIT-IDENTICAL to
-        ``_kmeans_int`` run over the same (full) vector set, and the
-        DuckDB twin is the shared unrolled-CTE k-means at stride 1;
-      * final: one more streaming assignment pass with the fitted
-        centroids.
+        the driver applies ``_centroid_update`` (shared with
+        ``_kmeans_int``) to its (n_lists × dims) state — component sums
+        are order-independent integers, so the trajectory is
+        BIT-IDENTICAL to ``_kmeans_int`` over the same vector set and to
+        the unrolled DuckDB CTE twin;
+      * final: one more streaming assignment pass.
 
-    Cost: iters+1 corpus scans of exchange width (n_lists × dims) each —
-    the classic map-reduce k-means; corpus vectors never collect
-    anywhere."""
-    import pyarrow.parquet as pq
-
+    Cost: iters+2 scans of the featurized table with (n_lists × dims)
+    exchange width each — the classic map-reduce k-means; feature
+    vectors never collect anywhere.  Returns (C, (vec_id, list_id))."""
     from .dedup import md5_upper64
     from ..agg import hash_agg
 
@@ -282,33 +289,36 @@ def kmeans_assign_dist(sf_dir: str, n_lists: int = 16,
         return pa.table({"vec_id": pa.array(ids[order], pa.int64()),
                          "mh": pa.array(keys[order], pa.uint64())})
 
-    cand = (rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                            columns=["vec_id"])
-            .map_batches(init_partial, batch_format="pyarrow"))
-    parts = [t for t in cand.iter_batches(batch_format="pyarrow")]
+    parts = [t for t in (feat.select_columns(["vec_id"])
+                         .map_batches(init_partial, batch_format="pyarrow")
+                         .iter_batches(batch_format="pyarrow"))]
     allc = pa.concat_tables(parts) if parts else pa.table(
         {"vec_id": pa.array([], pa.int64()), "mh": pa.array([], pa.uint64())})
     ids_np = allc["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     mh_np = allc["mh"].to_numpy(zero_copy_only=False)
     pick = np.lexsort((ids_np, mh_np))[:n_lists]
     init_ids = ids_np[pick]  # in (md5, id) order — the centroid index order
-    ct = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                       columns=["vec_id", "embedding"],
-                       filters=[("vec_id", "in", init_ids.tolist())])
-    cvecs = {int(v): e for v, e in zip(ct["vec_id"].to_pylist(),
-                                       ct["embedding"].to_pylist())}
-    C = _quant1000(np.array([cvecs[int(i)] for i in init_ids],
-                            dtype=np.float64))
+    init_set = set(init_ids.tolist())
 
-    emb = _emb(sf_dir)
+    def init_vecs(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.fromiter((int(i) in init_set for i in ids), bool, len(ids))
+        return t.filter(pa.array(keep))
+
+    cvecs: dict[int, bytes] = {}
+    for t in (feat.map_batches(init_vecs, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow")):
+        cvecs.update(zip(t["vec_id"].to_pylist(), t["q"].to_pylist()))
+    C = (np.frombuffer(b"".join(cvecs[int(i)] for i in init_ids), np.int64)
+         .reshape(len(init_ids), -1).copy())
+
     D = C.shape[1]
     for _ in range(iters):
         c_ref = ray.put(C)
 
         def sum_partial(t: pa.Table) -> pa.Table:
             CC = ray.get(c_ref)
-            Q = _quant1000(np.array(t["embedding"].to_pylist(),
-                                    dtype=np.float64))
+            _ids, Q = _decode_feat(t)
             a = np.argmax(Q @ CC.T, axis=1)  # first max = smallest idx
             sums = np.zeros((n_lists, D), np.int64)
             np.add.at(sums, a, Q)
@@ -322,7 +332,7 @@ def kmeans_assign_dist(sf_dir: str, n_lists: int = 16,
                 "p_n": pa.array(np.repeat(cnt, D)),
             })
 
-        agg = hash_agg(emb.map_batches(sum_partial, batch_format="pyarrow"),
+        agg = hash_agg(feat.map_batches(sum_partial, batch_format="pyarrow"),
                        ["c", "d"], [("p_sum", "sum", "sd"),
                                     ("p_n", "sum", "n")],
                        num_partitions=8)
@@ -339,14 +349,34 @@ def kmeans_assign_dist(sf_dir: str, n_lists: int = 16,
 
     def assign(t: pa.Table) -> pa.Table:
         CC = ray.get(c_ref)
-        Q = _quant1000(np.array(t["embedding"].to_pylist(),
-                                dtype=np.float64))
+        ids, Q = _decode_feat(t)
         return pa.table({
-            "vec_id": t["vec_id"],
+            "vec_id": pa.array(ids, pa.int64()),
             "list_id": pa.array(np.argmax(Q @ CC.T, axis=1).astype(np.int64)),
         })
 
-    return emb.map_batches(assign, batch_format="pyarrow")
+    return C, feat.map_batches(assign, batch_format="pyarrow")
+
+
+def kmeans_assign_dist(sf_dir: str, n_lists: int = 16,
+                       iters: int = 10) -> rd.Dataset:
+    """(vec_id, list_id): the distributed k-means core
+    (``_kmeans_dist_core``) over the quantized embedding table — one
+    featurize pass (quant-1000 int vectors as binary rows, materialized
+    in the spillable object store), then the shared map-reduce fit.
+    DuckDB twin: the unrolled integer-k-means CTEs at stride 1."""
+
+    def featurize(t: pa.Table) -> pa.Table:
+        Q = _quant1000(np.array(t["embedding"].to_pylist(),
+                                dtype=np.float64))
+        return pa.table({
+            "vec_id": t["vec_id"].cast(pa.int64()),
+            "q": pa.array([r.tobytes() for r in Q], pa.binary())})
+
+    feat = _emb(sf_dir).map_batches(featurize,
+                                    batch_format="pyarrow").materialize()
+    _C, assigned = _kmeans_dist_core(feat, n_lists, iters)
+    return assigned
 
 
 def _score_candidates(joined: rd.Dataset, k: int) -> rd.Dataset:

@@ -827,3 +827,138 @@ def surprisal(sf_dir: str) -> rd.Dataset:
     return hash_agg(joined.map_batches(contrib, batch_format="pyarrow"),
                     "doc_id", [("p_tok", "sum", "n_tokens"),
                                ("p_sur", "sum", "surprisal")])
+
+
+# ------------------------------------------------- BPE first-merge pair table
+
+def bpe_pair_counts(sf_dir: str, k: int = 50) -> rd.Dataset:
+    """(pair, n): corpus-wide adjacent-CHARACTER-pair counts inside
+    lowercased whitespace tokens, top-k by (n desc, pair asc) — the
+    first-iteration merge table of BPE tokenizer training (Sennrich et
+    al. 2016): the highest-count pair is the first merge a tokenizer
+    fit on this corpus would learn.
+
+    Scale shape: per-batch Counter partials (combiner-before-shuffle —
+    the exchange carries alphabet²-bounded rows per batch, never one row
+    per character), token-keyed hash_agg, then the exact per-block topk
+    reduce.  Tokenizer is lower() + \\S+, the corpus-wide convention the
+    n-gram twins use."""
+    from collections import Counter
+
+    from ..agg import topk
+
+    def partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for s in t["text"].to_pylist():
+            for tok in s.lower().split():
+                c.update(a + b for a, b in zip(tok, tok[1:]))
+        return pa.table({"pair": pa.array(list(c.keys()), pa.string()),
+                         "p_n": pa.array(list(c.values()), pa.int64())})
+
+    agg = hash_agg(docs(sf_dir).map_batches(partial,
+                                            batch_format="pyarrow"),
+                   "pair", [("p_n", "sum", "n")])
+    return topk(agg, [("n", "descending"), ("pair", "ascending")], k)
+
+
+# ------------------------------------------- per-language length outlier gate
+
+def length_outliers(sf_dir: str, lo_q: float = 0.25,
+                    hi_q: float = 0.9) -> rd.Dataset:
+    """(doc_id, lang, n_tokens, outlier): per-LANGUAGE exact token-count
+    quantile gates — flag every document shorter than its language's
+    ``lo_q`` quantile or longer than its ``hi_q`` quantile (quantile_disc
+    semantics, the ``length_quantiles`` convention).  The
+    language-stratified length filter of a multilingual corpus pipeline:
+    one global threshold over-prunes compact-script languages.
+
+    Scale shape: per-batch (lang, n_tokens) histogram partials → one
+    bounded groupby (languages × distinct lengths ~O(10^5) regardless of
+    corpus size) → the quantile walk runs driver-side on that tiny
+    histogram → thresholds broadcast (language-count-sized) → one
+    streaming flag pass.  No sort, no per-doc shuffle."""
+    hist = (hash_agg(docs(sf_dir, columns=("lang", "text"))
+                     .map_batches(_lang_len_partial, batch_format="pyarrow"),
+                     ["lang", "n"], [("p_cnt", "sum", "cnt")], small=True)
+            .take_all())
+    from collections import defaultdict
+    per: dict[str, list] = defaultdict(list)
+    for r in hist:
+        per[r["lang"]].append((r["n"], r["cnt"]))
+    th: dict[str, tuple[int, int]] = {}
+    for lang, rows in per.items():
+        rows.sort()
+        vals = np.array([v for v, _ in rows], dtype=np.int64)
+        cum = np.cumsum(np.array([c for _, c in rows], dtype=np.int64))
+        total = int(cum[-1])
+
+        def q_at(q: float) -> int:
+            rank = max(1, int(np.ceil(q * total)))
+            return int(vals[int(np.searchsorted(cum, rank, side="left"))])
+
+        th[lang] = (q_at(lo_q), q_at(hi_q))
+    th_ref = ray.put(th)
+
+    def flag(t: pa.Table) -> pa.Table:
+        m = ray.get(th_ref)
+        langs = t["lang"].to_pylist()
+        ns = np.fromiter((len(TOKEN_RE.findall(s))
+                          for s in t["text"].to_pylist()),
+                         dtype=np.int64, count=len(t))
+        lo = np.fromiter((m[lg][0] for lg in langs), np.int64, len(langs))
+        hi = np.fromiter((m[lg][1] for lg in langs), np.int64, len(langs))
+        return pa.table({"doc_id": t["doc_id"],
+                         "lang": t["lang"],
+                         "n_tokens": pa.array(ns),
+                         "outlier": pa.array((ns < lo) | (ns > hi))})
+
+    return docs(sf_dir, columns=("doc_id", "lang", "text")).map_batches(
+        flag, batch_format="pyarrow")
+
+
+def _lang_len_partial(t: pa.Table) -> pa.Table:
+    n = pa.array([len(TOKEN_RE.findall(s))
+                  for s in t["text"].to_pylist()], pa.int64())
+    g = (pa.table({"lang": t["lang"], "n": n,
+                   "one": pa.array([1] * len(n), pa.int64())})
+         .group_by(["lang", "n"]).aggregate([("one", "sum")]))
+    return g.rename_columns(["lang", "n", "p_cnt"])
+
+
+# --------------------------------------------------------- topic clustering
+
+def topic_clusters(sf_dir: str, n_clusters: int = 8, dim: int = 64,
+                   iters: int = 6) -> rd.Dataset:
+    """(doc_id, cluster_id): corpus TOPIC CLUSTERING — feature-hashed
+    bag-of-words (exact integer token counts scattered into
+    ``md5_upper64(token) % dim`` buckets) fed into the shared
+    FULL-CORPUS distributed integer k-means
+    (``similarity._kmeans_dist_core``).  The text → vector → cluster
+    composition a corpus pipeline runs for mixture balancing / domain
+    tagging, end-to-end SQL-checked (the twin unrolls the same
+    iterations over the same hashed counts; empty documents carry a
+    zero vector and land in cluster 0 by the deterministic tie-break).
+
+    Scale shape: one featurize pass (dim × 8 bytes per doc, materialized
+    in the spillable object store — the text never enters the fit), then
+    iters+2 scans with (n_clusters × dim) exchange width each."""
+    from .dedup import md5_upper64
+    from .similarity import _kmeans_dist_core
+
+    def featurize(t: pa.Table) -> pa.Table:
+        ids, blobs = [], []
+        for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            vec = np.zeros(dim, np.int64)
+            for w in TOKEN_RE.findall(s.lower()):
+                vec[md5_upper64(w.encode()) % dim] += 1
+            ids.append(did)
+            blobs.append(vec.tobytes())
+        return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                         "q": pa.array(blobs, pa.binary())})
+
+    feat = docs(sf_dir).map_batches(featurize,
+                                    batch_format="pyarrow").materialize()
+    _C, assigned = _kmeans_dist_core(feat, n_clusters, iters)
+    return assigned.map_batches(
+        lambda t: t.rename_columns(["doc_id", "cluster_id"]),
+        batch_format="pyarrow")
