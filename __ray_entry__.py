@@ -9,7 +9,7 @@ here calls ray.init()/ray.shutdown().
 ``queries()`` — one entry per implemented operator (SURVEY.md §2 + the
                 training-data ops); each takes sf_dir.
 ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query
-                (same column names!).  105 of 110 queries are SQL-checked,
+                (same column names!).  106 of 111 queries are SQL-checked,
                 including the sketch ops (simhash / minhash LSH dedup /
                 winnowing / langid — their kernels use md5-upper64 token
                 hashes and mod-2**64 permutations precisely so DuckDB can
@@ -187,7 +187,7 @@ def _q_canonicalize(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """105 of 110 queries carry a DuckDB oracle (oracle_sql()).  The only 5
+    """106 of 111 queries carry a DuckDB oracle (oracle_sql()).  The only 5
     without one are the crawl_* outputs, which are structurally non-SQL:
     they encode an iterative politeness-scheduled frontier loop (ordering
     depends on the virtual clock + retry state machine) and are checked
@@ -228,6 +228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bpe_pairs": textstats.bpe_pair_counts,      # BPE merge table
         "docs_length_outliers": textstats.length_outliers,  # per-lang gates
         "docs_topic_clusters": textstats.topic_clusters,  # hashed-BoW kmeans
+        "docs_incremental_new": dedup.incremental_new,  # snapshot anti-join
         "docs_normalize": textstats.normalize,
         "docs_sample": textstats.sample_stratified,
         "docs_mixture_quota": textstats.mixture_quota,
@@ -1558,6 +1559,17 @@ def oracle_sql() -> dict[str, str]:
             _sig_default(textstats.topic_clusters, "n_clusters"),
             _sig_default(textstats.topic_clusters, "dim"),
             _sig_default(textstats.topic_clusters, "iters")),
+        "docs_incremental_new": rf"""
+            WITH h AS (SELECT doc_id, md5(text) AS text_hash,
+                         md5_number_upper(doc_id::VARCHAR)
+                           % {_sig_default(dedup.incremental_new, "mod")} = 0
+                           AS old
+                       FROM documents),
+            old_h AS (SELECT DISTINCT text_hash FROM h WHERE old),
+            new_h AS (SELECT min(doc_id)::BIGINT AS doc_id, text_hash
+                      FROM h WHERE NOT old GROUP BY text_hash)
+            SELECT n.doc_id, n.text_hash
+            FROM new_h n ANTI JOIN old_h o ON n.text_hash = o.text_hash""",
         "knn_bruteforce": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qe
                        FROM embeddings WHERE vec_id % 50 = 0),

@@ -1260,3 +1260,47 @@ def semantic_dedup(sf_dir: str, threshold: float = 0.45,
     return (assigned
             .groupby("list_id")
             .map_groups(dedup_in_cluster, batch_format="pandas"))
+
+
+def incremental_new(sf_dir: str, mod: int = 2) -> rd.Dataset:
+    """(doc_id, text_hash): the INCREMENTAL-CRAWL dedup step — documents
+    of the NEW batch (md5_upper64(decimal doc_id) % mod != 0) whose exact
+    text hash does not already occur in the PREVIOUS corpus snapshot
+    (% mod == 0, the deterministic stand-in for last month's crawl) —
+    one row per DISTINCT new hash, min new doc_id winning (dedup within
+    the batch rides along).  Every recurring web crawl runs exactly this
+    pass before appending to the training corpus.
+
+    Scale shape: both sides reduce to (16-byte-hash, doc_id) rows inside
+    one streaming map (text never leaves the kernel); the anti join is a
+    hash_agg on the hash carrying per-side min-ids — one shuffle of
+    hash-sized rows, no broadcast (the snapshot side is corpus-sized, so
+    the decontaminate-style broadcast would not hold)."""
+
+    def hash_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        old = [md5_upper64(str(i).encode()) % mod == 0 for i in ids]
+        hs = [hashlib.md5(s.encode("utf-8")).hexdigest()
+              for s in t["text"].to_pylist()]
+        big = 1 << 62
+        return pa.table({
+            "text_hash": pa.array(hs, pa.string()),
+            # per-side partials: min new-doc id (or +inf) and old-side count
+            "p_new": pa.array([big if o else i for i, o in zip(ids, old)],
+                              pa.int64()),
+            "p_old": pa.array([1 if o else 0 for o in old], pa.int64()),
+        })
+
+    agg = hash_agg(docs(sf_dir).map_batches(hash_rows,
+                                            batch_format="pyarrow"),
+                   "text_hash", [("p_new", "min", "new_id"),
+                                 ("p_old", "sum", "n_old")])
+
+    def keep_new(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.equal(t["n_old"], 0),
+                       pc.less(t["new_id"], 1 << 62))
+        out = t.filter(keep)
+        return pa.table({"doc_id": out["new_id"],
+                         "text_hash": out["text_hash"]})
+
+    return agg.map_batches(keep_new, batch_format="pyarrow")
