@@ -107,15 +107,20 @@ def run_crawl(n_businesses: int, workdir: str) -> dict:
     # shard counts are pure performance knobs (membership routing and
     # per-host politeness are key-stable under any shard count).  Measured
     # on this box: ncpu//2 shards CONTEND with the task wave (16+16 actors
-    # on 32 cores cost ~20% wall: 20.9s vs 17.5s at 4+4); 4 shards keep
-    # actor-side release/resolve parallel enough while leaving the cores
-    # to the fetch/extract tasks.  ncpu//8 ≈ one shard pair per 8-core
-    # node-slice scales the same knob to real clusters.
+    # on 32 cores cost ~20% wall: 20.9s vs 17.5s at 4+4); ncpu//4 is the
+    # sweet spot at 32 cpus (8 shards: 48.8k vs 47.7k URLs/s same-window,
+    # pl_resolve 0.37->0.03 s, release 0.59->0.46 s) while 8-cpu legs keep
+    # the 4-shard floor — shards scale with width exactly as a real
+    # cluster adds a shard pair per node.
     import ray
     ncpu = int(ray.cluster_resources().get("CPU", 8))
-    nsh = int(os.environ.get("GSR_SHARDS", 0)) or max(4, ncpu // 8)
+    nsh = int(os.environ.get("GSR_SHARDS", 0)) or max(4, ncpu // 4)
     cfg.num_frontier_shards = nsh
     cfg.num_seen_shards = nsh
+    # seedctl shard count stays at the config default (8): 16 shards at
+    # 32 cpus measured ac_apply 0.85 vs 0.78 s — the applies are
+    # event-Python-bound per seed, not shard-starved, and extra actors
+    # contend with the task wave
     store = f"{corpus}/.pagestore"
     build_page_store(f"{corpus}/pages.parquet",
                      f"{corpus}/page_status.parquet",

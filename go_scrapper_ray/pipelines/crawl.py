@@ -125,9 +125,9 @@ def _load_split(path: str):
     return _split_fin_shards(pq.read_table(path))
 
 
-@ray.remote
+@ray.remote(num_returns=2)
 def _finalize_task(bundle: dict, shard: int, watermarks: dict,
-                   out_path: str, scraped_at: int) -> dict:
+                   out_path: str, scraped_at: int) -> tuple:
     """Finalize one seed-hash shard from its pre-partitioned per-round
     slices (plasma refs; parquet is only the durability copy):
     per-seed sort (date desc, schedule tiebreak — main.go:984-1007),
@@ -148,7 +148,7 @@ def _finalize_task(bundle: dict, shard: int, watermarks: dict,
     tabs = [t for t in ray.get(bundle["refs"]) if t.num_rows]
     _t1 = time.perf_counter()
     if not tabs:
-        return {}
+        return False, {}
     # columnar finalize: one Arrow sort + numpy group slicing (the pandas
     # groupby/object conversion of the string-heavy columns anti-scaled at
     # 32-wide concurrency); truncation only ever cuts a group SUFFIX, so
@@ -193,7 +193,9 @@ def _finalize_task(bundle: dict, shard: int, watermarks: dict,
             json.dump({"get_filter": _t1 - _t0, "sort_rank": _t3 - _t1,
                        "write": time.perf_counter() - _t3,
                        "rows": n, "start": _t0}, fh)
-    return counts
+    # (any_rows_flag, counts): the driver only ever touches the flag; the
+    # counts ref goes straight to the seed shards' final_state
+    return True, counts
 
 
 @ray.remote(num_returns=1 + N_FIN_SHARDS)
@@ -284,7 +286,27 @@ def _round_task(idx: pa.Table, start: int, length: int, bundle: dict,
                     links.take(pa.array(np.flatnonzero(shard == s))))
                 for s in np.unique(shard)]
     ctrl = ex.filter(pc.invert(pc.or_(rec_mask, link_mask)))
-    return ((ctrl.drop_columns(["jsonl", "l_src"]), acks),
+    ctrl = ctrl.drop_columns(["jsonl", "l_src"])
+    # pre-partition by seedctl shard and ray.put each slice HERE: the
+    # driver receives only (shard_id, ref) pairs and forwards the refs to
+    # the shard actors, so control bytes never enter the driver process at
+    # all (they used to ride the ray.get + re-serialize on apply.remote).
+    # Row order is immaterial: SeedCtlShard.apply re-sorts events by
+    # (page_seq, emit_idx) and tallies rcnt with an order-free group-by.
+    nsc = bundle["nsc"]
+    c_shards: list[int] = []
+    c_refs: list = []
+    if ctrl.num_rows:
+        csh = ctrl["seed_id"].to_numpy(zero_copy_only=False) % nsc
+        corder = np.argsort(csh, kind="stable")
+        ctrl = ctrl.take(pa.array(corder))
+        cbounds = np.searchsorted(csh[corder], np.arange(nsc + 1))
+        for i in range(nsc):
+            s, e = int(cbounds[i]), int(cbounds[i + 1])
+            if e > s:
+                c_shards.append(i)
+                c_refs.append(ray.put(ctrl.slice(s, e - s)))
+    return ((acks, c_shards, c_refs),
             *_split_fin_shards(recs))
 
 
@@ -472,7 +494,13 @@ class CrawlEngine:
         self._bundle = {"store_dir": str(self.store_dir),
                         "seeds": self.seeds_ref,
                         "cfg": self.cfg_dict, "wm": self.wm_ref,
-                        "seen_shards": self.seen}
+                        "seen_shards": self.seen,
+                        # control rows come back PRE-PARTITIONED by seedctl
+                        # shard (stable in-task sort), so the driver never
+                        # sorts or copies control bytes — it slices the
+                        # plasma-resident tables and hands zero-copy views
+                        # to the shard actors
+                        "nsc": self.cfg.num_seed_shards}
 
         # per-seed state lives in the SeedCtlShard actors; the driver keeps
         # only the round/seq counters and the per-round pushed-seed set
@@ -801,19 +829,18 @@ class CrawlEngine:
         res = ray.get(ctrl_refs)
         # barrier on the link-submit acks BEFORE _apply_ctrl kicks the
         # seen-shard resolves — all submissions must have landed
-        acks = [a for _t, ack in res for a in ack]
+        acks = [a for ack, _sh, _r in res for a in ack]
         if acks:
             ray.get(acks)
-        tbls = [t for t, _ack in res if t.num_rows]
-        from ..stages.extract_stage import OUT_SCHEMA
-        ctrl_schema = pa.schema([f for f in OUT_SCHEMA
-                                 if f.name not in ("jsonl", "l_src")])
-        ctrl_tbl = (pa.concat_tables(tbls).combine_chunks() if tbls
-                    else pa.table({f.name: [] for f in ctrl_schema},
-                                  schema=ctrl_schema))
+        # control rows stay in plasma: tasks returned (shard, ref) pairs
+        nsc = len(self.seedctl)
+        per_shard_refs: list[list] = [[] for _ in range(nsc)]
+        for _ack, shards, refs in res:
+            for s, r in zip(shards, refs):
+                per_shard_refs[s].append(r)
         t0 = self._t("round_exec", t0)
 
-        self._apply_ctrl(ctrl_tbl)
+        self._apply_ctrl(per_shard_refs)
         t0 = self._t("apply_ctrl", t0)
 
         if self.checkpoints:
@@ -825,35 +852,31 @@ class CrawlEngine:
                              sorted(self.timings.items())), flush=True)
 
     # ---------------------------------------------------------- control rows
-    def _apply_ctrl(self, ctrl_tbl: pa.Table):
-        """Route control rows to the per-seed state shards: the driver
-        slices the (tiny) control table by seed shard and dispatches
-        apply() in parallel with the seen shards' link resolves — no
-        per-event Python runs here.  Per-round driver work is O(shards)
-        plus the unions of small seed-id sets.
+    def _apply_ctrl(self, per_shard_refs: list[list]):
+        """Route control rows to the per-seed state shards: the round
+        tasks already partitioned their control output by seed shard and
+        put each slice to plasma, so the driver only forwards ObjectRefs
+        (variadic args resolve zero-copy in the actor) — control BYTES
+        never visit the driver.  Per-round driver work is O(shards +
+        tasks) ref bookkeeping plus the unions of small seed-id sets.
 
         Determinism: retries push from the seed shards and links from the
         seen shards concurrently; the interleave only permutes frontier
         ``arrival`` stamps, a release tiebreak that never decides (the key
         (host, seed, depth, parent_seq, emit_idx, attempt) is unique by
-        construction — see state/seeds.py module docstring)."""
+        construction — see state/seeds.py module docstring).  Slice
+        arrival order inside a shard is immaterial: apply() re-sorts
+        events by the unique (page_seq, emit_idx) key and tallies counts
+        with an order-free group-by."""
         tt = time.perf_counter()
         # kick the seen-shard resolves FIRST: all submits landed when the
         # round barrier released, so the link winners resolve while the
         # seed shards chew their event slices
         resolve_futs = [s.resolve.remote() for s in self.seen]
-        import numpy as np
-        nsc = len(self.seedctl)
-        sh = ctrl_tbl["seed_id"].to_numpy(zero_copy_only=False) % nsc
-        order = np.argsort(sh, kind="stable")
-        t = ctrl_tbl.take(pa.array(order))
-        ss = sh[order]
-        bounds = np.searchsorted(ss, np.arange(nsc + 1))
         apply_futs = [
-            self.seedctl[i].apply.remote(
-                t.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i])))
-            for i in range(nsc)
-            if bounds[i + 1] > bounds[i]]
+            self.seedctl[i].apply.remote(*refs)
+            for i, refs in enumerate(per_shard_refs)
+            if refs]
         tt = self._t("ac_split", tt)
         retried: set[int] = set()
         for ids in ray.get(apply_futs):
@@ -1018,11 +1041,14 @@ class CrawlEngine:
         rec_dir = self.workdir / "records"
         out_dir = self.workdir / "out"
         t0 = time.perf_counter()
-        # per-seed count OVERRIDES come back from the finalize shard tasks
-        # (post-watermark-truncation counts); non-truncated seeds fall back
-        # to the seed shards' own control-stream tallies
-        count_overrides: dict[int, int] = {}
+        # per-seed count OVERRIDES flow from the finalize shard tasks
+        # STRAIGHT to the seed shards (each ray.gets the fin-task futures
+        # whose fin shards can hold its seeds), so the status machine runs
+        # CONCURRENTLY with the finalize sort/write wave and the override
+        # dicts never visit the driver; non-truncated seeds fall back to
+        # the seed shards' own control-stream tallies
         rec_path = None
+        futs: list = []
         if any(self.rec_shard_refs):
             # one raw task per seed-hash shard over the plasma record refs —
             # a group-by with zero shuffle and zero disk reads; replaces a
@@ -1038,7 +1064,8 @@ class CrawlEngine:
             # the ncpu/8 gate dated from 350k-row consolidation tasks; the
             # shard tasks are now ~50k rows / ~0.2 s each, far below the
             # bus-thrash regime, so 16-wide is safe (measured below)
-            fin_cpus = max(1, int(ray.cluster_resources().get("CPU", 8)) // 16)
+            fin_cpus = int(os.environ.get("GSR_FIN_CPUS", 0)) or \
+                max(1, int(ray.cluster_resources().get("CPU", 8)) // 16)
             futs = [_finalize_task.options(num_cpus=fin_cpus).remote(
                         {"refs": list(self.rec_shard_refs[s])},
                         s, watermarks,
@@ -1046,11 +1073,26 @@ class CrawlEngine:
                                               f"shard-{s:02d}.parquet"),
                                           self.cfg.scraped_at)
                     for s in range(N_FIN_SHARDS)]
-            any_rows = False
-            for counts in ray.get(futs):
-                if counts:
-                    any_rows = True
-                count_overrides.update(counts)
+
+        # final status machine + meta fragments run IN the seed shards;
+        # each shard resolves its own fin-task futures (seed_id % nsc is
+        # constant within a fin shard when nsc divides N_FIN_SHARDS, so
+        # shard i waits on exactly N_FIN_SHARDS/nsc futures), overlapping
+        # fin_status with the fin_tasks wave.  The driver merges fragments
+        # and writes one meta.json.
+        nsc = len(self.seedctl)
+        cnt_refs = [f[1] for f in futs]
+        if futs and N_FIN_SHARDS % nsc == 0:
+            per = [[cnt_refs[s] for s in range(N_FIN_SHARDS) if s % nsc == i]
+                   for i in range(nsc)]
+        else:
+            per = [list(cnt_refs) for _ in range(nsc)]
+        frag_futs = [self.seedctl[i].final_state.remote(per[i])
+                     for i in range(nsc)]
+        if futs:
+            # rec_path needs any-rows; the counts dicts themselves stay
+            # off the driver (a fin shard wrote parquet iff counts)
+            any_rows = any(ray.get([f[0] for f in futs]))
             t0 = self._t("fin_tasks", t0)
             if any_rows:
                 # Dataset construction is LAZY (CrawlResult.records property)
@@ -1058,16 +1100,7 @@ class CrawlEngine:
                 # consumes the records, not the crawl's critical path
                 rec_path = str(out_dir / "records")
             t0 = self._t("fin_read", t0)
-
-        # final status machine + meta fragments run IN the seed shards
-        # (each sees its own tallies + the sliced overrides); the driver
-        # merges fragments and writes one meta.json
-        nsc = len(self.seedctl)
-        ov: list[dict] = [{} for _ in range(nsc)]
-        for sid, c in count_overrides.items():
-            ov[sid % nsc][sid] = c
-        frags = ray.get([self.seedctl[i].final_state.remote(ov[i])
-                         for i in range(nsc)])
+        frags = ray.get(frag_futs)
         t0 = self._t("fin_status", t0)
 
         outcomes: dict[int, SeedOutcome] = {}

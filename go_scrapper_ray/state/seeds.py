@@ -98,12 +98,19 @@ class SeedCtlShard:
         return len(sids)
 
     # -------------------------------------------------------------- apply
-    def apply(self, ctrl_tbl: pa.Table) -> list[int]:
+    def apply(self, *ctrl_tbls: pa.Table) -> list[int]:
         """One round's control rows for THIS shard's seeds: record-count
         tallies (columnar), the per-seed event state machine, and the
         retry ledger.  Allowed retries push straight to the frontier
         shards (batched per shard); returns the retried seed ids for the
-        driver's window-growth gating."""
+        driver's window-growth gating.
+
+        Takes one plasma-resident slice per round task (variadic refs
+        resolve zero-copy); per-slice row order is immaterial because the
+        event walk below sorts by the unique (page_seq, emit_idx) key and
+        the rcnt tally is an order-free group-by."""
+        ctrl_tbl = (ctrl_tbls[0] if len(ctrl_tbls) == 1
+                    else pa.concat_tables(ctrl_tbls))
         # per-page record counts ride in sort_ts of 'rcnt' rows
         rcnt = ctrl_tbl.filter(pc.equal(ctrl_tbl["out_kind"], "rcnt"))
         if rcnt.num_rows:
@@ -299,12 +306,21 @@ class SeedCtlShard:
                  for s in np.unique(shard)])
 
     # ----------------------------------------------------------- finalize
-    def final_state(self, final_count_overrides: dict[int, int]):
+    def final_state(self, count_refs: list):
         """Apply the end-of-crawl status machine (main.go:308-327) for this
-        shard's seeds and return (outcomes, meta fragment).  Overrides are
-        the finalize tasks' post-watermark-truncation counts."""
+        shard's seeds and return (outcomes, meta fragment).  ``count_refs``
+        are the finalize tasks' counts returns (post-watermark-truncation,
+        one dict per fin shard) as raw ObjectRefs: each seed shard resolves
+        them itself, so the status machine overlaps the finalize sort/write
+        wave and the override dicts never visit the driver.  Counts for
+        seeds owned by OTHER shards are filtered by outcome membership."""
         final_counts = dict(self.record_counts)
-        final_counts.update(final_count_overrides)
+        if count_refs:
+            import ray
+            for counts in ray.get(list(count_refs)):
+                for sid, c in counts.items():
+                    if sid in self.outcomes:
+                        final_counts[sid] = c
         for sid, out in self.outcomes.items():
             if out.rejected:
                 continue
