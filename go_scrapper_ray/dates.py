@@ -10,15 +10,24 @@ descending-by-date insertion sort (main.go:984-1007).
 from __future__ import annotations
 
 import datetime as _dt
+from functools import lru_cache
 
 GO_ZERO_UNIX = -62135596800  # time.Time{}.Unix(): Jan 1, year 1, UTC
 
+_EPOCH_ORD = _dt.date(1970, 1, 1).toordinal()  # 719163
 
+
+@lru_cache(maxsize=1 << 16)
 def parse_mdy(s: str) -> int | None:
     """Parse M/D/YYYY (padded or not) to unix seconds UTC; None on failure.
 
     Mirrors Go's layout "1/2/2006": month/day may be 1 or 2 digits, year must
     be 4 digits; no leading/trailing garbage allowed.
+
+    Midnight-UTC timestamps are pure day arithmetic (toordinal), skipping
+    datetime's tz path, and the function is memoized per process: review
+    dates cluster heavily (a feed page repeats a handful of dates), and the
+    4 µs/call parse was ~4% of the extract-wave profile at 259k calls.
     """
     parts = s.split("/")
     if len(parts) != 3:
@@ -29,10 +38,10 @@ def parse_mdy(s: str) -> int | None:
     if not (1 <= len(m) <= 2 and 1 <= len(d) <= 2 and len(y) == 4):
         return None
     try:
-        dt = _dt.datetime(int(y), int(m), int(d), tzinfo=_dt.timezone.utc)
+        o = _dt.date(int(y), int(m), int(d)).toordinal()
     except ValueError:
         return None
-    return int(dt.timestamp())
+    return (o - _EPOCH_ORD) * 86400
 
 
 def parse_mdy_or_zero(s: str) -> int:

@@ -114,6 +114,24 @@ _REPLY_FIELDS = [(f, go_json_string(f) + ":")
 _PFX = {name: pfx for name, _kind, pfx in _FIELDS}
 _RPFX = dict(_REPLY_FIELDS)
 
+# hoisted prefix constants for the per-review hot path (render_review runs
+# once per record; LOAD_GLOBAL beats two dict getitems per field at ~220k
+# calls per 4k-business crawl)
+_P_PARENT = _PFX["parent_id"]
+_P_AUTHOR = _PFX["author_name"]
+_P_TEXT = _PFX["text"]
+_P_SRCDATE = _PFX["source_date"]
+_P_RID = _PFX["review_id"]
+_P_AID = _PFX["author_id"]
+_P_PHOTOS = _PFX["photos"]
+_P_RATING = _PFX["rating"]
+_P_SCRAPED = _PFX["scraped_at"]
+_P_POSTED = _PFX["posted_at"]
+_P_RESP = _PFX["responses"]
+_RP_AUTHOR = _RPFX["author_name"]
+_RP_TEXT = _RPFX["text"]
+_RP_POSTED = _RPFX["posted_at"]
+
 
 def render_record(rec: dict, scraped_at: int) -> tuple[str, str]:
     """Fused identity + b64 + JSONL render: byte-identical to
@@ -219,43 +237,43 @@ def render_review(parent_id: str, rid: str, aid: str, author: str, text: str,
     parts = []
     ap = parts.append
     if parent_id:
-        ap(_PFX["parent_id"] + go_json_string(parent_id))
+        ap(_P_PARENT + go_json_string(parent_id))
     if author:
-        ap(_PFX["author_name"] + '"' + b64(author) + '"')
+        ap(_P_AUTHOR + '"' + b64(author) + '"')
     if text:
-        ap(_PFX["text"] + '"' + b64(text) + '"')
+        ap(_P_TEXT + '"' + b64(text) + '"')
     if source_date:
-        ap(_PFX["source_date"] + go_json_string(source_date))
+        ap(_P_SRCDATE + go_json_string(source_date))
     if rid:
-        ap(_PFX["review_id"] + go_json_string(rid))
+        ap(_P_RID + go_json_string(rid))
     if aid:
-        ap(_PFX["author_id"] + go_json_string(aid))
+        ap(_P_AID + go_json_string(aid))
     if photos:
-        ap(_PFX["photos"] + "[" + ",".join(map(go_json_string, photos)) + "]")
+        ap(_P_PHOTOS + "[" + ",".join(map(go_json_string, photos)) + "]")
     if rating:
-        ap(_PFX["rating"] + str(rating))
+        ap(_P_RATING + str(rating))
     if scraped_at:
-        ap(_PFX["scraped_at"] + str(scraped_at))
+        ap(_P_SCRAPED + str(scraped_at))
     if posted_at:
-        ap(_PFX["posted_at"] + str(posted_at))
+        ap(_P_POSTED + str(posted_at))
     if replies:
         objs = []
         for ra, rt, rp in replies:
             fields = []
             if has_resp:  # encodeFielsToB64 branch: replies b64-encoded
                 if ra:
-                    fields.append(_RPFX["author_name"] + '"' + b64(ra) + '"')
+                    fields.append(_RP_AUTHOR + '"' + b64(ra) + '"')
                 if rt:
-                    fields.append(_RPFX["text"] + '"' + b64(rt) + '"')
+                    fields.append(_RP_TEXT + '"' + b64(rt) + '"')
             else:
                 if ra:
-                    fields.append(_RPFX["author_name"] + go_json_string(ra))
+                    fields.append(_RP_AUTHOR + go_json_string(ra))
                 if rt:
-                    fields.append(_RPFX["text"] + go_json_string(rt))
+                    fields.append(_RP_TEXT + go_json_string(rt))
             if rp:
-                fields.append(_RPFX["posted_at"] + go_json_string(rp))
+                fields.append(_RP_POSTED + go_json_string(rp))
             objs.append("{" + ",".join(fields) + "}")
-        ap(_PFX["responses"] + "[" + ",".join(objs) + "]")
+        ap(_P_RESP + "[" + ",".join(objs) + "]")
     ap('"review_hash":' + go_json_string(rh))
     return rh, "{" + ",".join(parts) + "}"
 
