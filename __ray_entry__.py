@@ -284,6 +284,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_ivf_assign": similarity.ivf_assign,
         "emb_lsh_code": similarity.lsh_code,
         "docs_pagerank": graph.pagerank,
+        "docs_hits": graph.hits,                      # hub/authority sweep
+        "events_window_users": events.window_users,   # exact distinct/window
+        "docs_bigram_surprisal": textstats.bigram_surprisal,  # bigram LM gate
+        "docs_hapax_rate": textstats.hapax_rate,      # corpus-hapax share
         "returned_items": relational.returned_item_revenue,
         "large_orders": relational.large_volume_orders,
         "high_balance_inactive": relational.high_balance_inactive,
@@ -1736,6 +1740,63 @@ def oracle_sql() -> dict[str, str]:
                      (150000 + coalesce(i3.inc, 0))::BIGINT AS s
                    FROM n LEFT JOIN i3 ON n.node = i3.node)
             SELECT node, s AS score FROM s3""",
+        "docs_hits": """
+            WITH nn AS (SELECT count(*) AS c FROM documents),
+            nodes AS (SELECT doc_id AS node FROM documents),
+            edges AS (SELECT node AS src,
+                        (node*31 + 7*j.j) % (SELECT c FROM nn) AS dst
+                      FROM nodes, (VALUES (1),(2),(3)) j(j)),
+            a1 AS (SELECT dst AS node, sum(1000000)::BIGINT AS a
+                   FROM edges GROUP BY dst),
+            a1f AS (SELECT nd.node, coalesce(a1.a, 0) AS a
+                    FROM nodes nd LEFT JOIN a1 USING(node)),
+            h1 AS (SELECT e.src AS node, sum(a1f.a)::BIGINT AS h
+                   FROM edges e JOIN a1f ON a1f.node = e.dst GROUP BY e.src),
+            a2 AS (SELECT e.dst AS node, sum(h1.h)::BIGINT AS a
+                   FROM edges e JOIN h1 ON h1.node = e.src GROUP BY e.dst),
+            a2f AS (SELECT nd.node, coalesce(a2.a, 0) AS a
+                    FROM nodes nd LEFT JOIN a2 USING(node)),
+            h2 AS (SELECT e.src AS node, sum(a2f.a)::BIGINT AS h
+                   FROM edges e JOIN a2f ON a2f.node = e.dst GROUP BY e.src)
+            SELECT nd.node, a2f.a AS auth, h2.h AS hub
+            FROM nodes nd JOIN a2f USING(node) JOIN h2 USING(node)""",
+        "events_window_users": """
+            SELECT epoch_us(ts)//3600000000 AS window_id,
+                   count(DISTINCT user_id)::BIGINT AS users
+            FROM events GROUP BY 1""",
+        "docs_bigram_surprisal": r"""
+            WITH toks AS (SELECT doc_id,
+                            regexp_extract_all(lower(text), '\S+') AS ws
+                          FROM documents),
+            pos AS (SELECT doc_id, ws,
+                      unnest(generate_series(1, len(ws)-1)) AS i
+                    FROM toks WHERE len(ws) >= 2),
+            pairs AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2 FROM pos),
+            doc_tf AS (SELECT doc_id, w1, w2, count(*)::BIGINT AS tf
+                       FROM pairs GROUP BY ALL),
+            big AS (SELECT w1, w2, sum(tf)::BIGINT AS c2
+                    FROM doc_tf GROUP BY ALL),
+            pre AS (SELECT w1, sum(c2)::BIGINT AS c1 FROM big GROUP BY w1)
+            SELECT doc_id, sum(tf)::BIGINT AS n_bigrams,
+                   sum(tf * (length(bin(c1 // c2)) - 1))::BIGINT AS surprisal
+            FROM doc_tf JOIN big USING(w1, w2) JOIN pre USING(w1)
+            GROUP BY doc_id""",
+        "docs_hapax_rate": r"""
+            WITH toks AS (SELECT doc_id,
+                            regexp_extract_all(lower(text), '\S+') AS ws
+                          FROM documents),
+            occ AS (SELECT doc_id, unnest(ws) AS token FROM toks),
+            tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf
+                   FROM occ GROUP BY ALL),
+            dfreq AS (SELECT token, count(*)::BIGINT AS df
+                      FROM tf GROUP BY token),
+            tot AS (SELECT doc_id, sum(tf)::BIGINT AS n_tokens
+                    FROM tf GROUP BY doc_id),
+            hx AS (SELECT doc_id, sum(tf)::BIGINT AS hapax
+                   FROM tf JOIN dfreq USING(token)
+                   WHERE df = 1 GROUP BY doc_id)
+            SELECT t.doc_id, t.n_tokens, coalesce(hx.hapax, 0) AS hapax
+            FROM tot t LEFT JOIN hx USING(doc_id)""",
         "docs_doc_frequency": r"""
             WITH tok AS (SELECT DISTINCT doc_id,
                            unnest(regexp_extract_all(lower(text), '\S+'))

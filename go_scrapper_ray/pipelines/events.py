@@ -1048,3 +1048,34 @@ def window_top_user(sf_dir: str, window_s: int = 3600,
     return (sums.map_batches(shard_stamp, batch_format="pyarrow")
             .groupby("shard")
             .map_groups(argmax_in_shard, batch_format="pandas"))
+
+
+def window_users(sf_dir: str, window_s: int = 3600) -> rd.Dataset:
+    """(window_id, users): EXACT distinct users per tumbling window.
+
+    Two chained hash_aggs: the first globally dedupes (window_id, user_id)
+    pairs (batch-local group_by is the combiner, the exchange carries one
+    id-pair row per distinct pair), the second counts rows per window.
+    This is the exact companion to the register-merge estimate in
+    :func:`dau_hll` — same shape a training-data pipeline uses for
+    per-shard contributor counts.  Both exchanges move ids only."""
+    from ..agg import hash_agg
+
+    def pairs(t: pa.Table) -> pa.Table:
+        epoch_us = t["ts"].cast(pa.int64())
+        w = pc.cast(pc.divide(epoch_us, 1_000_000 * window_s), pa.int64())
+        return (pa.table({"window_id": w, "user_id": t["user_id"]})
+                .group_by(["window_id", "user_id"]).aggregate([]))
+
+    dedup = hash_agg(
+        _events(sf_dir, ("ts", "user_id")).map_batches(
+            pairs, batch_format="pyarrow"),
+        ["window_id", "user_id"], [(None, "count_all", "c")])
+
+    def cnt(t: pa.Table) -> pa.Table:
+        g = t.select(["window_id"]).group_by("window_id").aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["window_id", "p_u"])
+
+    return hash_agg(dedup.map_batches(cnt, batch_format="pyarrow"),
+                    "window_id", [("p_u", "sum", "users")], small=True)

@@ -962,3 +962,158 @@ def topic_clusters(sf_dir: str, n_clusters: int = 8, dim: int = 64,
     return assigned.map_batches(
         lambda t: t.rename_columns(["doc_id", "cluster_id"]),
         batch_format="pyarrow")
+
+
+def bigram_surprisal(sf_dir: str) -> rd.Dataset:
+    """(doc_id, n_bigrams, surprisal): integer CONDITIONAL bigram
+    surprisal — Σ over adjacent token pairs (w1,w2) of
+    floor(log2(c1(w1) / c2(w1,w2))), where c2 is the corpus bigram count
+    and c1 = Σ_w2 c2(w1,·) the prefix occurrence count, i.e. the exact
+    -floor(log2 P(w2|w1)) of the corpus MLE bigram LM.  This is the
+    KenLM-style perplexity gate of CCNet/Gopher in exact arithmetic:
+    formulaic boilerplate (high-probability continuations) scores ~0,
+    incoherent token soup scores high.  floor(log2) is bit_length-1 of
+    the integer quotient — bit-reproducible at any width (no float log).
+
+    Scale shape — fully distributed, no broadcast, no driver state:
+    (doc_id,w1,w2,tf) occurrence rows hash_agg to the bigram count table
+    (combiner-before-shuffle), its partials re-aggregate by w1 for the
+    prefix table, and two co-partitioned hash_joins (on (w1,w2), then on
+    w1) put both counts on each occurrence row before one hash_agg by
+    doc_id sums the bits.  Exchanges carry token pairs + ids, never the
+    document text."""
+    from collections import Counter
+
+    from ..agg import hash_agg, hash_join
+
+    src = docs(sf_dir)
+
+    def pair_tf(t: pa.Table) -> pa.Table:
+        ids, w1s, w2s, tfs = [], [], [], []
+        for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            ws = s.lower().split()
+            if len(ws) < 2:
+                continue
+            for (a, b), n in Counter(zip(ws, ws[1:])).items():
+                ids.append(did)
+                w1s.append(a)
+                w2s.append(b)
+                tfs.append(n)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "w1": pa.array(w1s, pa.string()),
+                         "w2": pa.array(w2s, pa.string()),
+                         "tf": pa.array(tfs, pa.int64())})
+
+    occ = src.map_batches(pair_tf, batch_format="pyarrow").materialize()
+
+    big = hash_agg(occ.map_batches(
+        lambda t: t.select(["w1", "w2", "tf"]).group_by(["w1", "w2"])
+        .aggregate([("tf", "sum")]).rename_columns(["w1", "w2", "p"]),
+        batch_format="pyarrow"), ["w1", "w2"],
+        [("p", "sum", "c2")]).materialize()
+
+    pre = hash_agg(big.map_batches(
+        lambda t: t.select(["w1", "c2"]).group_by("w1")
+        .aggregate([("c2", "sum")]).rename_columns(["w1", "p"]),
+        batch_format="pyarrow"), "w1", [("p", "sum", "c1")])
+
+    j1 = hash_join(occ, big, on=["w1", "w2"],
+                   left_cols={"doc_id": pa.int64(), "tf": pa.int64()},
+                   right_cols={"c2": pa.int64()})
+    j2 = hash_join(j1, pre, on="w1",
+                   left_cols={"w2": pa.string(), "doc_id": pa.int64(),
+                              "tf": pa.int64(), "c2": pa.int64()},
+                   right_cols={"c1": pa.int64()})
+
+    def score_partial(t: pa.Table) -> pa.Table:
+        c1 = t["c1"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c2 = t["c2"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        q = c1 // c2
+        # floor(log2) via float64 log2 is UNSAFE near powers of two;
+        # bit_length-1 == (number of bits) - 1, vectorized exactly for
+        # int64 with the frexp-free np.log2 avoided: use bit twiddling
+        bits = np.zeros(len(q), dtype=np.int64)
+        v = q.copy()
+        while (v > 1).any():
+            m = v > 1
+            bits[m] += 1
+            v[m] >>= 1
+        tmp = pa.table({"doc_id": t["doc_id"],
+                        "nb": pa.array(tf, pa.int64()),
+                        "s": pa.array(bits * tf, pa.int64())})
+        g = tmp.group_by("doc_id").aggregate([("nb", "sum"), ("s", "sum")])
+        return g.rename_columns(["doc_id", "p_nb", "p_s"])
+
+    return hash_agg(j2.map_batches(score_partial, batch_format="pyarrow"),
+                    "doc_id", [("p_nb", "sum", "n_bigrams"),
+                               ("p_s", "sum", "surprisal")])
+
+
+def hapax_rate(sf_dir: str) -> rd.Dataset:
+    """(doc_id, n_tokens, hapax): per-document count of corpus-hapax token
+    occurrences (tokens whose document frequency is exactly 1) alongside
+    the doc's token count — the lexical-novelty / OCR-noise signal used in
+    corpus quality audits (a high hapax share means typos or genuinely
+    novel vocabulary; ~0 means boilerplate).
+
+    Scale shape: reuses the distributed df pattern — (doc_id, token, tf)
+    occurrence rows; df table from a hash_agg of per-batch document sets;
+    hapax tokens (df=1) LEFT-join back onto per-doc totals, so the join's
+    right side is the hapax-sized id table and text never shuffles."""
+    from collections import Counter
+
+    from ..agg import hash_agg, hash_join
+
+    src = docs(sf_dir)
+
+    def tf_rows(t: pa.Table) -> pa.Table:
+        ids, toks, tfs = [], [], []
+        for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            ws = s.lower().split()
+            if not ws:
+                continue
+            for w, n in Counter(ws).items():
+                ids.append(did)
+                toks.append(w)
+                tfs.append(n)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "token": pa.array(toks, pa.string()),
+                         "tf": pa.array(tfs, pa.int64())})
+
+    occ = src.map_batches(tf_rows, batch_format="pyarrow").materialize()
+
+    dfreq = hash_agg(occ.map_batches(
+        lambda t: t.select(["token"]).group_by("token")
+        .aggregate([([], "count_all")]).rename_columns(["token", "p"]),
+        batch_format="pyarrow"), "token", [("p", "sum", "df")])
+    hapax_toks = dfreq.map_batches(
+        lambda t: t.filter(pc.equal(t["df"], 1)),
+        batch_format="pyarrow")  # batch filter on the vocab-sized table
+
+    totals = hash_agg(occ.map_batches(
+        lambda t: t.select(["doc_id", "tf"]).group_by("doc_id")
+        .aggregate([("tf", "sum")]).rename_columns(["doc_id", "p"]),
+        batch_format="pyarrow"), "doc_id", [("p", "sum", "n_tokens")])
+
+    # hapax occurrences per doc: inner-join occurrences against the
+    # hapax token set (df=1 → tf is that doc's occurrence count)
+    hx = hash_join(occ, hapax_toks.map_batches(
+        lambda t: t.select(["token"]), batch_format="pyarrow"),
+        on="token",
+        left_cols={"doc_id": pa.int64(), "tf": pa.int64()},
+        right_cols={})
+    hx_doc = hash_agg(hx.map_batches(
+        lambda t: t.select(["doc_id", "tf"]).group_by("doc_id")
+        .aggregate([("tf", "sum")]).rename_columns(["doc_id", "p"]),
+        batch_format="pyarrow"), "doc_id", [("p", "sum", "hapax")])
+
+    out = hash_join(totals, hx_doc, on="doc_id",
+                    left_cols={"n_tokens": pa.int64()},
+                    right_cols={"hapax": pa.int64()},
+                    join_type="left outer")
+    return out.map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"], "n_tokens": t["n_tokens"],
+            "hapax": pc.coalesce(t["hapax"], pa.scalar(0, pa.int64()))}),
+        batch_format="pyarrow")
