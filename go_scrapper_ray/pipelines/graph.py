@@ -93,15 +93,26 @@ def hits(sf_dir: str, iters: int = 2) -> rd.Dataset:
     DuckDB twin agree bit-for-bit — the same determinism contract as the
     pagerank fixed-point kernel.
 
-    Scale shape: the authority step is the pagerank contribs pattern (one
-    groupby(dst) exchange, zero self-rows keep in-degree-0 nodes); the hub
-    step joins the closed-form edge table against the authority table with
-    the co-partitioned ``agg.hash_join`` (ids only, one exchange) and
-    re-aggregates by src.  Two all-to-alls per half-pair — the BSP lower
-    bound for an alternating bipartite sweep."""
+    Scale shape: both half-sweeps are the pagerank contribs pattern — one
+    map_batches of vectorized scatter rows + one groupby sum, i.e. ONE
+    all-to-all each (the BSP lower bound).  The hub step exploits that
+    u ↦ (31u+7j) mod n is a bijection per edge slot j when gcd(31,n)=1:
+    authority rows scatter straight to their unique hub target
+    u = (v−7j)·31⁻¹ mod n, so no edge join is needed.  When 31 | n or n
+    is large enough that n·31⁻¹ could overflow int64 (n ≥ 3·10⁹), it
+    falls back to a co-partitioned edge join (``agg.hash_join``) — the
+    same answer, one extra exchange.  The final (auth, hub) combine is a
+    union + one hash_agg, not a join.  Only the last sweep's authority
+    table is forked (hub step + output), so it alone materializes — one
+    node-sized int64 checkpoint; everything else is a single streaming
+    execution."""
     from ..agg import hash_agg, hash_join
 
     n = _n_docs(sf_dir)
+    try:
+        inv31 = pow(31, -1, n) if n < 3_000_000_000 else None
+    except ValueError:  # 31 | n: not invertible
+        inv31 = None
 
     def init(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -111,13 +122,6 @@ def hits(sf_dir: str, iters: int = 2) -> rd.Dataset:
     nodes = rd.read_parquet(f"{sf_dir}/documents.parquet",
                             columns=["doc_id"])
     h = nodes.map_batches(init, batch_format="pyarrow")
-
-    def edge_batch(t: pa.Table) -> pa.Table:
-        src = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        dst = np.concatenate(
-            [(src * 31 + 7 * j) % n for j in range(1, OUT_DEG + 1)])
-        return pa.table({"src": pa.array(np.tile(src, OUT_DEG), pa.int64()),
-                         "dst": pa.array(dst, pa.int64())})
 
     def auth_contribs(t: pa.Table) -> pa.Table:
         node = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -132,30 +136,63 @@ def hits(sf_dir: str, iters: int = 2) -> rd.Dataset:
              .group_by("dst").aggregate([("c", "sum")]))
         return g.rename_columns(["dst", "p_c"])
 
+    def hub_contribs(t: pa.Table) -> pa.Table:
+        # scatter: authority row (v, a) contributes a to the unique u with
+        # (31u + 7j) ≡ v (mod n), for each edge slot j — a bijection, so
+        # the union over (v, j) is exactly the edge multiset
+        v = t["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        av = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = np.concatenate(
+            [((v - 7 * j) % n) * inv31 % n for j in range(1, OUT_DEG + 1)])
+        val = np.tile(av, OUT_DEG)
+        g = (pa.table({"src": pa.array(u, pa.int64()),
+                       "c": pa.array(val, pa.int64())})
+             .group_by("src").aggregate([("c", "sum")]))
+        return g.rename_columns(["src", "p_a"])
+
+    def edge_batch(t: pa.Table) -> pa.Table:
+        src = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = np.concatenate(
+            [(src * 31 + 7 * j) % n for j in range(1, OUT_DEG + 1)])
+        return pa.table({"src": pa.array(np.tile(src, OUT_DEG), pa.int64()),
+                         "dst": pa.array(dst, pa.int64())})
+
     a = None
-    for _ in range(iters):
+    for it in range(iters):
         a = hash_agg(h.map_batches(auth_contribs, batch_format="pyarrow"),
                      "dst", [("p_c", "sum", "a")]).map_batches(
             lambda t: t.rename_columns(["node", "a"]),
             batch_format="pyarrow")
-        joined = hash_join(
-            nodes.map_batches(edge_batch, batch_format="pyarrow"), a,
-            on="dst", right_on="node",
-            left_cols={"src": pa.int64()}, right_cols={"a": pa.int64()})
+        if it == iters - 1:
+            a = a.materialize()  # forked below: hub step + output union
+        if inv31 is not None:
+            h = hash_agg(a.map_batches(hub_contribs,
+                                       batch_format="pyarrow"),
+                         "src", [("p_a", "sum", "h")])
+        else:
+            joined = hash_join(
+                nodes.map_batches(edge_batch, batch_format="pyarrow"), a,
+                on="dst", right_on="node",
+                left_cols={"src": pa.int64()}, right_cols={"a": pa.int64()})
+            h = hash_agg(joined.map_batches(
+                lambda t: t.select(["src", "a"]).group_by("src")
+                .aggregate([("a", "sum")]).rename_columns(["src", "p_a"]),
+                batch_format="pyarrow"), "src", [("p_a", "sum", "h")])
+        h = h.map_batches(lambda t: t.rename_columns(["node", "h"]),
+                          batch_format="pyarrow")
 
-        def hub_partial(t: pa.Table) -> pa.Table:
-            g = (t.select(["src", "a"]).group_by("src")
-                 .aggregate([("a", "sum")]))
-            return g.rename_columns(["src", "p_a"])
-
-        h = hash_agg(joined.map_batches(hub_partial, batch_format="pyarrow"),
-                     "src", [("p_a", "sum", "h")]).map_batches(
-            lambda t: t.rename_columns(["node", "h"]),
-            batch_format="pyarrow")
-
-    out = hash_join(a, h, on="node",
-                    left_cols={"a": pa.int64()}, right_cols={"h": pa.int64()})
-    return out.map_batches(
-        lambda t: pa.table({"node": t["node"], "auth": t["a"],
-                            "hub": t["h"]}),
+    # (auth, hub) combine: union + one grouped sum — no join exchange.
+    # Every node appears in BOTH tables (self-zero rows keep a complete;
+    # the hub scatter is a bijection over a's nodes), so each group sums
+    # one auth row and one hub row.
+    au = a.map_batches(
+        lambda t: pa.table({"node": t["node"], "pa_": t["a"],
+                            "ph_": pa.array(np.zeros(len(t), np.int64))}),
         batch_format="pyarrow")
+    hu = h.map_batches(
+        lambda t: pa.table({"node": t["node"],
+                            "pa_": pa.array(np.zeros(len(t), np.int64)),
+                            "ph_": t["h"]}),
+        batch_format="pyarrow")
+    return hash_agg(au.union(hu), "node",
+                    [("pa_", "sum", "auth"), ("ph_", "sum", "hub")])
