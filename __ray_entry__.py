@@ -187,7 +187,7 @@ def _q_canonicalize(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """110 of 115 queries carry a DuckDB oracle (oracle_sql()).  The only 5
+    """112 of 117 queries carry a DuckDB oracle (oracle_sql()).  The only 5
     without one are the crawl_* outputs, which are structurally non-SQL:
     they encode an iterative politeness-scheduled frontier loop (ordering
     depends on the virtual clock + retry state machine) and are checked
@@ -288,6 +288,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_users": events.window_users,   # exact distinct/window
         "docs_bigram_surprisal": textstats.bigram_surprisal,  # bigram LM gate
         "docs_hapax_rate": textstats.hapax_rate,      # corpus-hapax share
+        "docs_containment_dups": dedup.containment_dups,  # directed containment
+        "events_sliding_users": events.sliding_users,  # sliding exact distinct
         "returned_items": relational.returned_item_revenue,
         "large_orders": relational.large_volume_orders,
         "high_balance_inactive": relational.high_balance_inactive,
@@ -399,6 +401,55 @@ def _minhash_sql(threshold: float = 0.8) -> str:
         SELECT da AS doc_a, db AS doc_b FROM inter
         JOIN n na ON na.doc_id = da JOIN n nb ON nb.doc_id = db
         WHERE i * 1.0 / (na.cnt + nb.cnt - i) >= {threshold}"""
+
+
+def _containment_sql(threshold: float = 0.9) -> str:
+    """DuckDB twin of dedup.containment_dups: same shingle/band/candidate
+    CTEs as _minhash_sql, but DIRECTED containment verify in integer basis
+    points (i * 10^4 >= thr_bp * |S(src)|) — both directions of each
+    unordered candidate."""
+    from go_scrapper_ray.pipelines.dedup import _minhash_params
+
+    thr_bp = int(round(threshold * 10_000))
+    a, b, _ = _minhash_params(42)
+    vals = ", ".join(f"({i}, {int(a[i])}, {int(b[i])})" for i in range(len(a)))
+    return f"""
+        WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks
+                   FROM documents),
+        pos AS (
+          SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+          FROM d WHERE len(toks) >= 3),
+        gr AS (
+          SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS gram FROM pos
+          UNION ALL
+          SELECT doc_id, array_to_string(toks, ' ') AS gram FROM d
+          WHERE len(toks) BETWEEN 1 AND 2),
+        sh AS (SELECT DISTINCT doc_id, (md5_number_upper(gram) >> 3) AS h FROM gr),
+        perms AS (SELECT * FROM (VALUES {vals}) p(perm, a, b)),
+        mh AS (SELECT doc_id, perm,
+                 min(((a::HUGEINT * h::HUGEINT + b::HUGEINT)
+                      % 18446744073709551616)::UBIGINT) AS v
+               FROM sh CROSS JOIN perms GROUP BY doc_id, perm),
+        bands AS (SELECT doc_id, perm // 4 AS band, list(v ORDER BY perm) AS sig
+                  FROM mh GROUP BY doc_id, perm // 4),
+        cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+                 FROM bands a JOIN bands b
+                 ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+        n AS (SELECT doc_id, count(*) AS cnt FROM sh GROUP BY doc_id),
+        inter AS (SELECT c.da, c.db, count(*) AS i
+                  FROM cand c JOIN sh a ON a.doc_id = c.da
+                  JOIN sh b ON b.doc_id = c.db AND a.h = b.h
+                  GROUP BY c.da, c.db),
+        scored AS (SELECT c.da, c.db, coalesce(i.i, 0) AS i
+                   FROM cand c LEFT JOIN inter i
+                   ON i.da = c.da AND i.db = c.db)
+        SELECT s.da AS src, s.db AS dst FROM scored s
+        JOIN n na ON na.doc_id = s.da
+        WHERE na.cnt > 0 AND s.i * 10000 >= {thr_bp} * na.cnt
+        UNION ALL
+        SELECT s.db, s.da FROM scored s
+        JOIN n nb ON nb.doc_id = s.db
+        WHERE nb.cnt > 0 AND s.i * 10000 >= {thr_bp} * nb.cnt"""
 
 
 def _winnow_sql(k: int = 5, w: int = 8) -> str:
@@ -1760,6 +1811,12 @@ def oracle_sql() -> dict[str, str]:
                    FROM edges e JOIN a2f ON a2f.node = e.dst GROUP BY e.src)
             SELECT nd.node, a2f.a AS auth, h2.h AS hub
             FROM nodes nd JOIN a2f USING(node) JOIN h2 USING(node)""",
+        "docs_containment_dups": _containment_sql(
+            _sig_default(dedup.containment_dups, "threshold")),
+        "events_sliding_users": """
+            SELECT (epoch_us(ts)//900000000 - j.j) AS window_id,
+                   count(DISTINCT user_id)::BIGINT AS users
+            FROM events, (VALUES (0),(1),(2),(3)) j(j) GROUP BY 1""",
         "events_window_users": """
             SELECT epoch_us(ts)//3600000000 AS window_id,
                    count(DISTINCT user_id)::BIGINT AS users

@@ -1304,3 +1304,121 @@ def incremental_new(sf_dir: str, mod: int = 2) -> rd.Dataset:
                          "text_hash": out["text_hash"]})
 
     return agg.map_batches(keep_new, batch_format="pyarrow")
+
+
+def containment_dups(sf_dir: str, threshold: float = 0.9,
+                     seed: int = 42) -> rd.Dataset:
+    """(src, dst) DIRECTED containment near-dups: |S(src) ∩ S(dst)| /
+    |S(src)| ≥ threshold over 3-gram word shingles — the asymmetric
+    companion to :func:`minhash_dups` (Broder's containment; the
+    wire-copy / quote-expansion case Jaccard misses when one document is
+    much longer than the other).  Verification compares in integer basis
+    points (inter · 10⁴ ≥ thr_bp · |S(src)|) so engine and DuckDB twin
+    agree exactly with no float threshold edge.
+
+    Scale shape: candidates come from the SAME memoized LSH band table
+    as minhash_dups (band self-join, output-sized distinct) — recall for
+    extreme size ratios is the known minhash-LSH limit and is documented
+    rather than patched; each unordered candidate then verifies BOTH
+    directions from one shingle-blob pair row.  Blob delivery reuses the
+    candidate-bounded broadcast / co-partitioned-join gate of
+    minhash_dups."""
+    import pyarrow.compute as pc
+
+    from ..agg import hash_join
+
+    thr_bp = int(round(threshold * 10_000))
+    sig = minhash_signatures(sf_dir, seed).materialize()
+
+    def _side(cols):
+        def k(t: pa.Table) -> pa.Table:
+            return t.rename_columns(cols)
+        return k
+
+    cand = (hash_join(
+        sig.map_batches(_side(["doc_a", "band_id", "band_hash"]),
+                        batch_format="pyarrow"),
+        sig.map_batches(_side(["doc_b", "band_id", "band_hash"]),
+                        batch_format="pyarrow"),
+        on=["band_id", "band_hash"],
+        left_cols={"doc_a": pa.int64()}, right_cols={"doc_b": pa.int64()})
+        .map_batches(lambda t: t.filter(
+            pc.less(t["doc_a"], t["doc_b"])).select(["doc_a", "doc_b"]),
+            batch_format="pyarrow"))
+    cand_ds = hash_agg(cand, ["doc_a", "doc_b"],
+                       [(None, "count_all", "c")]).map_batches(
+        lambda t: t.select(["doc_a", "doc_b"]),
+        batch_format="pyarrow").materialize()
+
+    # candidate-participant semi-join set (output-sized — the documented
+    # minhash_dups pattern)
+    part_ids: set[int] = set()
+    for t in cand_ds.iter_batches(batch_format="pyarrow"):
+        part_ids.update(t["doc_a"].to_pylist())
+        part_ids.update(t["doc_b"].to_pylist())
+    part_ref = ray.put(part_ids)
+
+    def shingle_rows(t: pa.Table) -> pa.Table:
+        pids = ray.get(part_ref)
+        ids, blobs = [], []
+        for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            if did not in pids:
+                continue
+            ids.append(did)
+            blobs.append(_shingles(s).tobytes())
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "sh": pa.array(blobs, pa.binary())})
+
+    sets_ds = docs(sf_dir).map_batches(shingle_rows, batch_format="pyarrow")
+
+    def _emit(a, b, ra, rb, out_s, out_d):
+        va = np.frombuffer(ra, dtype=np.int64)
+        vb = np.frombuffer(rb, dtype=np.int64)
+        inter = np.intersect1d(va, vb, assume_unique=True).size
+        if va.size and inter * 10_000 >= thr_bp * va.size:
+            out_s.append(a)
+            out_d.append(b)
+        if vb.size and inter * 10_000 >= thr_bp * vb.size:
+            out_s.append(b)
+            out_d.append(a)
+
+    if len(part_ids) <= 500_000:
+        blobs: dict[int, bytes] = {}
+        for t in sets_ds.iter_batches(batch_format="pyarrow"):
+            blobs.update(zip(t["doc_id"].to_pylist(), t["sh"].to_pylist()))
+        blob_ref = ray.put(blobs)
+
+        def verify_bc(t: pa.Table) -> pa.Table:
+            bl = ray.get(blob_ref)
+            out_s, out_d = [], []
+            for a, b in zip(t["doc_a"].to_pylist(), t["doc_b"].to_pylist()):
+                _emit(a, b, bl[a], bl[b], out_s, out_d)
+            return pa.table({"src": pa.array(out_s, pa.int64()),
+                             "dst": pa.array(out_d, pa.int64())})
+
+        return cand_ds.map_batches(verify_bc, batch_format="pyarrow")
+
+    sets_m = sets_ds.materialize()
+    j1 = hash_join(cand_ds,
+                   sets_m.map_batches(_side(["doc_a", "sh_a"]),
+                                      batch_format="pyarrow"),
+                   on="doc_a", left_cols={"doc_b": pa.int64()},
+                   right_cols={"sh_a": pa.binary()})
+    joined = hash_join(j1,
+                       sets_m.map_batches(_side(["doc_b", "sh_b"]),
+                                          batch_format="pyarrow"),
+                       on="doc_b",
+                       left_cols={"doc_a": pa.int64(), "sh_a": pa.binary()},
+                       right_cols={"sh_b": pa.binary()})
+
+    def verify(t: pa.Table) -> pa.Table:
+        out_s, out_d = [], []
+        for a, b, ra, rb in zip(t["doc_a"].to_pylist(),
+                                t["doc_b"].to_pylist(),
+                                t["sh_a"].to_pylist(),
+                                t["sh_b"].to_pylist()):
+            _emit(a, b, ra, rb, out_s, out_d)
+        return pa.table({"src": pa.array(out_s, pa.int64()),
+                         "dst": pa.array(out_d, pa.int64())})
+
+    return joined.map_batches(verify, batch_format="pyarrow")

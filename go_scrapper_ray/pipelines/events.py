@@ -1079,3 +1079,42 @@ def window_users(sf_dir: str, window_s: int = 3600) -> rd.Dataset:
 
     return hash_agg(dedup.map_batches(cnt, batch_format="pyarrow"),
                     "window_id", [("p_u", "sum", "users")], small=True)
+
+
+def sliding_users(sf_dir: str, window_s: int = 3600,
+                  slide_s: int = 900) -> rd.Dataset:
+    """(window_id, users): EXACT distinct users per SLIDING window of
+    ``window_s`` seconds advancing every ``slide_s`` (window_s must be a
+    multiple of slide_s; window_id · slide_s is the window start).  Each
+    event multi-emits into its window_s/slide_s covering windows inside
+    the batch combiner, then the :func:`window_users` two-hash_agg shape
+    (global pair dedup → per-window count) finishes it — id pairs only on
+    the exchanges, amplification bounded by the overlap factor."""
+    from ..agg import hash_agg
+
+    if window_s % slide_s:
+        raise ValueError("window_s must be a multiple of slide_s")
+    k = window_s // slide_s
+
+    def pairs(t: pa.Table) -> pa.Table:
+        import numpy as np
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        slot = us // (1_000_000 * slide_s)
+        w = np.concatenate([slot - j for j in range(k)])
+        u = np.tile(t["user_id"].to_numpy(zero_copy_only=False), k)
+        return (pa.table({"window_id": pa.array(w, pa.int64()),
+                          "user_id": pa.array(u, pa.int64())})
+                .group_by(["window_id", "user_id"]).aggregate([]))
+
+    dedup = hash_agg(
+        _events(sf_dir, ("ts", "user_id")).map_batches(
+            pairs, batch_format="pyarrow"),
+        ["window_id", "user_id"], [(None, "count_all", "c")])
+
+    def cnt(t: pa.Table) -> pa.Table:
+        g = t.select(["window_id"]).group_by("window_id").aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["window_id", "p_u"])
+
+    return hash_agg(dedup.map_batches(cnt, batch_format="pyarrow"),
+                    "window_id", [("p_u", "sum", "users")], small=True)
