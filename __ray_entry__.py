@@ -363,10 +363,12 @@ def _langid_sql() -> str:
         SELECT doc_id, CASE {' '.join(cases)} END AS pred_lang FROM c"""
 
 
-def _minhash_sql(threshold: float = 0.8) -> str:
-    """DuckDB twin of dedup.minhash_dups: md5-upper64>>3 shingle hashes,
-    (a*h+b) mod 2**64 permutations (HUGEINT), 16 bands x 4 rows candidate
-    join, exact-Jaccard verify — same pipeline end-to-end."""
+def _lsh_cte_prefix() -> str:
+    """Shared CTE block of the minhash/containment twins: md5-upper64>>3
+    shingle hashes, (a*h+b) mod 2**64 permutations (HUGEINT), 16 bands x 4
+    rows candidate join, per-doc shingle counts and per-pair exact
+    intersections.  ONE definition so the engine's LSH construction is
+    tested by a single SQL text regardless of which verify tail follows."""
     from go_scrapper_ray.pipelines.dedup import _minhash_params
 
     a, b, _ = _minhash_params(42)
@@ -397,49 +399,27 @@ def _minhash_sql(threshold: float = 0.8) -> str:
         inter AS (SELECT c.da, c.db, count(*) AS i
                   FROM cand c JOIN sh a ON a.doc_id = c.da
                   JOIN sh b ON b.doc_id = c.db AND a.h = b.h
-                  GROUP BY c.da, c.db)
+                  GROUP BY c.da, c.db)"""
+
+
+def _minhash_sql(threshold: float = 0.8) -> str:
+    """DuckDB twin of dedup.minhash_dups: the shared LSH CTE prefix plus
+    the exact-Jaccard verify tail (pairs with zero intersection cannot
+    pass a positive threshold, so the inner join to ``inter`` is exact)."""
+    return _lsh_cte_prefix() + f"""
         SELECT da AS doc_a, db AS doc_b FROM inter
         JOIN n na ON na.doc_id = da JOIN n nb ON nb.doc_id = db
         WHERE i * 1.0 / (na.cnt + nb.cnt - i) >= {threshold}"""
 
 
 def _containment_sql(threshold: float = 0.9) -> str:
-    """DuckDB twin of dedup.containment_dups: same shingle/band/candidate
-    CTEs as _minhash_sql, but DIRECTED containment verify in integer basis
-    points (i * 10^4 >= thr_bp * |S(src)|) — both directions of each
-    unordered candidate."""
-    from go_scrapper_ray.pipelines.dedup import _minhash_params
-
+    """DuckDB twin of dedup.containment_dups: the shared LSH CTE prefix
+    plus the DIRECTED containment verify tail in integer basis points
+    (i * 10^4 >= thr_bp * |S(src)|) — both directions of each unordered
+    candidate (zero-intersection candidates coalesce to i=0 so candidates
+    below threshold still evaluate, matching the engine's per-pair loop)."""
     thr_bp = int(round(threshold * 10_000))
-    a, b, _ = _minhash_params(42)
-    vals = ", ".join(f"({i}, {int(a[i])}, {int(b[i])})" for i in range(len(a)))
-    return f"""
-        WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks
-                   FROM documents),
-        pos AS (
-          SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
-          FROM d WHERE len(toks) >= 3),
-        gr AS (
-          SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS gram FROM pos
-          UNION ALL
-          SELECT doc_id, array_to_string(toks, ' ') AS gram FROM d
-          WHERE len(toks) BETWEEN 1 AND 2),
-        sh AS (SELECT DISTINCT doc_id, (md5_number_upper(gram) >> 3) AS h FROM gr),
-        perms AS (SELECT * FROM (VALUES {vals}) p(perm, a, b)),
-        mh AS (SELECT doc_id, perm,
-                 min(((a::HUGEINT * h::HUGEINT + b::HUGEINT)
-                      % 18446744073709551616)::UBIGINT) AS v
-               FROM sh CROSS JOIN perms GROUP BY doc_id, perm),
-        bands AS (SELECT doc_id, perm // 4 AS band, list(v ORDER BY perm) AS sig
-                  FROM mh GROUP BY doc_id, perm // 4),
-        cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-                 FROM bands a JOIN bands b
-                 ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-        n AS (SELECT doc_id, count(*) AS cnt FROM sh GROUP BY doc_id),
-        inter AS (SELECT c.da, c.db, count(*) AS i
-                  FROM cand c JOIN sh a ON a.doc_id = c.da
-                  JOIN sh b ON b.doc_id = c.db AND a.h = b.h
-                  GROUP BY c.da, c.db),
+    return _lsh_cte_prefix() + f""",
         scored AS (SELECT c.da, c.db, coalesce(i.i, 0) AS i
                    FROM cand c LEFT JOIN inter i
                    ON i.da = c.da AND i.db = c.db)

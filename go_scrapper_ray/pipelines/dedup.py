@@ -159,7 +159,17 @@ def _shingles(text: str, k: int = 3) -> np.ndarray:
 
 
 def minhash_signatures(sf_dir: str, seed: int = 42) -> rd.Dataset:
-    """(doc_id, band_id, band_hash): LSH band rows, exploded."""
+    """(doc_id, band_id, band_hash): LSH band rows, exploded.  Memoized
+    per (corpus, seed): minhash_dups AND containment_dups candidates
+    both read this one materialized table."""
+    key = _memo_key("minhash_signatures", sf_dir, seed)
+    hit = _MEMO.get(key)
+    if hit is None:
+        hit = _MEMO[key] = _minhash_signatures_impl(sf_dir, seed).materialize()
+    return hit
+
+
+def _minhash_signatures_impl(sf_dir: str, seed: int = 42) -> rd.Dataset:
     a, b, M = _minhash_params(seed)
 
     def kernel(t: pa.Table) -> pa.Table:
@@ -194,73 +204,52 @@ def jaccard(t1: str, t2: str, k: int = 3) -> float:
     return len(s1 & s2) / u if u else 0.0
 
 
-def minhash_dups(sf_dir: str, threshold: float = 0.8,
-                 seed: int = 42) -> rd.Dataset:
-    """Memoized wrapper over :func:`_minhash_dups_impl` — the verified
-    pair table materializes once per (corpus, threshold, seed) per
-    process and is shared by every downstream consumer (dup_clusters /
-    clean_corpus / dedup_keep_best / gate_funnel)."""
-    key = _memo_key("minhash_dups", sf_dir, threshold, seed)
-    hit = _MEMO.get(key)
-    if hit is None:
-        hit = _MEMO[key] = _minhash_dups_impl(
-            sf_dir, threshold, seed).materialize()
-    return hit
-
-
-def _minhash_dups_impl(sf_dir: str, threshold: float = 0.8,
-                       seed: int = 42) -> rd.Dataset:
-    """(doc_a, doc_b) near-dup pairs: LSH band candidates verified by exact
-    shingle-Jaccard ≥ threshold.
-
-    Scale shape (no whole-corpus broadcast anywhere):
-      1. band rows NATIVE-HASH-SELF-JOIN on (band_id, band_hash) → candidate
-         pairs with doc_a < doc_b (a per-band-group map_groups measured 28 s
-         of pure per-group Python overhead on ~50k tiny groups — the join is
-         the vectorized router);
-      2. distinct candidates (output-sized, one Arrow group_by block);
-      3. verify, semi-join-reduced: only docs PARTICIPATING in candidates
-         get shingled (filtered doc scan) — when that set fits a broadcast
-         budget the blobs broadcast and candidates verify in one vectorized
-         map; past the gate, candidates NATIVE-HASH-JOIN
-         (doc_id-co-partitioned) against the streaming shingle-blob table
-         once per side — the same join-verify pattern as
-         ngram_jaccard_dups' at-scale path.  Broadcast state is bounded by
-         the candidate set (output-sized), never the corpus."""
+def _band_candidates(sf_dir: str, seed: int) -> rd.Dataset:
+    """Distinct LSH candidate pairs (doc_a < doc_b) from the memoized band
+    table: band rows native-hash-self-join on (band_id, band_hash) — a
+    per-band-group map_groups measured 28 s of pure per-group Python
+    overhead on ~50k tiny groups; the join is the vectorized router.  The
+    pair set is output-sized, so the distinct is one Arrow group_by in a
+    single block."""
     import pyarrow.compute as pc
 
-    sig = minhash_signatures(sf_dir, seed).materialize()
+    from ..agg import hash_join
+
+    sig = minhash_signatures(sf_dir, seed)
 
     def _side(cols):
         def k(t: pa.Table) -> pa.Table:
             return t.rename_columns(cols)
         return k
 
-    sig_a = sig.map_batches(_side(["doc_a", "band_id", "band_hash"]),
-                            batch_format="pyarrow")
-    sig_b = sig.map_batches(_side(["doc_b", "band_id", "band_hash"]),
-                            batch_format="pyarrow")
+    cand = (hash_join(
+        sig.map_batches(_side(["doc_a", "band_id", "band_hash"]),
+                        batch_format="pyarrow"),
+        sig.map_batches(_side(["doc_b", "band_id", "band_hash"]),
+                        batch_format="pyarrow"),
+        on=["band_id", "band_hash"],
+        left_cols={"doc_a": pa.int64()}, right_cols={"doc_b": pa.int64()})
+        .map_batches(lambda t: t.filter(
+            pc.less(t["doc_a"], t["doc_b"])).select(["doc_a", "doc_b"]),
+            batch_format="pyarrow"))
 
-    def ordered(t: pa.Table) -> pa.Table:
-        keep = pc.less(t["doc_a"], t["doc_b"])
-        t = t.filter(keep)
-        return t.select(["doc_a", "doc_b"])
-
-    from ..agg import hash_join
-    cand = (hash_join(sig_a, sig_b, on=["band_id", "band_hash"],
-                      left_cols={"doc_a": pa.int64()},
-                      right_cols={"doc_b": pa.int64()})
-            .map_batches(ordered, batch_format="pyarrow"))
-
-    # candidate pairs can surface from several bands → distinct.  The pair
-    # set is output-sized (small), so dedup is one Arrow group_by in a
-    # single block — NOT a per-pair map_groups (measured pathological)
     def distinct(t: pa.Table) -> pa.Table:
         return t.group_by(["doc_a", "doc_b"]).aggregate([])
 
-    cand_ds = (cand.repartition(1)
-               .map_batches(distinct, batch_format="pyarrow").materialize())
+    return (cand.repartition(1)
+            .map_batches(distinct, batch_format="pyarrow").materialize())
 
+
+def _candidate_blob_pairs(cand_ds: rd.Dataset, sf_dir: str) -> rd.Dataset:
+    """(doc_a, doc_b, sh_a, sh_b): each candidate pair with both sides'
+    sorted-unique shingle blobs attached — the shared verify input of
+    minhash_dups and containment_dups.  Semi-join-reduced: only docs
+    PARTICIPATING in candidates get shingled (filtered doc scan).  When
+    the participant set fits a broadcast budget the blobs broadcast and
+    attach in one vectorized map; past the gate, candidates
+    native-hash-join (doc_id-co-partitioned) against the streaming
+    shingle-blob table once per side.  Broadcast state is bounded by the
+    candidate set (output-sized), never the corpus."""
     part_ids: set[int] = set()
     for t in cand_ds.iter_batches(batch_format="pyarrow"):
         part_ids.update(t["doc_a"].to_pylist())
@@ -281,35 +270,27 @@ def _minhash_dups_impl(sf_dir: str, threshold: float = 0.8,
 
     sets_ds = docs(sf_dir).map_batches(shingle_rows, batch_format="pyarrow")
 
-    def _pair_jac(ra: bytes, rb: bytes) -> float:
-        va = np.frombuffer(ra, dtype=np.int64)
-        vb = np.frombuffer(rb, dtype=np.int64)
-        if not len(va) and not len(vb):
-            return 1.0
-        inter = np.intersect1d(va, vb, assume_unique=True).size
-        union = va.size + vb.size - inter
-        return inter / union if union else 0.0
-
     if len(part_ids) <= 500_000:
-        # candidate-bounded broadcast of participant blobs; one verify map
+        # candidate-bounded broadcast of participant blobs; one attach map
         blobs: dict[int, bytes] = {}
         for t in sets_ds.iter_batches(batch_format="pyarrow"):
             blobs.update(zip(t["doc_id"].to_pylist(), t["sh"].to_pylist()))
         blob_ref = ray.put(blobs)
 
-        def verify_bc(t: pa.Table) -> pa.Table:
+        def attach(t: pa.Table) -> pa.Table:
             bl = ray.get(blob_ref)
-            out_a, out_b = [], []
-            for a, b in zip(t["doc_a"].to_pylist(), t["doc_b"].to_pylist()):
-                if _pair_jac(bl[a], bl[b]) >= threshold:
-                    out_a.append(a)
-                    out_b.append(b)
-            return pa.table({"doc_a": pa.array(out_a, pa.int64()),
-                             "doc_b": pa.array(out_b, pa.int64())})
+            return pa.table({
+                "doc_a": t["doc_a"], "doc_b": t["doc_b"],
+                "sh_a": pa.array([bl[a] for a in t["doc_a"].to_pylist()],
+                                 pa.binary()),
+                "sh_b": pa.array([bl[b] for b in t["doc_b"].to_pylist()],
+                                 pa.binary())})
 
-        return cand_ds.map_batches(verify_bc, batch_format="pyarrow")
+        return cand_ds.map_batches(attach, batch_format="pyarrow")
 
-    # at-scale fallback: doc_id-co-partitioned joins, per-pair verify
+    # at-scale fallback: doc_id-co-partitioned joins
+    from ..agg import hash_join
+
     sets_m = sets_ds.materialize()
 
     def rename(cols):
@@ -317,19 +298,46 @@ def _minhash_dups_impl(sf_dir: str, threshold: float = 0.8,
             return t.rename_columns(cols)
         return k
 
-    from ..agg import hash_join
     j1 = hash_join(cand_ds,
                    sets_m.map_batches(rename(["doc_a", "sh_a"]),
                                       batch_format="pyarrow"),
                    on="doc_a", left_cols={"doc_b": pa.int64()},
                    right_cols={"sh_a": pa.binary()})
-    joined = hash_join(j1,
-                       sets_m.map_batches(rename(["doc_b", "sh_b"]),
-                                          batch_format="pyarrow"),
-                       on="doc_b",
-                       left_cols={"doc_a": pa.int64(),
-                                  "sh_a": pa.binary()},
-                       right_cols={"sh_b": pa.binary()})
+    return hash_join(j1,
+                     sets_m.map_batches(rename(["doc_b", "sh_b"]),
+                                        batch_format="pyarrow"),
+                     on="doc_b",
+                     left_cols={"doc_a": pa.int64(), "sh_a": pa.binary()},
+                     right_cols={"sh_b": pa.binary()})
+
+
+def minhash_dups(sf_dir: str, threshold: float = 0.8,
+                 seed: int = 42) -> rd.Dataset:
+    """Memoized wrapper over :func:`_minhash_dups_impl` — the verified
+    pair table materializes once per (corpus, threshold, seed) per
+    process and is shared by every downstream consumer (dup_clusters /
+    clean_corpus / dedup_keep_best / gate_funnel)."""
+    key = _memo_key("minhash_dups", sf_dir, threshold, seed)
+    hit = _MEMO.get(key)
+    if hit is None:
+        hit = _MEMO[key] = _minhash_dups_impl(
+            sf_dir, threshold, seed).materialize()
+    return hit
+
+
+def _minhash_dups_impl(sf_dir: str, threshold: float = 0.8,
+                       seed: int = 42) -> rd.Dataset:
+    """(doc_a, doc_b) near-dup pairs: LSH band candidates verified by exact
+    shingle-Jaccard ≥ threshold.
+
+    Scale shape (no whole-corpus broadcast anywhere): candidates from
+    :func:`_band_candidates` (band self-join, output-sized distinct),
+    blob delivery from :func:`_candidate_blob_pairs` (candidate-bounded
+    broadcast / co-partitioned-join gate), then one vectorized verify
+    map over (pair, blob, blob) rows."""
+
+    cand_ds = _band_candidates(sf_dir, seed)
+    pairs = _candidate_blob_pairs(cand_ds, sf_dir)
 
     def verify(t: pa.Table) -> pa.Table:
         out_a, out_b = [], []
@@ -337,13 +345,21 @@ def _minhash_dups_impl(sf_dir: str, threshold: float = 0.8,
                                 t["doc_b"].to_pylist(),
                                 t["sh_a"].to_pylist(),
                                 t["sh_b"].to_pylist()):
-            if _pair_jac(ra, rb) >= threshold:
+            va = np.frombuffer(ra, dtype=np.int64)
+            vb = np.frombuffer(rb, dtype=np.int64)
+            if not len(va) and not len(vb):
+                jac = 1.0
+            else:
+                inter = np.intersect1d(va, vb, assume_unique=True).size
+                union = va.size + vb.size - inter
+                jac = inter / union if union else 0.0
+            if jac >= threshold:
                 out_a.append(a)
                 out_b.append(b)
         return pa.table({"doc_a": pa.array(out_a, pa.int64()),
                          "doc_b": pa.array(out_b, pa.int64())})
 
-    return joined.map_batches(verify, batch_format="pyarrow")
+    return pairs.map_batches(verify, batch_format="pyarrow")
 
 
 def dup_clusters(sf_dir: str, threshold: float = 0.8,
@@ -1316,100 +1332,15 @@ def containment_dups(sf_dir: str, threshold: float = 0.9,
     points (inter · 10⁴ ≥ thr_bp · |S(src)|) so engine and DuckDB twin
     agree exactly with no float threshold edge.
 
-    Scale shape: candidates come from the SAME memoized LSH band table
-    as minhash_dups (band self-join, output-sized distinct) — recall for
-    extreme size ratios is the known minhash-LSH limit and is documented
-    rather than patched; each unordered candidate then verifies BOTH
-    directions from one shingle-blob pair row.  Blob delivery reuses the
-    candidate-bounded broadcast / co-partitioned-join gate of
-    minhash_dups."""
-    import pyarrow.compute as pc
-
-    from ..agg import hash_join
-
+    Scale shape: shares :func:`_band_candidates` (the memoized LSH band
+    table + self-join) and :func:`_candidate_blob_pairs` (gated
+    broadcast/join blob delivery) with minhash_dups — only the verify
+    tail differs, testing BOTH directions of each unordered candidate.
+    Recall for extreme size ratios is the known minhash-LSH limit and is
+    documented rather than patched."""
     thr_bp = int(round(threshold * 10_000))
-    sig = minhash_signatures(sf_dir, seed).materialize()
-
-    def _side(cols):
-        def k(t: pa.Table) -> pa.Table:
-            return t.rename_columns(cols)
-        return k
-
-    cand = (hash_join(
-        sig.map_batches(_side(["doc_a", "band_id", "band_hash"]),
-                        batch_format="pyarrow"),
-        sig.map_batches(_side(["doc_b", "band_id", "band_hash"]),
-                        batch_format="pyarrow"),
-        on=["band_id", "band_hash"],
-        left_cols={"doc_a": pa.int64()}, right_cols={"doc_b": pa.int64()})
-        .map_batches(lambda t: t.filter(
-            pc.less(t["doc_a"], t["doc_b"])).select(["doc_a", "doc_b"]),
-            batch_format="pyarrow"))
-    cand_ds = hash_agg(cand, ["doc_a", "doc_b"],
-                       [(None, "count_all", "c")]).map_batches(
-        lambda t: t.select(["doc_a", "doc_b"]),
-        batch_format="pyarrow").materialize()
-
-    # candidate-participant semi-join set (output-sized — the documented
-    # minhash_dups pattern)
-    part_ids: set[int] = set()
-    for t in cand_ds.iter_batches(batch_format="pyarrow"):
-        part_ids.update(t["doc_a"].to_pylist())
-        part_ids.update(t["doc_b"].to_pylist())
-    part_ref = ray.put(part_ids)
-
-    def shingle_rows(t: pa.Table) -> pa.Table:
-        pids = ray.get(part_ref)
-        ids, blobs = [], []
-        for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            if did not in pids:
-                continue
-            ids.append(did)
-            blobs.append(_shingles(s).tobytes())
-        return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                         "sh": pa.array(blobs, pa.binary())})
-
-    sets_ds = docs(sf_dir).map_batches(shingle_rows, batch_format="pyarrow")
-
-    def _emit(a, b, ra, rb, out_s, out_d):
-        va = np.frombuffer(ra, dtype=np.int64)
-        vb = np.frombuffer(rb, dtype=np.int64)
-        inter = np.intersect1d(va, vb, assume_unique=True).size
-        if va.size and inter * 10_000 >= thr_bp * va.size:
-            out_s.append(a)
-            out_d.append(b)
-        if vb.size and inter * 10_000 >= thr_bp * vb.size:
-            out_s.append(b)
-            out_d.append(a)
-
-    if len(part_ids) <= 500_000:
-        blobs: dict[int, bytes] = {}
-        for t in sets_ds.iter_batches(batch_format="pyarrow"):
-            blobs.update(zip(t["doc_id"].to_pylist(), t["sh"].to_pylist()))
-        blob_ref = ray.put(blobs)
-
-        def verify_bc(t: pa.Table) -> pa.Table:
-            bl = ray.get(blob_ref)
-            out_s, out_d = [], []
-            for a, b in zip(t["doc_a"].to_pylist(), t["doc_b"].to_pylist()):
-                _emit(a, b, bl[a], bl[b], out_s, out_d)
-            return pa.table({"src": pa.array(out_s, pa.int64()),
-                             "dst": pa.array(out_d, pa.int64())})
-
-        return cand_ds.map_batches(verify_bc, batch_format="pyarrow")
-
-    sets_m = sets_ds.materialize()
-    j1 = hash_join(cand_ds,
-                   sets_m.map_batches(_side(["doc_a", "sh_a"]),
-                                      batch_format="pyarrow"),
-                   on="doc_a", left_cols={"doc_b": pa.int64()},
-                   right_cols={"sh_a": pa.binary()})
-    joined = hash_join(j1,
-                       sets_m.map_batches(_side(["doc_b", "sh_b"]),
-                                          batch_format="pyarrow"),
-                       on="doc_b",
-                       left_cols={"doc_a": pa.int64(), "sh_a": pa.binary()},
-                       right_cols={"sh_b": pa.binary()})
+    cand_ds = _band_candidates(sf_dir, seed)
+    pairs = _candidate_blob_pairs(cand_ds, sf_dir)
 
     def verify(t: pa.Table) -> pa.Table:
         out_s, out_d = [], []
@@ -1417,8 +1348,16 @@ def containment_dups(sf_dir: str, threshold: float = 0.9,
                                 t["doc_b"].to_pylist(),
                                 t["sh_a"].to_pylist(),
                                 t["sh_b"].to_pylist()):
-            _emit(a, b, ra, rb, out_s, out_d)
+            va = np.frombuffer(ra, dtype=np.int64)
+            vb = np.frombuffer(rb, dtype=np.int64)
+            inter = np.intersect1d(va, vb, assume_unique=True).size
+            if va.size and inter * 10_000 >= thr_bp * va.size:
+                out_s.append(a)
+                out_d.append(b)
+            if vb.size and inter * 10_000 >= thr_bp * vb.size:
+                out_s.append(b)
+                out_d.append(a)
         return pa.table({"src": pa.array(out_s, pa.int64()),
                          "dst": pa.array(out_d, pa.int64())})
 
-    return joined.map_batches(verify, batch_format="pyarrow")
+    return pairs.map_batches(verify, batch_format="pyarrow")

@@ -1051,34 +1051,12 @@ def window_top_user(sf_dir: str, window_s: int = 3600,
 
 
 def window_users(sf_dir: str, window_s: int = 3600) -> rd.Dataset:
-    """(window_id, users): EXACT distinct users per tumbling window.
-
-    Two chained hash_aggs: the first globally dedupes (window_id, user_id)
-    pairs (batch-local group_by is the combiner, the exchange carries one
-    id-pair row per distinct pair), the second counts rows per window.
-    This is the exact companion to the register-merge estimate in
-    :func:`dau_hll` — same shape a training-data pipeline uses for
-    per-shard contributor counts.  Both exchanges move ids only."""
-    from ..agg import hash_agg
-
-    def pairs(t: pa.Table) -> pa.Table:
-        epoch_us = t["ts"].cast(pa.int64())
-        w = pc.cast(pc.divide(epoch_us, 1_000_000 * window_s), pa.int64())
-        return (pa.table({"window_id": w, "user_id": t["user_id"]})
-                .group_by(["window_id", "user_id"]).aggregate([]))
-
-    dedup = hash_agg(
-        _events(sf_dir, ("ts", "user_id")).map_batches(
-            pairs, batch_format="pyarrow"),
-        ["window_id", "user_id"], [(None, "count_all", "c")])
-
-    def cnt(t: pa.Table) -> pa.Table:
-        g = t.select(["window_id"]).group_by("window_id").aggregate(
-            [([], "count_all")])
-        return g.rename_columns(["window_id", "p_u"])
-
-    return hash_agg(dedup.map_batches(cnt, batch_format="pyarrow"),
-                    "window_id", [("p_u", "sum", "users")], small=True)
+    """(window_id, users): EXACT distinct users per tumbling window — the
+    slide_s == window_s (k=1, no multi-emit) case of
+    :func:`sliding_users`; see it for the two-hash_agg distinct shape.
+    The exact companion to the register-merge estimate in
+    :func:`dau_hll`."""
+    return sliding_users(sf_dir, window_s, window_s)
 
 
 def sliding_users(sf_dir: str, window_s: int = 3600,
@@ -1087,9 +1065,10 @@ def sliding_users(sf_dir: str, window_s: int = 3600,
     ``window_s`` seconds advancing every ``slide_s`` (window_s must be a
     multiple of slide_s; window_id · slide_s is the window start).  Each
     event multi-emits into its window_s/slide_s covering windows inside
-    the batch combiner, then the :func:`window_users` two-hash_agg shape
-    (global pair dedup → per-window count) finishes it — id pairs only on
-    the exchanges, amplification bounded by the overlap factor."""
+    the batch combiner, then two chained hash_aggs finish it: the first
+    globally dedupes (window_id, user_id) pairs, the second counts rows
+    per window — id pairs only on the exchanges, amplification bounded
+    by the overlap factor.  :func:`window_users` is the k=1 case."""
     from ..agg import hash_agg
 
     if window_s % slide_s:
@@ -1098,8 +1077,11 @@ def sliding_users(sf_dir: str, window_s: int = 3600,
 
     def pairs(t: pa.Table) -> pa.Table:
         import numpy as np
-        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        slot = us // (1_000_000 * slide_s)
+        # TRUNCATING division (pc.divide), matching the DuckDB twin's
+        # integer `//` and every sibling window query — numpy's floor
+        # division diverges for pre-epoch timestamps
+        slot = pc.divide(t["ts"].cast(pa.int64()),
+                         1_000_000 * slide_s).to_numpy(zero_copy_only=False)
         w = np.concatenate([slot - j for j in range(k)])
         u = np.tile(t["user_id"].to_numpy(zero_copy_only=False), k)
         return (pa.table({"window_id": pa.array(w, pa.int64()),

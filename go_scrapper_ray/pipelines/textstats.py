@@ -967,9 +967,13 @@ def topic_clusters(sf_dir: str, n_clusters: int = 8, dim: int = 64,
 def bigram_surprisal(sf_dir: str) -> rd.Dataset:
     """(doc_id, n_bigrams, surprisal): integer CONDITIONAL bigram
     surprisal — Σ over adjacent token pairs (w1,w2) of
-    floor(log2(c1(w1) / c2(w1,w2))), where c2 is the corpus bigram count
-    and c1 = Σ_w2 c2(w1,·) the prefix occurrence count, i.e. the exact
-    -floor(log2 P(w2|w1)) of the corpus MLE bigram LM.  This is the
+    floor(log2(c1(w1) // c2(w1,w2))), where c2 is the corpus bigram count
+    and c1 = Σ_w2 c2(w1,·) the prefix occurrence count — the floor-log2
+    bits of the INTEGER quotient of the inverse conditional probability
+    1/P(w2|w1) under the corpus MLE bigram LM (one bit below
+    ceil(log2(1/P)) when c1/c2 is not a power of two; the twin computes
+    the identical quantity, so the choice is a fixed convention, not an
+    approximation error).  This is the
     KenLM-style perplexity gate of CCNet/Gopher in exact arithmetic:
     formulaic boilerplate (high-probability continuations) scores ~0,
     incoherent token soup scores high.  floor(log2) is bit_length-1 of
