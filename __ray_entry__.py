@@ -187,7 +187,7 @@ def _q_canonicalize(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """112 of 117 queries carry a DuckDB oracle (oracle_sql()).  The only 5
+    """113 of 118 queries carry a DuckDB oracle (oracle_sql()).  The only 5
     without one are the crawl_* outputs, which are structurally non-SQL:
     they encode an iterative politeness-scheduled frontier loop (ordering
     depends on the virtual clock + retry state machine) and are checked
@@ -288,6 +288,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_users": events.window_users,   # exact distinct/window
         "docs_bigram_surprisal": textstats.bigram_surprisal,  # bigram LM gate
         "docs_hapax_rate": textstats.hapax_rate,      # corpus-hapax share
+        "docs_keywords": textstats.keywords,          # per-doc tf-idf top-k
         "docs_containment_dups": dedup.containment_dups,  # directed containment
         "events_sliding_users": events.sliding_users,  # sliding exact distinct
         "returned_items": relational.returned_item_revenue,
@@ -1791,6 +1792,23 @@ def oracle_sql() -> dict[str, str]:
                    FROM edges e JOIN a2f ON a2f.node = e.dst GROUP BY e.src)
             SELECT nd.node, a2f.a AS auth, h2.h AS hub
             FROM nodes nd JOIN a2f USING(node) JOIN h2 USING(node)""",
+        "docs_keywords": r"""
+            WITH toks AS (SELECT doc_id,
+                            regexp_extract_all(lower(text), '\S+') AS ws
+                          FROM documents),
+            occ AS (SELECT doc_id, unnest(ws) AS token FROM toks),
+            tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf
+                   FROM occ GROUP BY ALL),
+            dfreq AS (SELECT token, count(*)::BIGINT AS df
+                      FROM tf GROUP BY token),
+            nd AS (SELECT count(*)::BIGINT AS c FROM documents),
+            sc AS (SELECT doc_id, token, tf,
+                     (tf * (length(bin((SELECT c FROM nd) // df)) - 1))::BIGINT
+                       AS score
+                   FROM tf JOIN dfreq USING(token)),
+            r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY score DESC, token) AS rn FROM sc)
+            SELECT doc_id, token, tf, score FROM r WHERE rn <= 3""",
         "docs_containment_dups": _containment_sql(
             _sig_default(dedup.containment_dups, "threshold")),
         "events_sliding_users": """

@@ -1069,23 +1069,8 @@ def hapax_rate(sf_dir: str) -> rd.Dataset:
 
     from ..agg import hash_agg, hash_join
 
-    src = docs(sf_dir)
-
-    def tf_rows(t: pa.Table) -> pa.Table:
-        ids, toks, tfs = [], [], []
-        for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            ws = s.lower().split()
-            if not ws:
-                continue
-            for w, n in Counter(ws).items():
-                ids.append(did)
-                toks.append(w)
-                tfs.append(n)
-        return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                         "token": pa.array(toks, pa.string()),
-                         "tf": pa.array(tfs, pa.int64())})
-
-    occ = src.map_batches(tf_rows, batch_format="pyarrow").materialize()
+    occ = docs(sf_dir).map_batches(
+        _tf_rows, batch_format="pyarrow").materialize()
 
     dfreq = hash_agg(occ.map_batches(
         lambda t: t.select(["token"]).group_by("token")
@@ -1121,3 +1106,89 @@ def hapax_rate(sf_dir: str) -> rd.Dataset:
             "doc_id": t["doc_id"], "n_tokens": t["n_tokens"],
             "hapax": pc.coalesce(t["hapax"], pa.scalar(0, pa.int64()))}),
         batch_format="pyarrow")
+
+
+def _tf_rows(t: pa.Table) -> pa.Table:
+    """(doc_id, token, tf) occurrence rows — the shared tokenize+count
+    combiner of hapax_rate and keywords (lower().split(), the corpus-wide
+    whitespace token convention)."""
+    from collections import Counter
+
+    ids, toks, tfs = [], [], []
+    for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        ws = s.lower().split()
+        if not ws:
+            continue
+        for w, n in Counter(ws).items():
+            ids.append(did)
+            toks.append(w)
+            tfs.append(n)
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "token": pa.array(toks, pa.string()),
+                     "tf": pa.array(tfs, pa.int64())})
+
+
+def keywords(sf_dir: str, k: int = 3) -> rd.Dataset:
+    """(doc_id, token, tf, score): the top-``k`` tf-idf keywords of every
+    document with INTEGER scores — score = tf · floor(log2(N_docs // df)),
+    the same bit_length-1 idf convention as :func:`surprisal`, ordered by
+    (score desc, token asc) with deterministic ties.  The per-doc keyword
+    metadata extraction step of a corpus indexing pipeline.
+
+    Scale shape: occurrence rows hash_join the distributed df table
+    co-partitioned on token (text never shuffles), then ONE doc_id
+    repartition (the hash_agg _addpart/groupby("__part") shape) where a
+    vectorized run-length head keeps k rows per doc — no per-doc Python,
+    no global sort."""
+    from ..agg import hash_join, partition_ids
+
+    occ = docs(sf_dir).map_batches(_tf_rows, batch_format="pyarrow")         .materialize()
+    n_docs = docs(sf_dir, columns=("doc_id",)).count()
+
+    dfreq = hash_agg(occ.map_batches(
+        lambda t: t.select(["token"]).group_by("token")
+        .aggregate([([], "count_all")]).rename_columns(["token", "p"]),
+        batch_format="pyarrow"), "token", [("p", "sum", "df")])
+
+    j = hash_join(occ, dfreq, on="token",
+                  left_cols={"doc_id": pa.int64(), "tf": pa.int64()},
+                  right_cols={"df": pa.int64()})
+
+    def score(t: pa.Table) -> pa.Table:
+        df = t["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        q = n_docs // df
+        bits = np.zeros(len(q), dtype=np.int64)
+        v = q.copy()
+        while (v > 1).any():
+            m = v > 1
+            bits[m] += 1
+            v[m] >>= 1
+        return pa.table({"doc_id": t["doc_id"], "token": t["token"],
+                         "tf": t["tf"],
+                         "score": pa.array(bits * tf, pa.int64())})
+
+    P = 32
+
+    def addpart(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("__part", pa.array([], pa.int32()))
+        return t.append_column(
+            "__part", pa.array(partition_ids(t, ["doc_id"], P)))
+
+    def head_per_doc(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__part"])
+        order = pc.sort_indices(g, sort_keys=[
+            ("doc_id", "ascending"), ("score", "descending"),
+            ("token", "ascending")])
+        g = g.take(order)
+        dids = g["doc_id"].to_numpy(zero_copy_only=False)
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(dids)) + 1))
+        counts = np.diff(np.concatenate((starts, [len(dids)])))
+        in_run = np.arange(len(dids)) - np.repeat(starts, counts)
+        return g.filter(pa.array(in_run < k))
+
+    return (j.map_batches(score, batch_format="pyarrow")
+             .map_batches(addpart, batch_format="pyarrow")
+             .groupby("__part")
+             .map_groups(head_per_doc, batch_format="pyarrow"))
