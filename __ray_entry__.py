@@ -187,7 +187,7 @@ def _q_canonicalize(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """113 of 118 queries carry a DuckDB oracle (oracle_sql()).  The only 5
+    """114 of 119 queries carry a DuckDB oracle (oracle_sql()).  The only 5
     without one are the crawl_* outputs, which are structurally non-SQL:
     they encode an iterative politeness-scheduled frontier loop (ordering
     depends on the virtual clock + retry state machine) and are checked
@@ -290,6 +290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_hapax_rate": textstats.hapax_rate,      # corpus-hapax share
         "docs_keywords": textstats.keywords,          # per-doc tf-idf top-k
         "docs_containment_dups": dedup.containment_dups,  # directed containment
+        "docs_dup_rate_by_source": dedup.dup_rate_by_source,  # per-domain audit
         "events_sliding_users": events.sliding_users,  # sliding exact distinct
         "returned_items": relational.returned_item_revenue,
         "large_orders": relational.large_volume_orders,
@@ -1792,6 +1793,15 @@ def oracle_sql() -> dict[str, str]:
                    FROM edges e JOIN a2f ON a2f.node = e.dst GROUP BY e.src)
             SELECT nd.node, a2f.a AS auth, h2.h AS hub
             FROM nodes nd JOIN a2f USING(node) JOIN h2 USING(node)""",
+        "docs_dup_rate_by_source": """
+            WITH h AS (SELECT doc_id, source, md5(text) AS text_hash
+                       FROM documents),
+            w AS (SELECT text_hash, min(doc_id) AS winner
+                  FROM h GROUP BY text_hash)
+            SELECT source, count(*)::BIGINT AS n_docs,
+                   sum(CASE WHEN doc_id != winner THEN 1 ELSE 0
+                       END)::BIGINT AS n_dups
+            FROM h JOIN w USING(text_hash) GROUP BY source""",
         "docs_keywords": r"""
             WITH toks AS (SELECT doc_id,
                             regexp_extract_all(lower(text), '\S+') AS ws

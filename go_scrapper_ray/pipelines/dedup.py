@@ -1361,3 +1361,79 @@ def containment_dups(sf_dir: str, threshold: float = 0.9,
                          "dst": pa.array(out_d, pa.int64())})
 
     return pairs.map_batches(verify, batch_format="pyarrow")
+
+
+def dup_rate_by_source(sf_dir: str) -> rd.Dataset:
+    """(source, n_docs, n_dups): per-SOURCE exact-duplicate accounting —
+    how many of each domain's documents lose the min-doc_id exact-text
+    dedup (the :func:`exact_dedup` winner rule).  The per-domain
+    duplication audit a corpus run reports next to
+    :func:`textstats.source_rollup` (which domains re-serve content and
+    how much removal each will see).
+
+    Scale shape: one streaming pass emits (text_hash, doc_id, source)
+    combiner rows; a hash_agg on text_hash computes the winner (min
+    doc_id) AND total copies per hash; losers-per-source then need the
+    source of every NON-winner doc — instead of re-joining docs, the
+    combiner ships per-(hash, source) partial counts + per-(hash, source)
+    min doc_id, so the per-hash group can attribute its (copies − 1)
+    losers to sources exactly, all in id/hash-sized rows (text never
+    shuffles)."""
+    from ..agg import hash_agg
+
+    def rows(t: pa.Table) -> pa.Table:
+        fps = [hashlib.md5(s.encode("utf-8")).hexdigest()
+               for s in t["text"].to_pylist()]
+        tmp = pa.table({"text_hash": pa.array(fps, pa.string()),
+                        "source": t["source"], "doc_id": t["doc_id"]})
+        g = tmp.group_by(["text_hash", "source"]).aggregate(
+            [("doc_id", "count"), ("doc_id", "min")])
+        return g.rename_columns(["text_hash", "source", "p_n", "p_min"])
+
+    per_hs = hash_agg(
+        docs(sf_dir, columns=("doc_id", "text", "source")).map_batches(
+            rows, batch_format="pyarrow"),
+        ["text_hash", "source"],
+        [("p_n", "sum", "n"), ("p_min", "min", "mn")])
+
+    # per (hash, source): n copies, min doc_id.  The hash's winner is the
+    # global min over its sources; every other copy is a dup.  One more
+    # exchange keyed on text_hash groups the source rows of each hash.
+    def attribute(t: pa.Table) -> pa.Table:
+        import numpy as np
+        order = pc.sort_indices(t, sort_keys=[
+            ("text_hash", "ascending"), ("mn", "ascending"),
+            ("source", "ascending")])
+        t = t.take(order)
+        h = t["text_hash"].to_numpy(zero_copy_only=False)
+        starts = np.concatenate(
+            ([0], np.flatnonzero(h[1:] != h[:-1]) + 1))
+        counts = np.diff(np.concatenate((starts, [len(h)])))
+        first = np.zeros(len(h), bool)
+        first[starts] = True  # the winner's (hash, source) row
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dups = np.where(first, n - 1, n)
+        g = (pa.table({"source": t["source"],
+                       "p_docs": pa.array(n, pa.int64()),
+                       "p_dups": pa.array(dups, pa.int64())})
+             .group_by("source").aggregate(
+                 [("p_docs", "sum"), ("p_dups", "sum")]))
+        return g.rename_columns(["source", "p_docs", "p_dups"])
+
+    from ..agg import partition_ids
+
+    P = 32
+
+    def addpart(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("__part", pa.array([], pa.int32()))
+        return t.append_column(
+            "__part", pa.array(partition_ids(t, ["text_hash"], P)))
+
+    parts = (per_hs.map_batches(addpart, batch_format="pyarrow")
+             .groupby("__part")
+             .map_groups(lambda g: attribute(g.drop_columns(["__part"])),
+                         batch_format="pyarrow"))
+    return hash_agg(parts, "source",
+                    [("p_docs", "sum", "n_docs"),
+                     ("p_dups", "sum", "n_dups")], small=True)
