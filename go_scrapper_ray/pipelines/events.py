@@ -1100,3 +1100,4 @@ def sliding_users(sf_dir: str, window_s: int = 3600,
 
     return hash_agg(dedup.map_batches(cnt, batch_format="pyarrow"),
                     "window_id", [("p_u", "sum", "users")], small=True)
+
