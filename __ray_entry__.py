@@ -1084,7 +1084,8 @@ def _ivf_kmeans_ctes(n_lists: int, sample_stride: int, iters: int,
         t{t} AS MATERIALIZED (SELECT c, sum(sd * sd) AS tt FROM m{t} GROUP BY c),
         c{t} AS MATERIALIZED (SELECT cp.c, cp.d,
                    CASE WHEN t.tt IS NULL OR t.tt = 0 THEN cp.val
-                        ELSE CAST(round((1000.0 * m.sd) / sqrt(t.tt))
+                        ELSE CAST(round((1000.0 * COALESCE(m.sd, 0))
+                                        / sqrt(t.tt))
                                   AS BIGINT) END AS val
                  FROM c{p} cp
                  LEFT JOIN m{t} m ON m.c = cp.c AND m.d = cp.d
@@ -1143,7 +1144,8 @@ def _topic_clusters_sql(n_clusters: int, dim: int, iters: int) -> str:
         t{t} AS MATERIALIZED (SELECT c, sum(sd * sd) AS tt FROM m{t} GROUP BY c),
         c{t} AS MATERIALIZED (SELECT cp.c, cp.d,
                    CASE WHEN t.tt IS NULL OR t.tt = 0 THEN cp.val
-                        ELSE CAST(round((1000.0 * m.sd) / sqrt(t.tt))
+                        ELSE CAST(round((1000.0 * COALESCE(m.sd, 0))
+                                        / sqrt(t.tt))
                                   AS BIGINT) END AS val
                  FROM c{p} cp
                  LEFT JOIN m{t} m ON m.c = cp.c AND m.d = cp.d

@@ -27,6 +27,8 @@ import pyarrow as pa
 
 import ray.data as rd
 
+from ..agg import hash_agg, hash_join
+
 from .dedup import dup_clusters
 from .textstats import TOKEN_RE, LangIdStage, docs
 
@@ -59,7 +61,6 @@ class CleanFilter:
 
 def _exact_winners(kept: rd.Dataset) -> rd.Dataset:
     """min doc_id per exact text hash among the filtered survivors."""
-    from ..agg import hash_agg
 
     return (hash_agg(kept, "text_hash", [("doc_id", "min", "doc_id")])
             .select_columns(["doc_id"]))
@@ -71,7 +72,6 @@ def _cluster_winners(exact_winners: rd.Dataset, sf_dir: str,
     cluster — the shared tail of clean_corpus and gate_funnel (one
     definition, so the funnel cannot drift from the pipeline it
     observes)."""
-    from ..agg import hash_agg, hash_join
 
     clusters = dup_clusters(sf_dir, threshold)  # (doc_id, cluster_id)
     joined = hash_join(exact_winners, clusters, on="doc_id",
@@ -153,7 +153,6 @@ def dedup_keep_best(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
     (cluster x block) — the text never crosses an exchange."""
     import pandas as pd
 
-    from ..agg import hash_join
     from .dedup import dup_clusters
     from .textstats import token_count
 
@@ -367,7 +366,6 @@ def gate_funnel(sf_dir: str, min_words: int = 20, lang: str = "en",
         batch_format="pyarrow", concurrency=(1, 8),
         num_cpus=1).materialize()
 
-    from ..agg import hash_agg
 
     def sentinel_rows(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

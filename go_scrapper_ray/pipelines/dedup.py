@@ -29,7 +29,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
-from ..agg import hash_agg, partition_ids
+from ..agg import hash_agg, hash_join, partition_ids, topk
+
 from ..joins import join_agg_args
 from .textstats import docs
 
@@ -73,7 +74,6 @@ def exact_dedup(sf_dir: str) -> rd.Dataset:
         return pa.table({"text_hash": pa.array(fps, pa.string()),
                          "doc_id": t["doc_id"]})
 
-    from ..agg import hash_agg
     return hash_agg(docs(sf_dir).map_batches(hash_batch,
                                              batch_format="pyarrow"),
                     "text_hash", [("doc_id", "min", "doc_id")])
@@ -112,7 +112,6 @@ def chunk_dedup(sf_dir: str, chunk_tokens: int = 10) -> rd.Dataset:
             "p_n": pa.array([v[1] for v in agg.values()], pa.int64()),
         })
 
-    from ..agg import hash_agg
     return hash_agg(docs(sf_dir).map_batches(hash_chunks,
                                              batch_format="pyarrow"),
                     "chunk_hash", [("p_doc", "min", "doc_id"),
@@ -213,7 +212,6 @@ def _band_candidates(sf_dir: str, seed: int) -> rd.Dataset:
     single block."""
     import pyarrow.compute as pc
 
-    from ..agg import hash_join
 
     sig = minhash_signatures(sf_dir, seed)
 
@@ -289,7 +287,6 @@ def _candidate_blob_pairs(cand_ds: rd.Dataset, sf_dir: str) -> rd.Dataset:
         return cand_ds.map_batches(attach, batch_format="pyarrow")
 
     # at-scale fallback: doc_id-co-partitioned joins
-    from ..agg import hash_join
 
     sets_m = sets_ds.materialize()
 
@@ -634,7 +631,6 @@ def ngram_jaccard_dups(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
         # words — popcount(AND) then vectorizes across whole pair batches
         n_words = (len(rank) + 63) // 64
     else:
-        from ..agg import topk
         rare = topk(df_ds, [("n", "ascending"), ("token", "ascending")],
                     RARE_V)
         vocab = []
@@ -1379,7 +1375,6 @@ def dup_rate_by_source(sf_dir: str) -> rd.Dataset:
     min doc_id, so the per-hash group can attribute its (copies − 1)
     losers to sources exactly, all in id/hash-sized rows (text never
     shuffles)."""
-    from ..agg import hash_agg
 
     def rows(t: pa.Table) -> pa.Table:
         fps = [hashlib.md5(s.encode("utf-8")).hexdigest()
@@ -1420,7 +1415,6 @@ def dup_rate_by_source(sf_dir: str) -> rd.Dataset:
                  [("p_docs", "sum"), ("p_dups", "sum")]))
         return g.rename_columns(["source", "p_docs", "p_dups"])
 
-    from ..agg import partition_ids
 
     P = 32
 

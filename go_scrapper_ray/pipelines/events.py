@@ -15,7 +15,8 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 
-from ..agg import hash_agg, partition_ids
+from ..agg import hash_agg, hash_join, partition_ids, topk
+
 
 
 def _events(sf_dir: str, columns) -> rd.Dataset:
@@ -149,7 +150,6 @@ def top_users_by_value(sf_dir: str, n: int = 10) -> rd.Dataset:
     agg = hash_agg(_events(sf_dir, ("user_id", "value"))
                    .map_batches(partial, batch_format="pyarrow"),
                    "user_id", [("p_cents", "sum", "cents")])
-    from ..agg import topk
     return topk(agg, [("cents", "descending"), ("user_id", "ascending")], n)
 
 def funnel(sf_dir: str) -> rd.Dataset:
@@ -588,7 +588,6 @@ def hourly_profile(sf_dir: str) -> rd.Dataset:
     daily_active: shuffle (a) groupby(hour, user) over per-batch-deduped
     pairs, shuffle (b) groupby(hour) over 24 keys."""
     HOUR_US = 3_600_000_000
-    from ..agg import hash_agg
 
     def prep(t: pa.Table) -> pa.Table:
         h = pc.divide(t["ts"].cast(pa.int64()), HOUR_US)
@@ -622,7 +621,6 @@ def median_value(sf_dir: str) -> rd.Dataset:
     rows, never events), and shuffle (b) groups that table by type — the
     per-group kernel walks the cumulative histogram, O(distinct cents),
     bounded by the value domain (price-like values), not by event count."""
-    from ..agg import hash_agg
 
     def prep(t: pa.Table) -> pa.Table:
         cents = pc.round(pc.multiply(t["value"], 100),
@@ -662,7 +660,6 @@ def value_percentiles(sf_dir: str) -> rd.Dataset:
     shuffle (b) groups that value-domain-bounded table by type; the
     per-group kernel walks the cumulative histogram once for all four
     ranks — O(distinct cents), never O(events)."""
-    from ..agg import hash_agg
 
     QS = (0.25, 0.5, 0.75, 0.9)
 
@@ -707,7 +704,6 @@ def hopping_counts(sf_dir: str, window_s: int = 3600,
     BEFORE the in-batch combine, so the shuffle still carries
     (type, window)-cardinality partials, never the expanded events."""
     assert window_s % hop_s == 0, "window must be a multiple of hop"
-    from ..agg import hash_agg
 
     fan = window_s // hop_s
     HOP_US = 1_000_000 * hop_s
@@ -996,7 +992,6 @@ def heavy_hitters(sf_dir: str, d: int = 4, w: int = 256,
         return pa.table({"user_id": pa.array(uids, pa.int64()),
                          "n_est": pa.array(est, pa.int64())})
 
-    from ..agg import topk
     return topk(users.select_columns(["user_id"])
                 .map_batches(estimate, batch_format="pyarrow"),
                 [("n_est", "descending"), ("user_id", "ascending")], k)
@@ -1069,7 +1064,6 @@ def sliding_users(sf_dir: str, window_s: int = 3600,
     globally dedupes (window_id, user_id) pairs, the second counts rows
     per window — id pairs only on the exchanges, amplification bounded
     by the overlap factor.  :func:`window_users` is the k=1 case."""
-    from ..agg import hash_agg
 
     if window_s % slide_s:
         raise ValueError("window_s must be a multiple of slide_s")

@@ -15,6 +15,8 @@ import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
+from ..agg import hash_agg, hash_join
+
 SCALE = 1_000_000
 DAMP_NUM, DAMP_DEN = 85, 100
 OUT_DEG = 3
@@ -36,7 +38,6 @@ def pagerank(sf_dir: str, iters: int = 3) -> rd.Dataset:
     all-to-all per iteration, which is the known lower bound for a rank
     sweep.  A zero self-contribution row keeps sink-less nodes present
     without a join against the node list."""
-    from ..agg import hash_agg
 
     n = _n_docs(sf_dir)
     base = SCALE * (DAMP_DEN - DAMP_NUM) // DAMP_DEN
@@ -106,7 +107,6 @@ def hits(sf_dir: str, iters: int = 2) -> rd.Dataset:
     table is forked (hub step + output), so it alone materializes — one
     node-sized int64 checkpoint; everything else is a single streaming
     execution."""
-    from ..agg import hash_agg, hash_join
 
     n = _n_docs(sf_dir)
     try:

@@ -16,7 +16,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
-from ..agg import hash_agg
+from ..agg import hash_agg, hash_join, partition_ids, topk
+
 
 
 def _read(sf_dir: str, table: str, columns: list[str]) -> rd.Dataset:
@@ -66,7 +67,6 @@ def top_suppliers_by_revenue(sf_dir: str, n: int = 10) -> rd.Dataset:
                    .map_batches(partial, batch_format="pyarrow"),
                    "l_suppkey", [("p_cents", "sum", "cents")])
     joined = broadcast_join(agg, sup, "l_suppkey", "s_suppkey", ["s_name"])
-    from ..agg import topk
     return topk(joined.map_batches(
         lambda t: t.select(["s_name", "cents"]), batch_format="pyarrow"),
         [("cents", "descending"), ("s_name", "ascending")], n)
@@ -222,13 +222,11 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING",
                      "o_orderpriority"])
               .map_batches(o_kernel, batch_format="pyarrow"))
 
-    from ..agg import hash_join
     joined = hash_join(rev_per_order, orders, on="l_orderkey",
                        right_on="o_orderkey",
                        left_cols={"revenue_c": pa.int64()},
                        right_cols={"o_orderdate_us": pa.int64(),
                                    "o_orderpriority": pa.string()})
-    from ..agg import topk
     top = topk(joined, [("revenue_c", "descending"),
                         ("l_orderkey", "ascending")], n)
     return top.map_batches(
@@ -416,7 +414,6 @@ def promo_revenue(sf_dir: str) -> rd.Dataset:
 
     part = (_read(sf_dir, "part", ["p_partkey", "p_type"])
             .map_batches(part_proj, batch_format="pyarrow"))
-    from ..agg import hash_join
     joined = hash_join(li, part, on="l_partkey", right_on="p_partkey",
                        left_cols={"ship_month": pa.int64(),
                                   "p_cents": pa.int64()},
@@ -528,7 +525,6 @@ def returned_item_revenue(sf_dir: str, date_from: str = "1996-01-01",
     orders = (_read(sf_dir, "orders",
                     ["o_orderkey", "o_custkey", "o_orderdate"])
               .map_batches(o_kernel, batch_format="pyarrow"))
-    from ..agg import hash_join
     joined = hash_join(rev, orders, on="l_orderkey",
                        right_on="o_orderkey",
                        left_cols={"rev": pa.int64()},
@@ -550,7 +546,6 @@ def returned_item_revenue(sf_dir: str, date_from: str = "1996-01-01",
                            ["c_name", "c_nationkey"])
     named = broadcast_join(named, nation, "c_nationkey", "n_nationkey",
                            ["n_name"])
-    from ..agg import topk
     top = topk(named, [("cents", "descending"),
                        ("o_custkey", "ascending")], n)
     return top.map_batches(
@@ -767,7 +762,6 @@ def volume_shipping(sf_dir: str, nation_a: str = "NATION_3",
 
     orders = (_read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
               .map_batches(o_kernel, batch_format="pyarrow"))
-    from ..agg import hash_join
     joined = hash_join(li, orders, on="l_orderkey",
                        right_on="o_orderkey",
                        left_cols={"s_nat": pa.int32(),
@@ -879,7 +873,6 @@ def market_share(sf_dir: str, region: str = "ASIA",
     orders = (_read(sf_dir, "orders",
                     ["o_orderkey", "o_custkey", "o_orderdate"])
               .map_batches(o_kernel, batch_format="pyarrow"))
-    from ..agg import hash_join
     joined = hash_join(li, orders, on="l_orderkey",
                        right_on="o_orderkey",
                        left_cols={"p_nat": pa.int64(),
@@ -1051,7 +1044,6 @@ def ship_lag_stats(sf_dir: str) -> rd.Dataset:
             "order_day": pc.divide(t["o_orderdate"].cast(pa.int64()),
                                    DAY_US).cast(pa.int64())})
 
-    from ..agg import hash_join
     li = (_read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
           .map_batches(li_proj, batch_format="pyarrow"))
     orders = (_read(sf_dir, "orders",
@@ -1142,7 +1134,6 @@ def order_supplier_diversity(sf_dir: str) -> rd.Dataset:
                      .aggregate([("l_suppkey", "count")]))
         return per_order.rename_columns(["l_orderkey", "n_suppliers"])
 
-    from ..agg import partition_ids
 
     def addpart(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
@@ -1207,7 +1198,6 @@ def waiting_suppliers(sf_dir: str, late_days: int = 90) -> rd.Dataset:
     orders = (_read(sf_dir, "orders",
                     ["o_orderkey", "o_orderstatus", "o_orderdate"])
               .map_batches(o_proj, batch_format="pyarrow"))
-    from ..agg import hash_join
     joined = hash_join(li, orders, on="l_orderkey",
                        right_on="o_orderkey",
                        left_cols={"l_suppkey": pa.int64(),
@@ -1229,7 +1219,6 @@ def waiting_suppliers(sf_dir: str, late_days: int = 90) -> rd.Dataset:
     # style partition pass computes both — no second shuffle.
     # late*suppkey: when exactly one supplier is late on the order,
     # max() of this recovers WHO without joining back to the pairs.
-    from ..agg import partition_ids
 
     def addpart(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
@@ -1289,7 +1278,6 @@ def supplier_profit(sf_dir: str) -> rd.Dataset:
     actor-free co-partitioned hash_join; the final (nation, year) rollup
     has a bounded key domain → sort-free small aggregate."""
     import pyarrow.parquet as pq
-    from ..agg import hash_join
 
     sup = pq.read_table(f"{sf_dir}/supplier.parquet",
                         columns=["s_suppkey", "s_nationkey"])
@@ -1423,7 +1411,6 @@ def local_supplier_volume(sf_dir: str, region: str = "ASIA",
     orders = (_read(sf_dir, "orders",
                     ["o_orderkey", "o_custkey", "o_orderdate"])
               .map_batches(o_kernel, batch_format="pyarrow"))
-    from ..agg import hash_join
     joined = hash_join(li, orders, on="l_orderkey",
                        right_on="o_orderkey",
                        left_cols={"s_nat": pa.int32(),

@@ -22,6 +22,8 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+from ..agg import hash_agg, hash_join
+
 
 
 EMB_DIMS = 64  # fixture embedding width; SQL twins unroll over this
@@ -232,7 +234,13 @@ def _centroid_update(C: np.ndarray, sums: np.ndarray,
     for c in range(len(C)):
         if cnts[c] == 0:
             continue
-        T = int(np.dot(sums[c], sums[c]))            # exact (≤ ~1.6e13)
+        # Σ sum_d² in PYTHON ints: quant-1000 embeddings keep it ≤ ~1.6e13,
+        # but unbounded feature counts (topic_clusters' hashed BoW over a
+        # web corpus) can push a cluster's component sums past the int64
+        # np.dot range — the update runs on the (n_lists × dims) driver
+        # matrix, so arbitrary-precision here is free and the exactness
+        # contract holds at any corpus size
+        T = sum(int(x) * int(x) for x in sums[c])
         if T == 0:
             continue
         v = (1000.0 * sums[c]) / np.sqrt(float(T))
@@ -246,7 +254,11 @@ def _decode_feat(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     blobs = t["q"].to_pylist()
     if not blobs:
-        return ids, np.empty((0, 0), np.int64)
+        # D unknown on an empty batch: 0 rows never reach a matmul with a
+        # (D, k) operand AS LONG AS callers guard on len(ids) — keep the
+        # guard alive by raising loudly instead of returning a (0, 0)
+        # matrix whose Q @ C.T would die with an opaque shape error
+        return ids, None
     D = len(blobs[0]) // 8
     return ids, np.frombuffer(b"".join(blobs), np.int64).reshape(len(ids), D)
 
@@ -278,7 +290,6 @@ def _kmeans_dist_core(feat: rd.Dataset, n_lists: int,
     exchange width each — the classic map-reduce k-means; feature
     vectors never collect anywhere.  Returns (C, (vec_id, list_id))."""
     from .dedup import md5_upper64
-    from ..agg import hash_agg
 
     # ---- init: distributed partial top-k under the (md5, vec_id) order
     def init_partial(t: pa.Table) -> pa.Table:
@@ -302,7 +313,7 @@ def _kmeans_dist_core(feat: rd.Dataset, n_lists: int,
 
     def init_vecs(t: pa.Table) -> pa.Table:
         ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        keep = np.fromiter((int(i) in init_set for i in ids), bool, len(ids))
+        keep = np.isin(ids, init_ids)  # vectorized membership, no row loop
         return t.filter(pa.array(keep))
 
     cvecs: dict[int, bytes] = {}
@@ -319,6 +330,9 @@ def _kmeans_dist_core(feat: rd.Dataset, n_lists: int,
         def sum_partial(t: pa.Table) -> pa.Table:
             CC = ray.get(c_ref)
             _ids, Q = _decode_feat(t)
+            if Q is None:  # empty block: zero contribution
+                z = pa.array([], pa.int64())
+                return pa.table({"c": z, "d": z, "p_sum": z, "p_n": z})
             a = np.argmax(Q @ CC.T, axis=1)  # first max = smallest idx
             sums = np.zeros((n_lists, D), np.int64)
             np.add.at(sums, a, Q)
@@ -350,6 +364,9 @@ def _kmeans_dist_core(feat: rd.Dataset, n_lists: int,
     def assign(t: pa.Table) -> pa.Table:
         CC = ray.get(c_ref)
         ids, Q = _decode_feat(t)
+        if Q is None:  # empty block
+            z = pa.array([], pa.int64())
+            return pa.table({"vec_id": z, "list_id": z})
         return pa.table({
             "vec_id": pa.array(ids, pa.int64()),
             "list_id": pa.array(np.argmax(Q @ CC.T, axis=1).astype(np.int64)),
@@ -476,7 +493,6 @@ def knn_ivf(sf_dir: str, k: int = 5, query_stride: int = 50,
         "qv": pa.array([Q[i].tobytes() for i in range(len(q_ids))
                         for _ in range(n_pr)], pa.binary())})
 
-    from ..agg import hash_join
     joined = hash_join(rd.from_arrow(q_tbl), vec_tbl, on="list_id",
                        left_cols={"query_id": pa.int64(),
                                   "qv": pa.binary()},
@@ -552,7 +568,6 @@ def knn_lsh(sf_dir: str, k: int = 5, query_stride: int = 50,
                       "query_id": pa.array(rows_q, pa.int64()),
                       "qv": pa.array(rows_v, pa.binary())})
 
-    from ..agg import hash_join
     joined = hash_join(rd.from_arrow(q_tbl), vec_tbl,
                        on=["table_id", "code"],
                        left_cols={"query_id": pa.int64(),
@@ -726,7 +741,6 @@ def label_doc_stats(sf_dir: str) -> rd.Dataset:
                            columns=["doc_id", "n_chars"])
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "label"])
-    from ..agg import hash_join
     joined = hash_join(emb, docs, on="vec_id", right_on="doc_id",
                        left_cols={"label": pa.int32()},
                        right_cols={"n_chars": pa.int64()})
@@ -860,7 +874,6 @@ def knn_ivfpq(sf_dir: str, k: int = 5, query_stride: int = 50,
     rerank × queries rows ever touch a raw vector again, through a second
     co-partitioned join.  Broadcast state is the centroid tensor + the
     codebooks + per-query LUTs (all sample/constant-sized)."""
-    from ..agg import hash_join
 
     eff = effective_sample_stride(sf_dir, sample_stride)
     s_ids, S = _query_matrix(sf_dir, eff, normalize=False)

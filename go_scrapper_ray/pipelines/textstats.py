@@ -18,7 +18,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
-from ..agg import hash_agg
+from ..agg import hash_agg, hash_join, partition_ids, topk
+
 
 TOKEN_RE = re.compile(r"\S+")
 PUNCT_RE = re.compile(r"[!-/:-@\[-`{-~]")
@@ -346,7 +347,6 @@ def topk_ngrams(sf_dir: str, k: int = 100) -> rd.Dataset:
         return pa.table({"gram": pa.array(list(c.keys()), pa.string()),
                          "p_n": pa.array(list(c.values()), pa.int64())})
 
-    from ..agg import topk
 
     agg = hash_agg(docs(sf_dir).map_batches(partial,
                                             batch_format="pyarrow"),
@@ -503,7 +503,6 @@ def doc_frequency(sf_dir: str, k: int = 200) -> rd.Dataset:
         return pa.table({"token": pa.array(list(c.keys()), pa.string()),
                          "p_n": pa.array(list(c.values()), pa.int64())})
 
-    from ..agg import topk
 
     agg = hash_agg(docs(sf_dir).map_batches(partial,
                                             batch_format="pyarrow"),
@@ -705,9 +704,8 @@ def oov_rate(sf_dir: str, vocab_size: int = 100) -> rd.Dataset:
     df = hash_agg(docs(sf_dir).map_batches(df_partial,
                                            batch_format="pyarrow"),
                   "token", [("p_df", "sum", "df")])
-    from ..agg import topk as _topk
 
-    top = _topk(df, [("df", "descending"), ("token", "ascending")],
+    top = topk(df, [("df", "descending"), ("token", "ascending")],
                 vocab_size).to_pandas()
     vocab = frozenset(top["token"])
     vocab_ref = ray.put(vocab)
@@ -744,7 +742,6 @@ def surprisal(sf_dir: str) -> rd.Dataset:
     never text."""
     from collections import Counter
 
-    from ..agg import hash_agg, hash_join
 
     def df_partial(t: pa.Table) -> pa.Table:
         c: Counter = Counter()
@@ -845,7 +842,6 @@ def bpe_pair_counts(sf_dir: str, k: int = 50) -> rd.Dataset:
     n-gram twins use."""
     from collections import Counter
 
-    from ..agg import topk
 
     def partial(t: pa.Table) -> pa.Table:
         c: Counter = Counter()
@@ -872,13 +868,30 @@ def length_outliers(sf_dir: str, lo_q: float = 0.25,
     language-stratified length filter of a multilingual corpus pipeline:
     one global threshold over-prunes compact-script languages.
 
-    Scale shape: per-batch (lang, n_tokens) histogram partials → one
-    bounded groupby (languages × distinct lengths ~O(10^5) regardless of
-    corpus size) → the quantile walk runs driver-side on that tiny
-    histogram → thresholds broadcast (language-count-sized) → one
-    streaming flag pass.  No sort, no per-doc shuffle."""
-    hist = (hash_agg(docs(sf_dir, columns=("lang", "text"))
-                     .map_batches(_lang_len_partial, batch_format="pyarrow"),
+    Scale shape: ONE tokenize pass materializes a (doc_id, lang,
+    n_tokens) table (~24 bytes/doc, spillable — the full-text regex scan
+    is the dominant cost and is paid once, not once per consumer);
+    per-batch (lang, n_tokens) histogram partials over it → one bounded
+    groupby (languages × distinct lengths ~O(10^5) regardless of corpus
+    size) → the quantile walk runs driver-side on that tiny histogram →
+    thresholds broadcast (language-count-sized) → one streaming flag
+    pass over the SAME counted table.  No sort, no per-doc shuffle."""
+    counted = docs(sf_dir, columns=("doc_id", "lang", "text")).map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"], "lang": t["lang"],
+            "n_tokens": pa.array([len(TOKEN_RE.findall(s))
+                                  for s in t["text"].to_pylist()],
+                                 pa.int64())}),
+        batch_format="pyarrow").materialize()
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        g = (pa.table({"lang": t["lang"], "n": t["n_tokens"],
+                       "one": pa.array([1] * len(t), pa.int64())})
+             .group_by(["lang", "n"]).aggregate([("one", "sum")]))
+        return g.rename_columns(["lang", "n", "p_cnt"])
+
+    hist = (hash_agg(counted.map_batches(hist_partial,
+                                         batch_format="pyarrow"),
                      ["lang", "n"], [("p_cnt", "sum", "cnt")], small=True)
             .take_all())
     from collections import defaultdict
@@ -902,27 +915,15 @@ def length_outliers(sf_dir: str, lo_q: float = 0.25,
     def flag(t: pa.Table) -> pa.Table:
         m = ray.get(th_ref)
         langs = t["lang"].to_pylist()
-        ns = np.fromiter((len(TOKEN_RE.findall(s))
-                          for s in t["text"].to_pylist()),
-                         dtype=np.int64, count=len(t))
+        ns = t["n_tokens"].to_numpy(zero_copy_only=False)
         lo = np.fromiter((m[lg][0] for lg in langs), np.int64, len(langs))
         hi = np.fromiter((m[lg][1] for lg in langs), np.int64, len(langs))
         return pa.table({"doc_id": t["doc_id"],
                          "lang": t["lang"],
-                         "n_tokens": pa.array(ns),
+                         "n_tokens": t["n_tokens"],
                          "outlier": pa.array((ns < lo) | (ns > hi))})
 
-    return docs(sf_dir, columns=("doc_id", "lang", "text")).map_batches(
-        flag, batch_format="pyarrow")
-
-
-def _lang_len_partial(t: pa.Table) -> pa.Table:
-    n = pa.array([len(TOKEN_RE.findall(s))
-                  for s in t["text"].to_pylist()], pa.int64())
-    g = (pa.table({"lang": t["lang"], "n": n,
-                   "one": pa.array([1] * len(n), pa.int64())})
-         .group_by(["lang", "n"]).aggregate([("one", "sum")]))
-    return g.rename_columns(["lang", "n", "p_cnt"])
+    return counted.map_batches(flag, batch_format="pyarrow")
 
 
 # --------------------------------------------------------- topic clustering
@@ -988,7 +989,6 @@ def bigram_surprisal(sf_dir: str) -> rd.Dataset:
     document text."""
     from collections import Counter
 
-    from ..agg import hash_agg, hash_join
 
     src = docs(sf_dir)
 
@@ -1067,7 +1067,6 @@ def hapax_rate(sf_dir: str) -> rd.Dataset:
     right side is the hapax-sized id table and text never shuffles."""
     from collections import Counter
 
-    from ..agg import hash_agg, hash_join
 
     occ = docs(sf_dir).map_batches(
         _tf_rows, batch_format="pyarrow").materialize()
@@ -1140,7 +1139,6 @@ def keywords(sf_dir: str, k: int = 3) -> rd.Dataset:
     repartition (the hash_agg _addpart/groupby("__part") shape) where a
     vectorized run-length head keeps k rows per doc — no per-doc Python,
     no global sort."""
-    from ..agg import hash_join, partition_ids
 
     occ = docs(sf_dir).map_batches(_tf_rows, batch_format="pyarrow")         .materialize()
     n_docs = docs(sf_dir, columns=("doc_id",)).count()
