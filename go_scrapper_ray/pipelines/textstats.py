@@ -4,7 +4,15 @@ additions a 100 TB webtext pipeline needs on top of the reference's crawl
 
 All stages are ``map_batches`` with vectorized bodies (pyarrow.compute where
 the kernel exists, numpy/pandas otherwise); columns are pruned at the read;
-aggregations pre-combine per batch before any groupby shuffle."""
+aggregations pre-combine per batch before any groupby shuffle.
+
+Tokenization convention (applies to every oracle-twinned text op here and
+in dedup.py): Python ``str.split()`` / ``\S+`` vs DuckDB's RE2 ``\S+``
+agree on ASCII whitespace only — Python treats U+00A0/U+2028/etc. as
+separators, RE2 does not.  The synthetic corpus is ASCII-whitespace, so
+the strict-hash parity holds; a corpus with Unicode whitespace would need
+the twins to spell the separator class explicitly (documented convention,
+not a silent assumption)."""
 
 from __future__ import annotations
 
