@@ -1076,8 +1076,7 @@ def hapax_rate(sf_dir: str) -> rd.Dataset:
     from collections import Counter
 
 
-    occ = docs(sf_dir).map_batches(
-        _tf_rows, batch_format="pyarrow").materialize()
+    occ = _tf_table(sf_dir)
 
     dfreq = hash_agg(occ.map_batches(
         lambda t: t.select(["token"]).group_by("token")
@@ -1115,6 +1114,21 @@ def hapax_rate(sf_dir: str) -> rd.Dataset:
         batch_format="pyarrow")
 
 
+def _tf_table(sf_dir: str) -> rd.Dataset:
+    """Materialized (doc_id, token, tf) occurrence table, memoized per
+    corpus (the dedup._memo_key convention: job id + content signature) —
+    hapax_rate and keywords both consume it, so the tokenize+count scan
+    runs once per suite invocation."""
+    from .dedup import _MEMO, _memo_key
+
+    key = _memo_key("tf_rows", sf_dir)
+    hit = _MEMO.get(key)
+    if hit is None:
+        hit = _MEMO[key] = docs(sf_dir).map_batches(
+            _tf_rows, batch_format="pyarrow").materialize()
+    return hit
+
+
 def _tf_rows(t: pa.Table) -> pa.Table:
     """(doc_id, token, tf) occurrence rows — the shared tokenize+count
     combiner of hapax_rate and keywords (lower().split(), the corpus-wide
@@ -1148,7 +1162,7 @@ def keywords(sf_dir: str, k: int = 3) -> rd.Dataset:
     vectorized run-length head keeps k rows per doc — no per-doc Python,
     no global sort."""
 
-    occ = docs(sf_dir).map_batches(_tf_rows, batch_format="pyarrow")         .materialize()
+    occ = _tf_table(sf_dir)
     n_docs = docs(sf_dir, columns=("doc_id",)).count()
 
     dfreq = hash_agg(occ.map_batches(
