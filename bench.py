@@ -442,18 +442,18 @@ def scaling(n_businesses: int, reps: int = 2, lo: int = 8,
             "urls": b["urls"]}
 
 
-def _conc_worker(idx: int, n_businesses: int) -> None:
+def _conc_worker(idx: int, n_businesses: int, cpus: int = 8) -> None:
     import ray
-    ray.init(num_cpus=8, include_dashboard=False, logging_level="ERROR",
+    ray.init(num_cpus=cpus, include_dashboard=False, logging_level="ERROR",
              object_store_memory=6_000_000_000)
-    ray.get([_noop.remote() for _ in range(16)])
+    ray.get([_noop.remote() for _ in range(cpus * 2)])
     r = run_crawl(n_businesses, f"/tmp/gsr_bench_conc_{idx}")
     ray.shutdown()
     print("RESULT " + json.dumps(r))
 
 
-def _run_concurrent(n_businesses: int, ways: int = 4):
-    """4 concurrent independent 8-CPU crawls (one hardware phase).
+def _run_concurrent(n_businesses: int, ways: int = 4, cpus: int = 8):
+    """``ways`` concurrent independent ``cpus``-CPU crawls (one phase).
 
     Per-core hardware conditions (clock, LLC, allocator pressure) are then
     identical between instances and match a fully-busy box, which is what
@@ -464,6 +464,7 @@ def _run_concurrent(n_businesses: int, ways: int = 4):
     env.pop("RAY_ADDRESS", None)  # each worker owns a private cluster
     procs = [subprocess.Popen(
         [sys.executable, __file__, "--conc-worker", str(i),
+         "--conc-cpus", str(cpus),
          "--businesses", str(n_businesses)],
         stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
         env=env, cwd=str(_REPO)) for i in range(ways)]
@@ -478,7 +479,8 @@ def _run_concurrent(n_businesses: int, ways: int = 4):
     return per, agg
 
 
-def scaling_control_aba(n_businesses: int, ways: int = 4) -> dict:
+def scaling_control_aba(n_businesses: int, ways: int = 4,
+                        hi: int = 32) -> dict:
     """A-B-A protocol: this sandbox VM's delivered per-core speed swings
     30-50% on minute timescales (identical 32-CPU runs measured 17.5-50 s
     same day), so the engine leg and the concurrent-independent leg must
@@ -487,23 +489,23 @@ def scaling_control_aba(n_businesses: int, ways: int = 4) -> dict:
     BEFORE and AFTER them and both are reported — value uses their mean."""
     def engine_leg() -> dict:
         p = subprocess.run(
-            [sys.executable, __file__, "--scaling-worker", "32",
+            [sys.executable, __file__, "--scaling-worker", str(hi),
              "--businesses", str(n_businesses)],
             capture_output=True, text=True, cwd=str(_REPO))
         line = [l for l in p.stdout.splitlines() if l.startswith("RESULT ")]
         if not line:
-            raise RuntimeError("32-cpu engine leg failed")
+            raise RuntimeError(f"{hi}-cpu engine leg failed")
         return json.loads(line[-1][len("RESULT "):])
 
     s0 = _cpu_stat()
     pre = engine_leg()
-    per, agg = _run_concurrent(n_businesses, ways)
+    per, agg = _run_concurrent(n_businesses, ways, hi // ways)
     post = engine_leg()
     steal = _steal_pct(s0, _cpu_stat())
     mean32 = (pre["urls_per_sec"] + post["urls_per_sec"]) / 2
     return {"metric": "crawl_scaling_control_concurrent",
             "value": round(mean32 / agg, 3), "unit": "ratio",
-            "ways": ways,
+            "ways": ways, "engine_cpus": hi,
             "urls_per_sec_concurrent_8cpu": [
                 round(r["urls_per_sec"], 1) for r in per],
             "aggregate_urls_per_sec": round(agg, 1),
@@ -520,6 +522,8 @@ def main() -> None:
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--scaling-control", action="store_true")
     ap.add_argument("--conc-worker", type=int, default=-1)
+    ap.add_argument("--conc-cpus", type=int, default=8)
+    ap.add_argument("--control-hi", type=int, default=32)
     ap.add_argument("--scaling-worker", type=int, default=0)
     ap.add_argument("--businesses", type=int,
                     default=int(os.environ.get("GSR_BENCH_BUSINESSES", "400")))
@@ -542,11 +546,11 @@ def main() -> None:
         _scaling_worker(args.scaling_worker, args.businesses)
         return
     if args.conc_worker >= 0:
-        _conc_worker(args.conc_worker, args.businesses)
+        _conc_worker(args.conc_worker, args.businesses, args.conc_cpus)
         return
     if args.scaling_control:
         n_biz = args.businesses if args.businesses != 400 else 24000
-        print(json.dumps(scaling_control_aba(n_biz)))
+        print(json.dumps(scaling_control_aba(n_biz, hi=args.control_hi)))
         return
     if args.scaling:
         # the scaling criterion needs a workload where round compute
