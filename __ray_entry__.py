@@ -187,7 +187,7 @@ def _q_canonicalize(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """114 of 119 queries carry a DuckDB oracle (oracle_sql()).  The only 5
+    """115 of 120 queries carry a DuckDB oracle (oracle_sql()).  The only 5
     without one are the crawl_* outputs, which are structurally non-SQL:
     they encode an iterative politeness-scheduled frontier loop (ordering
     depends on the virtual clock + retry state machine) and are checked
@@ -281,6 +281,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filtered_revenue": relational.filtered_revenue,
         "promo_revenue": relational.promo_revenue,
         "emb_label_centroids": similarity.label_centroids,
+        "emb_label_separation": similarity.label_separation,  # pair dist audit
         "emb_ivf_assign": similarity.ivf_assign,
         "emb_lsh_code": similarity.lsh_code,
         "docs_pagerank": graph.pagerank,
@@ -1878,6 +1879,21 @@ def oracle_sql() -> dict[str, str]:
             _sig_default(similarity.lsh_code, "dims")),
         "emb_ivf_assign": _ivf_assign_sql(
             _sig_default(similarity.ivf_assign, "n_centroids")),
+        "emb_label_separation": """
+            WITH e AS (SELECT label, generate_subscripts(embedding,1) AS dim,
+                         unnest(list_transform(embedding,
+                           x -> CAST(round(CAST(x AS DOUBLE)*1000)
+                                     AS BIGINT))) AS q
+                       FROM embeddings),
+            c AS (SELECT label::BIGINT AS label, dim::BIGINT AS dim,
+                    sum(q)::BIGINT AS q_sum, count(*)::BIGINT AS n
+                  FROM e GROUP BY 1,2),
+            m AS (SELECT label, dim,
+                    CAST(round(q_sum*1.0/n) AS BIGINT) AS mv FROM c)
+            SELECT a.label AS label_a, b.label AS label_b,
+                   sum((a.mv - b.mv)*(a.mv - b.mv))::BIGINT AS dist2
+            FROM m a JOIN m b ON a.dim = b.dim AND a.label < b.label
+            GROUP BY 1,2""",
         "emb_label_centroids": """
             WITH e AS (SELECT label,
                          generate_subscripts(embedding, 1) AS dim,

@@ -999,3 +999,38 @@ def knn_ivfpq(sf_dir: str, k: int = 5, query_stride: int = 50,
     return (_emb(sf_dir).map_batches(score, batch_format="pyarrow")
             .groupby("query_id")
             .map_groups(merge_group, batch_format="pandas"))
+
+
+def label_separation(sf_dir: str) -> pa.Table:
+    """(label_a, label_b, dist2): exact integer squared distance between
+    every pair of ROUNDED-MEAN label centroids — the cluster-separation
+    audit run after nearest-centroid classification or semantic dedup
+    (well-separated labels justify per-label processing; near-zero
+    distances flag label aliasing).  Means are rounded half-away to
+    1/1000 units (one IEEE double division + the copysign-floor round,
+    both bit-identical between numpy and DuckDB), so dist2 is int64
+    exact at any corpus size.
+
+    Scale shape: consumes :func:`label_centroids` (whose exchange is
+    |labels| × dims partial rows regardless of corpus size); the pair
+    table is computed on the gathered centroid matrix — bounded by the
+    LABEL COUNT, never the corpus — and returned as one Arrow table."""
+    rows = label_centroids(sf_dir).take_all()  # |labels| x dims, bounded
+    labs = sorted({r["label"] for r in rows})
+    dmax = max(r["dim"] for r in rows)
+    li = {l: i for i, l in enumerate(labs)}
+    M = np.zeros((len(labs), dmax), np.int64)
+    for r in rows:
+        v = r["q_sum"] / r["n_vecs"]
+        M[li[r["label"]], r["dim"] - 1] = np.int64(
+            np.copysign(np.floor(abs(v) + 0.5), v))
+    la, lb, d2 = [], [], []
+    for i, a in enumerate(labs):
+        for b in labs[i + 1:]:
+            diff = M[li[a]] - M[li[b]]
+            la.append(a)
+            lb.append(b)
+            d2.append(int(np.dot(diff, diff)))
+    return pa.table({"label_a": pa.array(la, pa.int64()),
+                     "label_b": pa.array(lb, pa.int64()),
+                     "dist2": pa.array(d2, pa.int64())})
