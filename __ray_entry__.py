@@ -1821,7 +1821,8 @@ def oracle_sql() -> dict[str, str]:
                    FROM tf JOIN dfreq USING(token)),
             r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
                     ORDER BY score DESC, token) AS rn FROM sc)
-            SELECT doc_id, token, tf, score FROM r WHERE rn <= 3""",
+            SELECT doc_id, token, tf, score FROM r WHERE rn <= {}""".format(
+            _sig_default(textstats.keywords, "k")),
         "docs_containment_dups": _containment_sql(
             _sig_default(dedup.containment_dups, "threshold")),
         "events_sliding_users": """

@@ -497,6 +497,9 @@ def scaling_control_aba(n_businesses: int, ways: int = 4,
             raise RuntimeError(f"{hi}-cpu engine leg failed")
         return json.loads(line[-1][len("RESULT "):])
 
+    if hi % ways:
+        raise ValueError(f"control hi={hi} must be divisible by ways={ways}: "
+                         "unequal total CPUs would bias the isolation ratio")
     s0 = _cpu_stat()
     pre = engine_leg()
     per, agg = _run_concurrent(n_businesses, ways, hi // ways)
@@ -506,7 +509,8 @@ def scaling_control_aba(n_businesses: int, ways: int = 4,
     return {"metric": "crawl_scaling_control_concurrent",
             "value": round(mean32 / agg, 3), "unit": "ratio",
             "ways": ways, "engine_cpus": hi,
-            "urls_per_sec_concurrent_8cpu": [
+            "worker_cpus": hi // ways,
+            "urls_per_sec_concurrent_each": [
                 round(r["urls_per_sec"], 1) for r in per],
             "aggregate_urls_per_sec": round(agg, 1),
             "engine_32cpu_urls_per_sec_pre": round(pre["urls_per_sec"], 1),

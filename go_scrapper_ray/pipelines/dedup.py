@@ -209,7 +209,12 @@ def _band_candidates(sf_dir: str, seed: int) -> rd.Dataset:
     per-band-group map_groups measured 28 s of pure per-group Python
     overhead on ~50k tiny groups; the join is the vectorized router.  The
     pair set is output-sized, so the distinct is one Arrow group_by in a
-    single block."""
+    single block.  Memoized per (corpus, seed): minhash_dups and
+    containment_dups consume the same candidate table."""
+    key = _memo_key("band_candidates", sf_dir, seed)
+    hit = _MEMO.get(key)
+    if hit is not None:
+        return hit
     import pyarrow.compute as pc
 
 
@@ -234,11 +239,14 @@ def _band_candidates(sf_dir: str, seed: int) -> rd.Dataset:
     def distinct(t: pa.Table) -> pa.Table:
         return t.group_by(["doc_a", "doc_b"]).aggregate([])
 
-    return (cand.repartition(1)
-            .map_batches(distinct, batch_format="pyarrow").materialize())
+    out = (cand.repartition(1)
+           .map_batches(distinct, batch_format="pyarrow").materialize())
+    _MEMO[key] = out
+    return out
 
 
-def _candidate_blob_pairs(cand_ds: rd.Dataset, sf_dir: str) -> rd.Dataset:
+def _candidate_blob_pairs(cand_ds: rd.Dataset, sf_dir: str,
+                          seed: int = 42) -> rd.Dataset:
     """(doc_a, doc_b, sh_a, sh_b): each candidate pair with both sides'
     sorted-unique shingle blobs attached — the shared verify input of
     minhash_dups and containment_dups.  Semi-join-reduced: only docs
@@ -247,7 +255,14 @@ def _candidate_blob_pairs(cand_ds: rd.Dataset, sf_dir: str) -> rd.Dataset:
     attach in one vectorized map; past the gate, candidates
     native-hash-join (doc_id-co-partitioned) against the streaming
     shingle-blob table once per side.  Broadcast state is bounded by the
-    candidate set (output-sized), never the corpus."""
+    candidate set (output-sized), never the corpus.  Memoized per
+    (corpus, seed) alongside the candidate table — the corpus shingle
+    pass runs once even when minhash_dups AND containment_dups execute
+    in the same suite run."""
+    key = _memo_key("candidate_blob_pairs", sf_dir, seed)
+    hit = _MEMO.get(key)
+    if hit is not None:
+        return hit
     part_ids: set[int] = set()
     for t in cand_ds.iter_batches(batch_format="pyarrow"):
         part_ids.update(t["doc_a"].to_pylist())
@@ -284,7 +299,10 @@ def _candidate_blob_pairs(cand_ds: rd.Dataset, sf_dir: str) -> rd.Dataset:
                 "sh_b": pa.array([bl[b] for b in t["doc_b"].to_pylist()],
                                  pa.binary())})
 
-        return cand_ds.map_batches(attach, batch_format="pyarrow")
+        out = cand_ds.map_batches(attach,
+                                  batch_format="pyarrow").materialize()
+        _MEMO[key] = out
+        return out
 
     # at-scale fallback: doc_id-co-partitioned joins
 
@@ -300,12 +318,14 @@ def _candidate_blob_pairs(cand_ds: rd.Dataset, sf_dir: str) -> rd.Dataset:
                                       batch_format="pyarrow"),
                    on="doc_a", left_cols={"doc_b": pa.int64()},
                    right_cols={"sh_a": pa.binary()})
-    return hash_join(j1,
-                     sets_m.map_batches(rename(["doc_b", "sh_b"]),
-                                        batch_format="pyarrow"),
-                     on="doc_b",
-                     left_cols={"doc_a": pa.int64(), "sh_a": pa.binary()},
-                     right_cols={"sh_b": pa.binary()})
+    out = hash_join(j1,
+                    sets_m.map_batches(rename(["doc_b", "sh_b"]),
+                                       batch_format="pyarrow"),
+                    on="doc_b",
+                    left_cols={"doc_a": pa.int64(), "sh_a": pa.binary()},
+                    right_cols={"sh_b": pa.binary()}).materialize()
+    _MEMO[key] = out
+    return out
 
 
 def minhash_dups(sf_dir: str, threshold: float = 0.8,
@@ -334,7 +354,7 @@ def _minhash_dups_impl(sf_dir: str, threshold: float = 0.8,
     map over (pair, blob, blob) rows."""
 
     cand_ds = _band_candidates(sf_dir, seed)
-    pairs = _candidate_blob_pairs(cand_ds, sf_dir)
+    pairs = _candidate_blob_pairs(cand_ds, sf_dir, seed)
 
     def verify(t: pa.Table) -> pa.Table:
         out_a, out_b = [], []
@@ -1336,7 +1356,7 @@ def containment_dups(sf_dir: str, threshold: float = 0.9,
     documented rather than patched."""
     thr_bp = int(round(threshold * 10_000))
     cand_ds = _band_candidates(sf_dir, seed)
-    pairs = _candidate_blob_pairs(cand_ds, sf_dir)
+    pairs = _candidate_blob_pairs(cand_ds, sf_dir, seed)
 
     def verify(t: pa.Table) -> pa.Table:
         out_s, out_d = [], []
@@ -1403,7 +1423,6 @@ def dup_rate_by_source(sf_dir: str) -> rd.Dataset:
         h = t["text_hash"].to_numpy(zero_copy_only=False)
         starts = np.concatenate(
             ([0], np.flatnonzero(h[1:] != h[:-1]) + 1))
-        counts = np.diff(np.concatenate((starts, [len(h)])))
         first = np.zeros(len(h), bool)
         first[starts] = True  # the winner's (hash, source) row
         n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)

@@ -15,7 +15,7 @@ import pyarrow.compute as pc
 
 import ray.data as rd
 
-from ..agg import hash_agg, hash_join, partition_ids, topk
+from ..agg import hash_agg, partition_ids, topk
 
 
 

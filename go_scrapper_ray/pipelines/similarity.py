@@ -249,15 +249,14 @@ def _centroid_update(C: np.ndarray, sums: np.ndarray,
     return newC
 
 
-def _decode_feat(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
-    """(ids, Q) from a featurized batch (vec_id int64, q binary int64[D])."""
+def _decode_feat(t: pa.Table) -> tuple[np.ndarray, "np.ndarray | None"]:
+    """(ids, Q) from a featurized batch (vec_id int64, q binary int64[D]).
+    An EMPTY batch returns (ids, None) — D is unknowable from zero rows,
+    and a (0, 0) placeholder would die later in an opaque matmul shape
+    error; callers MUST guard on None (sum_partial and assign do)."""
     ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     blobs = t["q"].to_pylist()
     if not blobs:
-        # D unknown on an empty batch: 0 rows never reach a matmul with a
-        # (D, k) operand AS LONG AS callers guard on len(ids) — keep the
-        # guard alive by raising loudly instead of returning a (0, 0)
-        # matrix whose Q @ C.T would die with an opaque shape error
         return ids, None
     D = len(blobs[0]) // 8
     return ids, np.frombuffer(b"".join(blobs), np.int64).reshape(len(ids), D)
@@ -309,7 +308,6 @@ def _kmeans_dist_core(feat: rd.Dataset, n_lists: int,
     mh_np = allc["mh"].to_numpy(zero_copy_only=False)
     pick = np.lexsort((ids_np, mh_np))[:n_lists]
     init_ids = ids_np[pick]  # in (md5, id) order — the centroid index order
-    init_set = set(init_ids.tolist())
 
     def init_vecs(t: pa.Table) -> pa.Table:
         ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1007,15 +1005,20 @@ def label_separation(sf_dir: str) -> pa.Table:
     audit run after nearest-centroid classification or semantic dedup
     (well-separated labels justify per-label processing; near-zero
     distances flag label aliasing).  Means are rounded half-away to
-    1/1000 units (one IEEE double division + the copysign-floor round,
-    both bit-identical between numpy and DuckDB), so dist2 is int64
-    exact at any corpus size.
+    1/1000 units (one IEEE double division + a half-away round; numpy's
+    floor(abs+0.5) and DuckDB's round() agree except on quotients equal
+    to the double just below 0.5, which needs n_vecs beyond any physical
+    corpus — the practical contract is bit-identical), so dist2 is
+    int64 exact.
 
     Scale shape: consumes :func:`label_centroids` (whose exchange is
     |labels| × dims partial rows regardless of corpus size); the pair
     table is computed on the gathered centroid matrix — bounded by the
     LABEL COUNT, never the corpus — and returned as one Arrow table."""
     rows = label_centroids(sf_dir).take_all()  # |labels| x dims, bounded
+    if not rows:  # empty embeddings table: no pairs (matches the oracle)
+        z = pa.array([], pa.int64())
+        return pa.table({"label_a": z, "label_b": z, "dist2": z})
     labs = sorted({r["label"] for r in rows})
     dmax = max(r["dim"] for r in rows)
     li = {l: i for i, l in enumerate(labs)}
