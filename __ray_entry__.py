@@ -187,7 +187,7 @@ def _q_canonicalize(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """115 of 120 queries carry a DuckDB oracle (oracle_sql()).  The only 5
+    """116 of 121 queries carry a DuckDB oracle (oracle_sql()).  The only 5
     without one are the crawl_* outputs, which are structurally non-SQL:
     they encode an iterative politeness-scheduled frontier loop (ordering
     depends on the virtual clock + retry state machine) and are checked
@@ -292,6 +292,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_keywords": textstats.keywords,          # per-doc tf-idf top-k
         "docs_containment_dups": dedup.containment_dups,  # directed containment
         "docs_dup_rate_by_source": dedup.dup_rate_by_source,  # per-domain audit
+        "docs_boilerplate": dedup.boilerplate_chunks,  # C4 common-lines table
         "events_sliding_users": events.sliding_users,  # sliding exact distinct
         "returned_items": relational.returned_item_revenue,
         "large_orders": relational.large_volume_orders,
@@ -1796,6 +1797,24 @@ def oracle_sql() -> dict[str, str]:
                    FROM edges e JOIN a2f ON a2f.node = e.dst GROUP BY e.src)
             SELECT nd.node, a2f.a AS auth, h2.h AS hub
             FROM nodes nd JOIN a2f USING(node) JOIN h2 USING(node)""",
+        "docs_boilerplate": r"""
+            WITH d AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+                       FROM documents),
+            pos AS (SELECT doc_id, toks,
+                      unnest(generate_series(0, (len(toks) + 9) // 10 - 1))
+                        AS j
+                    FROM d WHERE len(toks) >= 1),
+            ch AS (SELECT doc_id,
+                     array_to_string(toks[10*j + 1 : 10*j + 10], ' ')
+                       AS chunk
+                   FROM pos),
+            stats AS (SELECT md5(chunk) AS chunk_hash, chunk,
+                        count(DISTINCT doc_id)::BIGINT AS df,
+                        count(*)::BIGINT AS n_copies
+                      FROM ch GROUP BY 1, 2)
+            SELECT chunk_hash, chunk, df, n_copies FROM stats
+            ORDER BY df DESC, chunk_hash LIMIT {}""".format(
+            _sig_default(dedup.boilerplate_chunks, "k")),
         "docs_dup_rate_by_source": """
             WITH h AS (SELECT doc_id, source, md5(text) AS text_hash
                        FROM documents),

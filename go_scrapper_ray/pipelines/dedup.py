@@ -1450,3 +1450,74 @@ def dup_rate_by_source(sf_dir: str) -> rd.Dataset:
     return hash_agg(parts, "source",
                     [("p_docs", "sum", "n_docs"),
                      ("p_dups", "sum", "n_dups")], small=True)
+
+
+def boilerplate_chunks(sf_dir: str, k: int = 20,
+                       chunk_tokens: int = 10) -> pa.Table:
+    """(chunk_hash, chunk, df, n_copies): the ``k`` most document-frequent
+    text chunks WITH their text — the C4 "most common lines" boilerplate
+    table (nav bars, cookie banners, footers) a cleaning pipeline builds
+    before stripping them from every page.  df counts DISTINCT documents,
+    n_copies total occurrences; selection is total-ordered by
+    (df desc, chunk_hash asc) — md5 hex compares identically in Python
+    and DuckDB, so the rank-k boundary is deterministic on both sides.
+
+    Scale shape: pass 1 ships only (16-byte-hash, partial df, partial
+    count) combiner rows (chunk TEXT never shuffles — the chunk_dedup
+    contract) into one hash_agg + an exact per-block top-k reduce; the
+    k winning hashes broadcast (k-sized) and pass 2 recovers each one's
+    text from the streaming corpus scan — driver state is k rows."""
+    def stats_rows(t: pa.Table) -> pa.Table:
+        per: dict[str, list] = {}
+        for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = TOKEN_RE.findall(s)
+            seen_doc: set[str] = set()
+            for j in range(0, len(toks), chunk_tokens):
+                h = hashlib.md5(
+                    " ".join(toks[j:j + chunk_tokens]).encode()).hexdigest()
+                cur = per.get(h)
+                if cur is None:
+                    per[h] = cur = [0, 0]
+                cur[1] += 1
+                if h not in seen_doc:
+                    seen_doc.add(h)
+                    cur[0] += 1
+        return pa.table({
+            "chunk_hash": pa.array(list(per.keys()), pa.string()),
+            "p_df": pa.array([v[0] for v in per.values()], pa.int64()),
+            "p_n": pa.array([v[1] for v in per.values()], pa.int64())})
+
+    stats = hash_agg(docs(sf_dir).map_batches(stats_rows,
+                                              batch_format="pyarrow"),
+                     "chunk_hash", [("p_df", "sum", "df"),
+                                    ("p_n", "sum", "n_copies")])
+    top = pa.concat_tables(list(
+        topk(stats, [("df", "descending"), ("chunk_hash", "ascending")], k)
+        .iter_batches(batch_format="pyarrow")))
+    want = set(top["chunk_hash"].to_pylist())
+    want_ref = ray.put(want)
+
+    def recover(t: pa.Table) -> pa.Table:
+        w = ray.get(want_ref)
+        out: dict[str, str] = {}
+        for s in t["text"].to_pylist():
+            toks = TOKEN_RE.findall(s)
+            for j in range(0, len(toks), chunk_tokens):
+                c = " ".join(toks[j:j + chunk_tokens])
+                h = hashlib.md5(c.encode()).hexdigest()
+                if h in w and h not in out:
+                    out[h] = c
+        return pa.table({"chunk_hash": pa.array(list(out), pa.string()),
+                         "chunk": pa.array(list(out.values()), pa.string())})
+
+    texts: dict[str, str] = {}
+    for t in (docs(sf_dir, columns=("text",))
+              .map_batches(recover, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow")):
+        texts.update(zip(t["chunk_hash"].to_pylist(),
+                         t["chunk"].to_pylist()))
+    return pa.table({
+        "chunk_hash": top["chunk_hash"],
+        "chunk": pa.array([texts[h] for h in top["chunk_hash"].to_pylist()],
+                          pa.string()),
+        "df": top["df"], "n_copies": top["n_copies"]})
