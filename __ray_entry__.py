@@ -187,7 +187,7 @@ def _q_canonicalize(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """116 of 121 queries carry a DuckDB oracle (oracle_sql()).  The only 5
+    """117 of 122 queries carry a DuckDB oracle (oracle_sql()).  The only 5
     without one are the crawl_* outputs, which are structurally non-SQL:
     they encode an iterative politeness-scheduled frontier loop (ordering
     depends on the virtual clock + retry state machine) and are checked
@@ -293,6 +293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_containment_dups": dedup.containment_dups,  # directed containment
         "docs_dup_rate_by_source": dedup.dup_rate_by_source,  # per-domain audit
         "docs_boilerplate": dedup.boilerplate_chunks,  # C4 common-lines table
+        "docs_strip_boilerplate": clean.strip_boilerplate,  # the APPLY step
         "events_sliding_users": events.sliding_users,  # sliding exact distinct
         "returned_items": relational.returned_item_revenue,
         "large_orders": relational.large_volume_orders,
@@ -1797,6 +1798,36 @@ def oracle_sql() -> dict[str, str]:
                    FROM edges e JOIN a2f ON a2f.node = e.dst GROUP BY e.src)
             SELECT nd.node, a2f.a AS auth, h2.h AS hub
             FROM nodes nd JOIN a2f USING(node) JOIN h2 USING(node)""",
+        "docs_strip_boilerplate": r"""
+            WITH d AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+                       FROM documents),
+            pos AS (SELECT doc_id, toks,
+                      unnest(generate_series(0, (len(toks) + 9) // 10 - 1))
+                        AS j
+                    FROM d WHERE len(toks) >= 1),
+            ch AS (SELECT doc_id, j,
+                     array_to_string(toks[10*j + 1 : 10*j + 10], ' ')
+                       AS chunk
+                   FROM pos),
+            stats AS (SELECT md5(chunk) AS chunk_hash, chunk,
+                        count(DISTINCT doc_id)::BIGINT AS df
+                      FROM ch GROUP BY 1, 2),
+            top AS (SELECT chunk_hash FROM stats
+                    ORDER BY df DESC, chunk_hash LIMIT {k}),
+            f AS (SELECT doc_id, j, chunk,
+                    md5(chunk) IN (SELECT chunk_hash FROM top) AS bp
+                  FROM ch),
+            agg AS (SELECT doc_id,
+                      coalesce(string_agg(chunk, ' ' ORDER BY j)
+                               FILTER (WHERE NOT bp), '') AS clean_text,
+                      sum(CASE WHEN bp THEN 1 ELSE 0 END)::BIGINT
+                        AS n_dropped
+                    FROM f GROUP BY doc_id)
+            SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+                   coalesce(a.n_dropped, 0) AS n_dropped
+            FROM (SELECT doc_id FROM documents) d
+            LEFT JOIN agg a USING(doc_id)""".format(
+            k=_sig_default(clean.strip_boilerplate, "k")),
         "docs_boilerplate": r"""
             WITH d AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
                        FROM documents),

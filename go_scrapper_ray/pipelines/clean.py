@@ -25,6 +25,7 @@ from pathlib import Path
 
 import pyarrow as pa
 
+import ray
 import ray.data as rd
 
 from ..agg import hash_agg, hash_join
@@ -389,3 +390,44 @@ def gate_funnel(sf_dir: str, min_words: int = 20, lang: str = "en",
     return pa.table({"gate": pa.array([0, 1, 2, 3, 4], pa.int64()),
                      "n_docs": pa.array([n_all, n_len, n_both, n_exact,
                                          n_final], pa.int64())})
+
+
+def strip_boilerplate(sf_dir: str, k: int = 20,
+                      chunk_tokens: int = 10) -> rd.Dataset:
+    """(doc_id, clean_text, n_dropped): every document with its top-``k``
+    boilerplate chunks removed — the APPLY step of the C4 common-lines
+    pass (:func:`dedup.boilerplate_chunks` is the MINE step).  Chunks are
+    the same fixed ``chunk_tokens``-token windows; surviving chunks
+    rejoin with single spaces in document order, so the output is the
+    deterministic cleaned corpus a tokenizer consumes next.
+
+    Scale shape: the k boilerplate hashes broadcast (k-sized, computed
+    once by the mine step's hash-only exchange); the strip itself is ONE
+    streaming map_batches over the corpus — no shuffle, text leaves a
+    task only as its own cleaned output."""
+    from .dedup import boilerplate_chunks
+
+    bp = set(boilerplate_chunks(sf_dir, k, chunk_tokens)["chunk_hash"]
+             .to_pylist())
+    bp_ref = ray.put(bp)
+
+    def strip(t: pa.Table) -> pa.Table:
+        drop = ray.get(bp_ref)
+        ids, outs, nd = [], [], []
+        for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = TOKEN_RE.findall(s)
+            keep, dropped = [], 0
+            for j in range(0, len(toks), chunk_tokens):
+                c = " ".join(toks[j:j + chunk_tokens])
+                if hashlib.md5(c.encode()).hexdigest() in drop:
+                    dropped += 1
+                else:
+                    keep.append(c)
+            ids.append(did)
+            outs.append(" ".join(keep))
+            nd.append(dropped)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "clean_text": pa.array(outs, pa.string()),
+                         "n_dropped": pa.array(nd, pa.int64())})
+
+    return docs(sf_dir).map_batches(strip, batch_format="pyarrow")
