@@ -103,6 +103,25 @@ def hash_agg(
               .map_groups(_agg, batch_format="pyarrow"))
 
 
+def distinct(ds, keys: Union[str, Sequence[str]], num_partitions: int = 32):
+    """Exact distributed DISTINCT over ``keys`` with no single-block stage.
+
+    Two hops: a per-block pre-distinct combiner (cuts exchange bytes when
+    duplicates cluster inside blocks — e.g. LSH band collisions emit the
+    same pair once per colliding band), then the ``hash_agg`` partitioned
+    group_by, so each key lands in exactly one of ``num_partitions``
+    partitions and no worker ever holds the whole key set.  Replaces the
+    ``repartition(1).group_by`` shape whose ceiling is one worker's heap.
+    """
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+
+    def _pre(b: pa.Table) -> pa.Table:
+        return b.select(key_list).group_by(key_list).aggregate([])
+
+    return hash_agg(ds.map_batches(_pre, batch_format="pyarrow"),
+                    key_list, aggs=[], num_partitions=num_partitions)
+
+
 def topk(ds, sort_keys: Sequence[tuple[str, str]], k: int):
     """Exact distributed top-k WITHOUT a global sort exchange.
 

@@ -29,6 +29,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
+from ..agg import distinct as dist_distinct
 from ..agg import hash_agg, hash_join, partition_ids, topk
 
 from ..joins import join_agg_args
@@ -208,9 +209,13 @@ def _band_candidates(sf_dir: str, seed: int) -> rd.Dataset:
     table: band rows native-hash-self-join on (band_id, band_hash) — a
     per-band-group map_groups measured 28 s of pure per-group Python
     overhead on ~50k tiny groups; the join is the vectorized router.  The
-    pair set is output-sized, so the distinct is one Arrow group_by in a
-    single block.  Memoized per (corpus, seed): minhash_dups and
-    containment_dups consume the same candidate table."""
+    distinct is hash-partitioned on (doc_a, doc_b) (``agg.distinct``:
+    per-block pre-distinct combiner — a pair colliding in b bands emits b
+    copies — then the partitioned group_by), so a boilerplate-heavy
+    corpus whose bands collapse cannot exceed one worker's heap: no
+    single-block stage remains in the dedup path.  Memoized per
+    (corpus, seed): minhash_dups and containment_dups consume the same
+    candidate table."""
     key = _memo_key("band_candidates", sf_dir, seed)
     hit = _MEMO.get(key)
     if hit is not None:
@@ -236,11 +241,7 @@ def _band_candidates(sf_dir: str, seed: int) -> rd.Dataset:
             pc.less(t["doc_a"], t["doc_b"])).select(["doc_a", "doc_b"]),
             batch_format="pyarrow"))
 
-    def distinct(t: pa.Table) -> pa.Table:
-        return t.group_by(["doc_a", "doc_b"]).aggregate([])
-
-    out = (cand.repartition(1)
-           .map_batches(distinct, batch_format="pyarrow").materialize())
+    out = dist_distinct(cand, ["doc_a", "doc_b"]).materialize()
     _MEMO[key] = out
     return out
 
@@ -724,9 +725,6 @@ def ngram_jaccard_dups(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
     _empty_pairs = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
                                  "doc_b": pd.Series([], dtype="int64")})
 
-    def distinct(t: pa.Table) -> pa.Table:
-        return t.group_by(["doc_a", "doc_b"]).aggregate([])
-
     # ---- FAST PATH: when the bitset side table fits a broadcast budget
     # (masks are V/8 bytes per doc — 8 B/doc on small vocabs), fuse candidate
     # generation + verification inside the prefix-token groups: triu pair
@@ -850,9 +848,8 @@ def ngram_jaccard_dups(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
         true_pairs = prefix_ds.groupby("token").map_groups(
             fused_group, batch_format="pandas")
         # a pair can qualify via several shared prefix tokens → distinct
-        # (output-sized, single-block Arrow group_by)
-        return true_pairs.repartition(1).map_batches(distinct,
-                                                     batch_format="pyarrow")
+        # (hash-partitioned on the pair key, no single-block ceiling)
+        return dist_distinct(true_pairs, ["doc_a", "doc_b"])
 
     # ---- AT-SCALE PATH: length-filtered candidate pairs per prefix-token
     # group, distinct, then doc_id-co-partitioned hash joins against the
@@ -869,10 +866,10 @@ def ngram_jaccard_dups(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
         keep = lo >= threshold * hi
         return pd.DataFrame({"doc_a": ids[i[keep]], "doc_b": ids[j[keep]]})
 
-    cand_ds = (prefix_ds.groupby("token")
-               .map_groups(cand_group, batch_format="pandas")
-               .repartition(1)
-               .map_batches(distinct, batch_format="pyarrow").materialize())
+    cand_ds = dist_distinct(
+        prefix_ds.groupby("token").map_groups(cand_group,
+                                              batch_format="pandas"),
+        ["doc_a", "doc_b"]).materialize()
 
     def rename(cols):
         def k(t: pa.Table) -> pa.Table:
@@ -1007,11 +1004,10 @@ def simhash_dups(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
             .groupby("__part")
             .map_groups(verify_partition, batch_format="pandas"))
 
-    def distinct(t: pa.Table) -> pa.Table:
-        return t.group_by(["doc_a", "doc_b"]).aggregate([("hamming", "min")]) \
-            .rename_columns(["doc_a", "doc_b", "hamming"])
-
-    return cand.repartition(1).map_batches(distinct, batch_format="pyarrow")
+    # a pair can collide in several chunks → keep min hamming per pair,
+    # hash-partitioned on the pair key (no single-block ceiling)
+    return hash_agg(cand, ["doc_a", "doc_b"],
+                    [("hamming", "min", "hamming")])
 
 
 # --------------------------------------------------------- embedding near-dup
