@@ -179,18 +179,17 @@ def main(argv: list[str] | None = None) -> int:
             out = Path(args.output)
             out.parent.mkdir(parents=True, exist_ok=True)
             with open(out, "a", encoding="utf-8") as f:  # O_APPEND parity
-                for sid in seed_ids:
-                    for line in res.jsonl_lines(sid):
-                        f.write(line + "\n")
+                # one streaming ordered pass regardless of seed count
+                for line in res.iter_jsonl(seed_ids):
+                    f.write(line + "\n")
             meta = json.loads((Path(workdir) / "meta.json").read_text())
             chosen = (meta[str(seed_ids[0])] if len(seed_ids) == 1
                       else meta)
             Path(meta_path_for(str(out))).write_text(
                 json.dumps(chosen, indent=1))
         else:
-            for sid in seed_ids:
-                for line in res.jsonl_lines(sid):
-                    print(line)
+            for line in res.iter_jsonl(seed_ids):
+                print(line)
         return 0
     finally:
         if owns_ray:

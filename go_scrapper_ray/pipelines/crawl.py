@@ -1132,6 +1132,7 @@ class CrawlResult:
         self._seen: list | None = None
         self._edges_table = edges_table
         self._edges: list | None = None
+        self._lines_by_seed: dict[int, list[str]] | None = None
 
     @property
     def records(self):
@@ -1163,11 +1164,44 @@ class CrawlResult:
         return self._edges
 
     def jsonl_lines(self, seed_id: int) -> list[str]:
+        """Per-seed lines for the parity suites (small corpora): ONE
+        dataset materialization total — the first call groups all lines
+        by seed and later calls serve from the cache, so an N-seed loop
+        costs one pass, not N.  Large-output consumers (the CLI) use the
+        streaming ``iter_jsonl`` instead."""
         if self.records is None:
             return []
-        rows = [r for r in self.records.take_all() if r["seed_id"] == seed_id]
-        rows.sort(key=lambda r: r["rank"])
-        return [r["jsonl"] for r in rows]
+        if self._lines_by_seed is None:
+            by_seed: dict[int, list] = defaultdict(list)
+            for t in self.records.iter_batches(batch_format="pyarrow"):
+                for sid, rank, line in zip(t["seed_id"].to_pylist(),
+                                           t["rank"].to_pylist(),
+                                           t["jsonl"].to_pylist()):
+                    by_seed[sid].append((rank, line))
+            self._lines_by_seed = {
+                sid: [ln for _, ln in sorted(rows)]
+                for sid, rows in by_seed.items()}
+        return self._lines_by_seed.get(seed_id, [])
+
+    def iter_jsonl(self, seed_order: list[int]):
+        """Stream every record's JSONL line in CLI output order (seeds in
+        ``seed_order``, rank within seed) WITHOUT materializing the
+        dataset on the driver: one distributed sort on (seed position,
+        rank) — the per-shard finalize parquet is already (seed, rank)-
+        sorted, so the sort's sample pass sees pre-ordered runs — then
+        ``iter_batches`` pulls blocks in order with backpressure."""
+        if self.records is None:
+            return
+        pos = {sid: i for i, sid in enumerate(seed_order)}
+
+        def addpos(t: pa.Table) -> pa.Table:
+            return t.append_column("__pos", pa.array(
+                [pos[s] for s in t["seed_id"].to_pylist()], pa.int64()))
+
+        ds = (self.records.map_batches(addpos, batch_format="pyarrow")
+              .sort(["__pos", "rank"]))
+        for t in ds.iter_batches(batch_format="pyarrow"):
+            yield from t["jsonl"].to_pylist()
 
     def visit_log(self) -> list[dict]:
         d = self.workdir / "visit_log"
