@@ -988,18 +988,75 @@ def bigram_surprisal(sf_dir: str) -> rd.Dataset:
     incoherent token soup scores high.  floor(log2) is bit_length-1 of
     the integer quotient — bit-reproducible at any width (no float log).
 
-    Scale shape — fully distributed, no broadcast, no driver state:
-    (doc_id,w1,w2,tf) occurrence rows hash_agg to the bigram count table
-    (combiner-before-shuffle), its partials re-aggregate by w1 for the
-    prefix table, and two co-partitioned hash_joins (on (w1,w2), then on
-    w1) put both counts on each occurrence row before one hash_agg by
-    doc_id sums the bits.  Exchanges carry token pairs + ids, never the
-    document text."""
+    Scale shape, size-gated (the ``surprisal`` gate pattern): the bigram
+    count table builds from per-batch Counter partials (combiner-before-
+    shuffle — no occurrence materialization needed yet).  When it fits a
+    broadcast budget (≤ 2^17 distinct bigrams) the {(w1,w2): bits} dict
+    broadcasts and the whole score is ONE streaming map_batches over the
+    corpus — no join exchange at all.  Past the gate, the fully
+    distributed path: (doc_id,w1,w2,tf) occurrence rows, the w1-keyed
+    prefix re-aggregate, two co-partitioned hash_joins (on (w1,w2), then
+    on w1) putting both counts on each occurrence row, one hash_agg by
+    doc_id summing the bits.  Exchanges carry token pairs + ids, never
+    the document text; both branches compute the identical table."""
     from collections import Counter
 
 
     src = docs(sf_dir)
 
+    def big_partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for s in t["text"].to_pylist():
+            ws = s.lower().split()
+            c.update(zip(ws, ws[1:]))
+        w1s, w2s = ([p[0] for p in c], [p[1] for p in c])
+        return pa.table({"w1": pa.array(w1s, pa.string()),
+                         "w2": pa.array(w2s, pa.string()),
+                         "p": pa.array(list(c.values()), pa.int64())})
+
+    # ONE tokenize pass produces batch-bounded bigram partials; the fast
+    # path merges them driver-side (a vocab-gated Counter — no shuffle at
+    # all), the at-scale path feeds the SAME materialized partials to
+    # hash_agg (no re-tokenize on fallback)
+    parts = src.map_batches(big_partial,
+                            batch_format="pyarrow").materialize()
+
+    # ---- FAST PATH: bigram-table-sized broadcast → single streaming pass
+    c2_acc: Counter = Counter()
+    over_gate = False
+    for t in parts.iter_batches(batch_format="pyarrow"):
+        for a, b, c in zip(t["w1"].to_pylist(), t["w2"].to_pylist(),
+                           t["p"].to_pylist()):
+            c2_acc[(a, b)] += c
+        if len(c2_acc) > (1 << 17):
+            over_gate = True
+            break
+    if not over_gate:
+        c1_acc: dict[str, int] = {}
+        for (a, _b), c in c2_acc.items():
+            c1_acc[a] = c1_acc.get(a, 0) + c
+        bits_map = {p: (c1_acc[p[0]] // c).bit_length() - 1
+                    for p, c in c2_acc.items()}
+        bm_ref = ray.put(bits_map)
+
+        def score_direct(t: pa.Table) -> pa.Table:
+            bm = ray.get(bm_ref)
+            ids, nbs, surs = [], [], []
+            for did, s in zip(t["doc_id"].to_pylist(),
+                              t["text"].to_pylist()):
+                ws = s.lower().split()
+                if len(ws) < 2:
+                    continue
+                ids.append(did)
+                nbs.append(len(ws) - 1)
+                surs.append(sum(bm[p] for p in zip(ws, ws[1:])))
+            return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "n_bigrams": pa.array(nbs, pa.int64()),
+                             "surprisal": pa.array(surs, pa.int64())})
+
+        return src.map_batches(score_direct, batch_format="pyarrow")
+
+    # ---- AT SCALE: occurrence rows + two co-partitioned joins
     def pair_tf(t: pa.Table) -> pa.Table:
         ids, w1s, w2s, tfs = [], [], [], []
         for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
@@ -1018,11 +1075,7 @@ def bigram_surprisal(sf_dir: str) -> rd.Dataset:
 
     occ = src.map_batches(pair_tf, batch_format="pyarrow").materialize()
 
-    big = hash_agg(occ.map_batches(
-        lambda t: t.select(["w1", "w2", "tf"]).group_by(["w1", "w2"])
-        .aggregate([("tf", "sum")]).rename_columns(["w1", "w2", "p"]),
-        batch_format="pyarrow"), ["w1", "w2"],
-        [("p", "sum", "c2")]).materialize()
+    big = hash_agg(parts, ["w1", "w2"], [("p", "sum", "c2")]).materialize()
 
     pre = hash_agg(big.map_batches(
         lambda t: t.select(["w1", "c2"]).group_by("w1")
@@ -1069,22 +1122,62 @@ def hapax_rate(sf_dir: str) -> rd.Dataset:
     corpus quality audits (a high hapax share means typos or genuinely
     novel vocabulary; ~0 means boilerplate).
 
-    Scale shape: reuses the distributed df pattern — (doc_id, token, tf)
-    occurrence rows; df table from a hash_agg of per-batch document sets;
-    hapax tokens (df=1) LEFT-join back onto per-doc totals, so the join's
-    right side is the hapax-sized id table and text never shuffles."""
+    Scale shape, size-gated (the ``surprisal`` gate pattern): the df
+    table builds from per-batch document-set Counter partials.  When the
+    hapax token set (df=1) fits a broadcast budget (≤ 2^20 tokens) it
+    broadcasts as a frozenset and the whole stat is ONE streaming
+    map_batches over the corpus — no join exchange.  Past the gate, the
+    distributed path: (doc_id, token, tf) occurrence rows; hapax tokens
+    LEFT-join back onto per-doc totals, so the join's right side is the
+    hapax-sized id table and text never shuffles.  Both branches compute
+    the identical table."""
     from collections import Counter
 
 
-    occ = _tf_table(sf_dir)
+    def df_partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for s in t["text"].to_pylist():
+            c.update(set(s.lower().split()))
+        return pa.table({"token": pa.array(list(c.keys()), pa.string()),
+                         "p": pa.array(list(c.values()), pa.int64())})
 
-    dfreq = hash_agg(occ.map_batches(
-        lambda t: t.select(["token"]).group_by("token")
-        .aggregate([([], "count_all")]).rename_columns(["token", "p"]),
-        batch_format="pyarrow"), "token", [("p", "sum", "df")])
+    src = docs(sf_dir)
+    dfreq = hash_agg(src.map_batches(df_partial, batch_format="pyarrow"),
+                     "token", [("p", "sum", "df")]).materialize()
     hapax_toks = dfreq.map_batches(
         lambda t: t.filter(pc.equal(t["df"], 1)),
         batch_format="pyarrow")  # batch filter on the vocab-sized table
+
+    # ---- FAST PATH: hapax-set-sized broadcast → single streaming pass
+    hapax_set: set[str] = set()
+    over_gate = False
+    for t in hapax_toks.iter_batches(batch_format="pyarrow"):
+        hapax_set.update(t["token"].to_pylist())
+        if len(hapax_set) > (1 << 20):
+            over_gate = True
+            break
+    if not over_gate:
+        hs_ref = ray.put(frozenset(hapax_set))
+
+        def count_direct(t: pa.Table) -> pa.Table:
+            hs = ray.get(hs_ref)
+            ids, ntok, hx = [], [], []
+            for did, s in zip(t["doc_id"].to_pylist(),
+                              t["text"].to_pylist()):
+                ws = s.lower().split()
+                if not ws:
+                    continue
+                ids.append(did)
+                ntok.append(len(ws))
+                hx.append(sum(1 for w in ws if w in hs))
+            return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "n_tokens": pa.array(ntok, pa.int64()),
+                             "hapax": pa.array(hx, pa.int64())})
+
+        return src.map_batches(count_direct, batch_format="pyarrow")
+
+    # ---- AT SCALE: occurrence rows + hapax-sized joins
+    occ = _tf_table(sf_dir)
 
     totals = hash_agg(occ.map_batches(
         lambda t: t.select(["doc_id", "tf"]).group_by("doc_id")
