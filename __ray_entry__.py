@@ -1875,14 +1875,25 @@ def oracle_sql() -> dict[str, str]:
             _sig_default(textstats.keywords, "k")),
         "docs_containment_dups": _containment_sql(
             _sig_default(dedup.containment_dups, "threshold")),
+        # window/slide constants derive from the engine defaults (the
+        # _sig_default convention): slide in µs, window_s//slide_s
+        # emission slots — one constant drives both sides of each twin
         "events_sliding_users": """
-            SELECT (epoch_us(ts)//900000000 - j.j) AS window_id,
+            SELECT (epoch_us(ts)//{slide_us} - j.j) AS window_id,
                    count(DISTINCT user_id)::BIGINT AS users
-            FROM events, (VALUES (0),(1),(2),(3)) j(j) GROUP BY 1""",
+            FROM events, (VALUES {slots}) j(j) GROUP BY 1""".format(
+            slide_us=_sig_default(events.sliding_users, "slide_s")
+            * 1_000_000,
+            slots=",".join(
+                f"({i})" for i in range(
+                    _sig_default(events.sliding_users, "window_s")
+                    // _sig_default(events.sliding_users, "slide_s")))),
         "events_window_users": """
-            SELECT epoch_us(ts)//3600000000 AS window_id,
+            SELECT epoch_us(ts)//{win_us} AS window_id,
                    count(DISTINCT user_id)::BIGINT AS users
-            FROM events GROUP BY 1""",
+            FROM events GROUP BY 1""".format(
+            win_us=_sig_default(events.window_users, "window_s")
+            * 1_000_000),
         "docs_bigram_surprisal": r"""
             WITH toks AS (SELECT doc_id,
                             regexp_extract_all(lower(text), '\S+') AS ws

@@ -99,8 +99,8 @@ def hits(sf_dir: str, iters: int = 2) -> rd.Dataset:
     all-to-all each (the BSP lower bound).  The hub step exploits that
     u ↦ (31u+7j) mod n is a bijection per edge slot j when gcd(31,n)=1:
     authority rows scatter straight to their unique hub target
-    u = (v−7j)·31⁻¹ mod n, so no edge join is needed.  When 31 | n or n
-    is large enough that n·31⁻¹ could overflow int64 (n ≥ 3·10⁹), it
+    u = (v−7j)·31⁻¹ mod n, so no edge join is needed.  When 31 | n or
+    (n−1)² would overflow int64 (n > isqrt(2⁶³−1) ≈ 3.037·10⁹), it
     falls back to a co-partitioned edge join (``agg.hash_join``) — the
     same answer, one extra exchange.  The final (auth, hub) combine is a
     union + one hash_agg, not a join.  Only the last sweep's authority
@@ -109,10 +109,16 @@ def hits(sf_dir: str, iters: int = 2) -> rd.Dataset:
     execution."""
 
     n = _n_docs(sf_dir)
+    # the scatter computes ((v-7j) % n) * inv31 in int64 with both factors
+    # in [0, n): safe iff (n-1)^2 < 2^63, i.e. n <= isqrt(2^63-1) — derive
+    # the cutoff from that bound so raising it can never silently wrap
+    import math
+    _INT64_SAFE_N = math.isqrt(2**63 - 1)  # 3_037_000_499
     try:
-        inv31 = pow(31, -1, n) if n < 3_000_000_000 else None
+        inv31 = pow(31, -1, n) if n <= _INT64_SAFE_N else None
     except ValueError:  # 31 | n: not invertible
         inv31 = None
+    assert inv31 is None or (n - 1) * (n - 1) < 2**63
 
     def init(t: pa.Table) -> pa.Table:
         return pa.table({
