@@ -192,14 +192,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     they encode an iterative politeness-scheduled frontier loop (ordering
     depends on the virtual clock + retry state machine) and are checked
     instead by the byte-parity oracle suite in tests/test_crawl_parity.py
-    against tests/oracle.py.  Even the ANN paths are SQL-checked:
-    knn_lsh (md5-parity hyperplanes, int-quantized codes) and knn_ivf
-    (deterministic integer k-means, iterations unrolled in the twin)
-    produce bit-exact CANDIDATE SETS; the final cosine ranking is
-    fixture-verified (numpy vs DuckDB list_cosine_similarity differ in
-    float accumulation order, so near-tie scores on another corpus could
-    flip ranks) with recall floors vs knn_bruteforce additionally
-    pytest-enforced; media_features / media_frame_sample
+    against tests/oracle.py.  Even the ANN paths are FULLY SQL-checked:
+    knn_lsh (md5-parity hyperplanes, int-quantized codes), knn_ivf /
+    knn_ivfpq (deterministic integer k-means, iterations unrolled in the
+    twin) and knn_bruteforce produce bit-exact CANDIDATE SETS and
+    bit-exact RANKS — the final ranking is the integer rational key
+    (similarity._rational_key / _ikey_sql: sign(d)·(d²·10¹²//ssq) over
+    1/1000-quantized vectors, HUGEINT in DuckDB), so no float
+    accumulation order exists anywhere in the retrieval; recall floors
+    vs knn_bruteforce are additionally pytest-enforced;
+    media_features / media_frame_sample
     run their deterministic fake codec over utf-8 payload bytes, which
     the twins reproduce via codepoint aggregates."""
     from go_scrapper_ray.pipelines import (clean, dedup, events, graph,
@@ -982,17 +984,27 @@ def _split_sql(val_pct: int, test_pct: int) -> str:
         FROM documents"""
 
 
+def _ikey_sql(dd: str, ssq: str) -> str:
+    """The BIT-EXACT cosine rank key as a HUGEINT SQL expression — the
+    DuckDB side of similarity._rational_key: sign(d)·((d²·10¹²)//ssq).
+    The division runs on a NONNEGATIVE numerator on both sides (DuckDB //
+    truncates, Python // floors — identical there), so engine and twin
+    compute the same integer and ranks cannot drift on near-ties.
+    ssq=0 (zero vector) pins to -(2^127-1), ranking last."""
+    body = (f"(({dd})::HUGEINT * ({dd})::HUGEINT * 1000000000000::HUGEINT)"
+            f" // ({ssq})::HUGEINT")
+    return (f"(CASE WHEN ({ssq}) = 0 THEN "
+            f"-170141183460469231731687303715884105727::HUGEINT "
+            f"WHEN ({dd}) < 0 THEN -({body}) ELSE ({body}) END)")
+
+
 def _knn_lsh_sql(k: int, query_stride: int, n_planes: int,
                  n_tables: int) -> str:
     """DuckDB twin of similarity.knn_lsh — the FULL retrieval: md5-parity
     ±1 hyperplanes, int-quantized bucket codes (bit-exact candidate sets),
     bucket + hamming-1 probes meeting corpus codes on (table_id, code),
-    exact-cosine ranking over the candidates (the knn_bruteforce scoring
-    expression).  Guarantee boundary: candidate sets are bit-exact;
-    the cosine RANKING is fixture-verified only — DuckDB's
-    list_cosine_similarity accumulates floats in a different order than
-    the engine's normalized-float64 numpy dot, so near-tie scores on
-    another corpus could flip ranks."""
+    and the bit-exact integer rational rank key (``_ikey_sql``) over the
+    quantized vectors — candidates AND ranks are strict-hash exact."""
     from go_scrapper_ray.pipelines.similarity import EMB_DIMS, KNN_LSH_SALT
 
     return f"""
@@ -1026,14 +1038,19 @@ def _knn_lsh_sql(k: int, query_stride: int, n_planes: int,
                  FROM qprobe q
                  JOIN codes c ON q.table_id = c.table_id AND q.code = c.code
                  WHERE c.vec_id <> q.query_id),
-        scored AS (SELECT cand.query_id, cand.neighbor_id,
-                     row_number() OVER (PARTITION BY cand.query_id
-                       ORDER BY list_cosine_similarity(eq.embedding,
-                                                       en.embedding) DESC,
-                                cand.neighbor_id) AS rnk
-                   FROM cand
-                   JOIN embeddings eq ON eq.vec_id = cand.query_id
-                   JOIN embeddings en ON en.vec_id = cand.neighbor_id)
+        nrm AS (SELECT vec_id, sum(v * v)::BIGINT AS ssq
+                FROM comp GROUP BY 1),
+        dd AS (SELECT cand.query_id, cand.neighbor_id,
+                 sum(a.v * b.v)::BIGINT AS dot
+               FROM cand
+               JOIN comp a ON a.vec_id = cand.query_id
+               JOIN comp b ON b.vec_id = cand.neighbor_id AND b.d = a.d
+               GROUP BY 1, 2),
+        scored AS (SELECT dd.query_id, dd.neighbor_id,
+                     row_number() OVER (PARTITION BY dd.query_id
+                       ORDER BY {_ikey_sql('dd.dot', 'n.ssq')} DESC,
+                                dd.neighbor_id) AS rnk
+                   FROM dd JOIN nrm n ON n.vec_id = dd.neighbor_id)
         SELECT query_id, rnk, neighbor_id FROM scored WHERE rnk <= {k}"""
 
 
@@ -1210,20 +1227,26 @@ def _knn_ivf_sql(k: int, query_stride: int, n_lists: int, n_probe: int,
                  sample_stride: int, iters: int) -> str:
     """DuckDB twin of similarity.knn_ivf — the FULL retrieval including
     the quantizer fit (see _ivf_kmeans_ctes), then candidate join and
-    exact-cosine ranking (the knn_bruteforce scoring expression)."""
+    the bit-exact integer rational rank key (``_ikey_sql``) over the
+    quantized vectors — candidates AND ranks are strict-hash exact."""
     return _ivf_kmeans_ctes(n_lists, sample_stride, iters,
                             query_stride, n_probe) + f""",
         cand AS (SELECT DISTINCT p.query_id, f.vec_id AS neighbor_id
                  FROM probe p JOIN fa f ON f.list_id = p.list_id
                  WHERE f.vec_id <> p.query_id),
-        scored AS (SELECT cand.query_id, cand.neighbor_id,
-                     row_number() OVER (PARTITION BY cand.query_id
-                       ORDER BY list_cosine_similarity(a.embedding,
-                                                       b.embedding) DESC,
-                                cand.neighbor_id) AS rnk
-                   FROM cand
-                   JOIN embeddings a ON a.vec_id = cand.query_id
-                   JOIN embeddings b ON b.vec_id = cand.neighbor_id)
+        nrm AS (SELECT vec_id, sum(v * v)::BIGINT AS ssq
+                FROM comp GROUP BY 1),
+        dd AS (SELECT cand.query_id, cand.neighbor_id,
+                 sum(a.v * b.v)::BIGINT AS dot
+               FROM cand
+               JOIN comp a ON a.vec_id = cand.query_id
+               JOIN comp b ON b.vec_id = cand.neighbor_id AND b.d = a.d
+               GROUP BY 1, 2),
+        scored AS (SELECT dd.query_id, dd.neighbor_id,
+                     row_number() OVER (PARTITION BY dd.query_id
+                       ORDER BY {_ikey_sql('dd.dot', 'n.ssq')} DESC,
+                                dd.neighbor_id) AS rnk
+                   FROM dd JOIN nrm n ON n.vec_id = dd.neighbor_id)
         SELECT query_id, rnk, neighbor_id FROM scored WHERE rnk <= {k}"""
 
 
@@ -1290,7 +1313,8 @@ def _knn_ivfpq_sql(k: int, query_stride: int, n_lists: int, n_probe: int,
     k-means CTEs), PQ codebook fit + corpus encoding (exact int squared-L2
     per subspace), ADC candidate scoring (sum of the query's exact int
     subspace distances to each candidate's codes), top-``rerank`` by
-    (adc, vec_id), exact-cosine rerank to top-k."""
+    (adc, vec_id), then the bit-exact integer rational rank key
+    (``_ikey_sql``) to top-k — candidates AND ranks strict-hash exact."""
     from go_scrapper_ray.pipelines.similarity import EMB_DIMS
 
     sd = EMB_DIMS // n_sub
@@ -1329,14 +1353,19 @@ def _knn_ivfpq_sql(k: int, query_stride: int, n_lists: int, n_probe: int,
                      row_number() OVER (PARTITION BY query_id
                                         ORDER BY adc, neighbor_id) AS rn
                    FROM adc) WHERE rn <= {rerank}),
-        scored AS (SELECT t.query_id, t.neighbor_id,
-                     row_number() OVER (PARTITION BY t.query_id
-                       ORDER BY list_cosine_similarity(a.embedding,
-                                                       b.embedding) DESC,
-                                t.neighbor_id) AS rnk
-                   FROM topr t
-                   JOIN embeddings a ON a.vec_id = t.query_id
-                   JOIN embeddings b ON b.vec_id = t.neighbor_id)
+        nrm AS (SELECT vec_id, sum(v * v)::BIGINT AS ssq
+                FROM comp GROUP BY 1),
+        dd AS (SELECT t.query_id, t.neighbor_id,
+                 sum(a.v * b.v)::BIGINT AS dot
+               FROM topr t
+               JOIN comp a ON a.vec_id = t.query_id
+               JOIN comp b ON b.vec_id = t.neighbor_id AND b.d = a.d
+               GROUP BY 1, 2),
+        scored AS (SELECT dd.query_id, dd.neighbor_id,
+                     row_number() OVER (PARTITION BY dd.query_id
+                       ORDER BY {_ikey_sql('dd.dot', 'n.ssq')} DESC,
+                                dd.neighbor_id) AS rnk
+                   FROM dd JOIN nrm n ON n.vec_id = dd.neighbor_id)
         SELECT query_id, rnk, neighbor_id FROM scored WHERE rnk <= {k}"""
 
 
@@ -1613,17 +1642,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT n.doc_id, n.text_hash
             FROM new_h n ANTI JOIN old_h o ON n.text_hash = o.text_hash""",
         "knn_bruteforce": """
-            WITH q AS (SELECT vec_id AS qid, embedding AS qe
-                       FROM embeddings WHERE vec_id % 50 = 0),
-            scored AS (
-              SELECT q.qid, e.vec_id,
-                     row_number() OVER (
-                       PARTITION BY q.qid
-                       ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC,
-                                e.vec_id) AS rnk
-              FROM q, embeddings e WHERE e.vec_id <> q.qid)
-            SELECT qid AS query_id, rnk, vec_id AS neighbor_id
-            FROM scored WHERE rnk <= 5""",
+            WITH qv AS (SELECT vec_id,
+                          list_transform(embedding,
+                            x -> CAST(round(CAST(x AS DOUBLE) * 1000)
+                                      AS BIGINT)) AS qq
+                        FROM embeddings),
+            comp AS (SELECT vec_id, generate_subscripts(qq, 1) - 1 AS d,
+                            unnest(qq) AS v FROM qv),
+            nrm AS (SELECT vec_id, sum(v * v)::BIGINT AS ssq
+                    FROM comp GROUP BY 1),
+            q AS (SELECT vec_id AS qid FROM embeddings
+                  WHERE vec_id % {stride} = 0),
+            dd AS (SELECT q.qid, b.vec_id AS nid,
+                     sum(a.v * b.v)::BIGINT AS dot
+                   FROM q
+                   JOIN comp a ON a.vec_id = q.qid
+                   JOIN comp b ON b.d = a.d AND b.vec_id <> q.qid
+                   GROUP BY 1, 2),
+            scored AS (SELECT dd.qid, dd.nid,
+                         row_number() OVER (PARTITION BY dd.qid
+                           ORDER BY {ikey} DESC, dd.nid) AS rnk
+                       FROM dd JOIN nrm n ON n.vec_id = dd.nid)
+            SELECT qid AS query_id, rnk, nid AS neighbor_id
+            FROM scored WHERE rnk <= {k}""".format(
+            stride=_sig_default(similarity.knn_bruteforce, "query_stride"),
+            k=_sig_default(similarity.knn_bruteforce, "k"),
+            ikey=_ikey_sql("dd.dot", "n.ssq")),
         "events_windowed": """
             SELECT event_type,
                    epoch_us(ts)//3600000000 AS window_id,

@@ -126,10 +126,45 @@ def _query_matrix(sf_dir: str, stride: int, normalize: bool = True):
     return q_ids[o], np.ascontiguousarray(Q[o])
 
 
-def _topk_frame(g: pd.DataFrame, k: int) -> pd.DataFrame:
+_KEY_SCALE = 10 ** 12
+# ssq=0 (zero vector) ranks last on both sides: -(2^127-1) is the most
+# negative value DuckDB's HUGEINT can parse symmetrically
+_KEY_MIN = -(2 ** 127 - 1)
+# |d| bound keeping d^2 * 10^12 inside HUGEINT (1.3e13^2 * 1e12 ~ 1.69e38
+# < 2^127-1 ~ 1.70e38); EMB_DIMS * (1000*maxcomp)^2 stays far below it
+# for any sane embedding scale
+_KEY_D_MAX = 13_000_000_000_000
+
+
+def _rational_key(d: int, ssq: int) -> int:
+    """BIT-EXACT cosine rank key: sign(d) * ((d^2 * 10^12) // ssq) over
+    the QUANTIZED integer dot d and candidate squared norm ssq.  Within
+    one query the true cosine is d / (|q| * sqrt(ssq)); |q| is constant,
+    and x -> sign(x)*x^2 is monotone, so ordering by this key equals
+    ordering by cosine up to the 10^-12 floor resolution — and because
+    the division is floor-on-nonnegative on BOTH sides (Python // on a
+    nonnegative numerator; DuckDB // truncates, identical on
+    nonnegatives), engine and twin compute the SAME integer, so ranks
+    can never drift on near-ties the way float accumulation order can.
+    DuckDB side: the _ikey_sql expression in __ray_entry__ (HUGEINT)."""
+    if ssq == 0:
+        return _KEY_MIN
+    assert -_KEY_D_MAX <= d <= _KEY_D_MAX, "dot exceeds HUGEINT-safe range"
+    q = (d * d * _KEY_SCALE) // ssq
+    return q if d >= 0 else -q
+
+
+def _rank_exact(g: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Per-query top-k by the integer rational key (desc), neighbor_id
+    asc.  Keys are Python ints (they exceed int64) held in an object
+    column — group sizes are probe/candidate-bounded, so the per-group
+    Python cost is small and the ranking is exact."""
     g = g.drop_duplicates("neighbor_id")
-    g = g.sort_values(["score", "neighbor_id"],
-                      ascending=[False, True]).head(k)
+    keys = [_rational_key(int(d), int(s))
+            for d, s in zip(g["d"].to_numpy(), g["ssq"].to_numpy())]
+    g = g.assign(__key=pd.Series(keys, index=g.index, dtype=object))
+    g = g.sort_values(["__key", "neighbor_id"], ascending=[False, True],
+                      kind="mergesort").head(k)
     return pd.DataFrame({"query_id": g["query_id"].to_numpy(),
                          "rnk": np.arange(1, len(g) + 1),
                          "neighbor_id": g["neighbor_id"].to_numpy()})
@@ -145,42 +180,69 @@ def _empty_knn() -> rd.Dataset:
         "neighbor_id": pa.array([], pa.int64())}))
 
 def knn_bruteforce(sf_dir: str, k: int = 5, query_stride: int = 50) -> rd.Dataset:
-    """(query_id, rnk, neighbor_id): exact cosine top-k for query vectors
-    (every ``query_stride``-th vec_id), self excluded; ties broken by
-    neighbor_id asc so the DuckDB oracle ranks identically.
+    """(query_id, rnk, neighbor_id): cosine top-k in QUANTIZED integer
+    space for query vectors (every ``query_stride``-th vec_id), self
+    excluded; ranked by the BIT-EXACT integer rational key
+    (:func:`_rational_key` — d·|d|·10¹²//ssq over 1/1000-quantized
+    vectors), ties by neighbor_id asc, so the DuckDB oracle ranks
+    IDENTICALLY by construction (no float accumulation order anywhere in
+    the ranking).
 
-    The CORPUS streams through map_batches; the (much smaller) QUERY matrix
-    is broadcast.  Per batch we emit the batch-local top-k KEEPING every
-    candidate at or above the kth score (boundary ties survive), then a
-    final per-query merge."""
-    q_ids, Q = _query_matrix(sf_dir, query_stride)
+    The CORPUS streams through map_batches; the (much smaller) QUERY
+    matrix is broadcast.  Per batch: a vectorized float prefilter over
+    the normalized-QUANTIZED vectors picks the batch-local top-k with a
+    1e-9 safety margin (float error of these ops is ~1e-14, so no true
+    candidate can be cut), then the few survivors' exact integer (d,
+    ssq) are emitted and the per-query merge ranks by the exact key."""
+    q_ids, Q_raw = _query_matrix(sf_dir, query_stride, normalize=False)
     if len(q_ids) == 0:
         return _empty_knn()
-    q_ref = ray.put((q_ids, Q))
+    Qq = _quant1000(Q_raw)
+    qn = np.linalg.norm(Qq.astype(np.float64), axis=1)
+    qn[qn == 0] = 1.0
+    Qf = Qq.astype(np.float64) / qn[:, None]
+    q_ref = ray.put((q_ids, Qf, Qq))
 
     def batch_topk(t: pa.Table) -> pa.Table:
-        qi_ids, qM = ray.get(q_ref)
-        c_ids, C = _norm_rows(t)
-        sims = qM @ C.T  # (nq, nbatch)
+        qi_ids, qF, qQ = ray.get(q_ref)
+        c_ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        Cq = _quant1000(np.array(t["embedding"].to_pylist(),
+                                 dtype=np.float64))
+        cssq = np.einsum("ij,ij->i", Cq, Cq)            # int64 exact
+        cn = np.sqrt(cssq.astype(np.float64))
+        cn[cn == 0] = 1.0
+        sims = qF @ (Cq.astype(np.float64) / cn[:, None]).T  # (nq, nbatch)
         self_mask = qi_ids[:, None] == c_ids[None, :]
         sims[self_mask] = -np.inf
         kk = min(k, sims.shape[1])
         thresh = -np.partition(-sims, kk - 1, axis=1)[:, kk - 1]
-        rows_q, rows_n, rows_s = [], [], []
+        rows_q, rows_n, rows_d, rows_s = [], [], [], []
         for qi in range(sims.shape[0]):
-            sel = np.flatnonzero(sims[qi] >= thresh[qi])
+            sel = np.flatnonzero(sims[qi] >= thresh[qi] - 1e-9)
             sel = sel[sims[qi, sel] > -np.inf]
-            order = sel[np.lexsort((c_ids[sel], -sims[qi, sel]))][:kk]
-            for j in order:
+            d_sel = Cq[sel] @ qQ[qi]                    # int64 exact
+            # exact per-batch cut: keep rows whose key ties-or-beats the
+            # kth exact key (boundary ties survive for the global merge)
+            keys = [_rational_key(int(d), int(s))
+                    for d, s in zip(d_sel, cssq[sel])]
+            if len(keys) > kk:
+                kth = sorted(keys, reverse=True)[kk - 1]
+            else:
+                kth = _KEY_MIN
+            for j, d, ky in zip(sel, d_sel, keys):
+                if ky < kth:
+                    continue
                 rows_q.append(qi_ids[qi])
                 rows_n.append(c_ids[j])
-                rows_s.append(sims[qi, j])
+                rows_d.append(int(d))
+                rows_s.append(int(cssq[j]))
         return pa.table({"query_id": pa.array(rows_q, pa.int64()),
                          "neighbor_id": pa.array(rows_n, pa.int64()),
-                         "score": pa.array(rows_s, pa.float64())})
+                         "d": pa.array(rows_d, pa.int64()),
+                         "ssq": pa.array(rows_s, pa.int64())})
 
     def merge_group(g: pd.DataFrame) -> pd.DataFrame:
-        return _topk_frame(g, k)
+        return _rank_exact(g, k)
 
     return (_emb(sf_dir)
             .map_batches(batch_topk, batch_format="pyarrow", batch_size=2048)
@@ -395,30 +457,34 @@ def kmeans_assign_dist(sf_dir: str, n_lists: int = 16,
 
 
 def _score_candidates(joined: rd.Dataset, k: int) -> rd.Dataset:
-    """(query_id, qv, vec_id, v) rows → per-batch vectorized scores →
-    per-query top-k merge (candidate sets are probe-bounded, so the merge
-    groups stay small)."""
+    """(query_id, qv, vec_id, v) rows — both blobs QUANTIZED int64 — →
+    per-batch vectorized exact integer (d, ssq) → per-query merge ranked
+    by the bit-exact rational key (candidate sets are probe-bounded, so
+    the merge groups stay small)."""
 
     def score(t: pa.Table) -> pa.Table:
         if len(t) == 0:
             return pa.table({"query_id": pa.array([], pa.int64()),
                              "neighbor_id": pa.array([], pa.int64()),
-                             "score": pa.array([], pa.float64())})
+                             "d": pa.array([], pa.int64()),
+                             "ssq": pa.array([], pa.int64())})
         n = len(t)
         qv = np.frombuffer(b"".join(t["qv"].to_pylist()),
-                           np.float64).reshape(n, -1)
+                           np.int64).reshape(n, -1)
         cv = np.frombuffer(b"".join(t["v"].to_pylist()),
-                           np.float64).reshape(n, -1)
-        s = np.einsum("ij,ij->i", qv, cv)
+                           np.int64).reshape(n, -1)
+        d = np.einsum("ij,ij->i", qv, cv)               # int64 exact
+        ssq = np.einsum("ij,ij->i", cv, cv)
         qid = t["query_id"].to_numpy(zero_copy_only=False)
         nid = t["vec_id"].to_numpy(zero_copy_only=False)
         m = qid != nid  # self excluded
         return pa.table({"query_id": pa.array(qid[m], pa.int64()),
                          "neighbor_id": pa.array(nid[m], pa.int64()),
-                         "score": pa.array(s[m], pa.float64())})
+                         "d": pa.array(d[m], pa.int64()),
+                         "ssq": pa.array(ssq[m], pa.int64())})
 
     def merge_group(g: pd.DataFrame) -> pd.DataFrame:
-        return _topk_frame(g, k)
+        return _rank_exact(g, k)
 
     return (joined.map_batches(score, batch_format="pyarrow")
             .groupby("query_id")
@@ -426,25 +492,32 @@ def _score_candidates(joined: rd.Dataset, k: int) -> rd.Dataset:
 
 
 def ivf_assignments(sf_dir: str, n_lists: int = 16,
-                    sample_stride: int = 2, iters: int = 10
+                    sample_stride: int = 2, iters: int = 10,
+                    vec_format: str = "norm_f64",
                     ) -> tuple[np.ndarray, rd.Dataset]:
     """(centroids, assigned dataset): fit the deterministic integer
     k-means on the sample and assign the whole corpus — the shared
     prelude of knn_ivf, knn_ivfpq's list side and
     dedup.semantic_dedup.  Returns the (n_lists, dims) int64 centroid
     matrix plus a streaming Dataset of (list_id, vec_id, v) rows where
-    ``v`` is the L2-normalized vector as float64 bytes."""
+    ``v`` is the L2-normalized vector as float64 bytes
+    (``vec_format="norm_f64"``, semantic_dedup's cosine kernel) or the
+    1/1000-quantized vector as int64 bytes (``"quant_i64"``, the
+    bit-exact ranking input of knn_ivf)."""
     eff = effective_sample_stride(sf_dir, sample_stride)
     s_ids, S = _query_matrix(sf_dir, eff, normalize=False)
     C = _kmeans_int(s_ids, S, n_lists, iters)
     c_ref = ray.put(C)
+    quant = vec_format == "quant_i64"
 
     def assign(t: pa.Table) -> pa.Table:
         CC = ray.get(c_ref)
         ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         M_raw = np.array(t["embedding"].to_pylist(), dtype=np.float64)
-        lists = np.argmax(_quant1000(M_raw) @ CC.T, axis=1).astype(np.int64)
-        M = M_raw / np.linalg.norm(M_raw, axis=1, keepdims=True)
+        Q = _quant1000(M_raw)
+        lists = np.argmax(Q @ CC.T, axis=1).astype(np.int64)
+        M = Q if quant \
+            else M_raw / np.linalg.norm(M_raw, axis=1, keepdims=True)
         return pa.table({"list_id": pa.array(lists),
                          "vec_id": pa.array(ids, pa.int64()),
                          "v": pa.array([r.tobytes() for r in M],
@@ -459,31 +532,32 @@ def knn_ivf(sf_dir: str, k: int = 5, query_stride: int = 50,
     """(query_id, rnk, neighbor_id): ANN via an IVF coarse quantizer.
 
     The quantizer is the DETERMINISTIC integer k-means of ``_kmeans_int``
-    — assignments, probes and candidate sets are bit-reproducible, so the
-    WHOLE retrieval has a DuckDB twin (``__ray_entry__._knn_ivf_sql``,
-    iterations unrolled); final ranking is exact cosine over candidates
-    (the knn_bruteforce scoring path).  Recall vs brute force is
-    additionally floor-tested in pytest.
+    — assignments, probes and candidate sets are bit-reproducible, and
+    the final ranking uses the bit-exact integer rational key
+    (:func:`_rational_key`), so the WHOLE retrieval — candidates AND
+    ranks — has a strict-hash DuckDB twin
+    (``__ray_entry__._knn_ivf_sql``, iterations unrolled).  Recall vs
+    brute force is additionally floor-tested in pytest.
 
     Scale shape: centroids come from a SAMPLED k-means (every
     ``sample_stride``-th vector — driver/broadcast state is sample-sized);
     list assignment is a distributed map; the probe is a NATIVE HASH JOIN
     of (query x its n_probe nearest lists) against the (list_id, vec)
     table, so each query's work touches only its probed lists."""
-    C, vec_tbl = ivf_assignments(sf_dir, n_lists, sample_stride, iters)
+    C, vec_tbl = ivf_assignments(sf_dir, n_lists, sample_stride, iters,
+                                 vec_format="quant_i64")
 
     q_ids, Q_raw = _query_matrix(sf_dir, query_stride, normalize=False)
     if len(q_ids) == 0:
         return _empty_knn()
-    dots = _quant1000(Q_raw) @ C.T                       # exact int
+    Q = _quant1000(Q_raw)
+    dots = Q @ C.T                                       # exact int
     # top n_probe lists per query, ties → smaller centroid idx
     cidx = np.arange(C.shape[0], dtype=np.int64)
     probe_lists = np.empty((len(q_ids), min(n_probe, C.shape[0])), np.int64)
     for qi in range(len(q_ids)):
         order = np.lexsort((cidx, -dots[qi]))
         probe_lists[qi] = order[:probe_lists.shape[1]]
-    Q = (Q_raw / np.linalg.norm(Q_raw, axis=1, keepdims=True)
-         if len(q_ids) else Q_raw)
     n_pr = probe_lists.shape[1]
     q_tbl = pa.table({
         "list_id": pa.array(probe_lists.ravel().astype(np.int64)),
@@ -510,11 +584,11 @@ def knn_lsh(sf_dir: str, k: int = 5, query_stride: int = 50,
 
     Hyperplanes are the DETERMINISTIC md5-parity ±1 family
     (``_pm1_planes``, salt "knn_") and codes are computed in quantized
-    integer space (``_lsh_codes_int``) — exact in both numpy and DuckDB,
-    so the CANDIDATE SETS are bit-reproducible and the WHOLE retrieval has
-    a DuckDB twin (``__ray_entry__._knn_lsh_sql``); final ranking is exact
-    cosine over candidates (the knn_bruteforce scoring path).  Recall vs
-    brute force is additionally floor-tested in pytest.
+    integer space (``_lsh_codes_int``) — exact in both numpy and DuckDB —
+    and the final ranking uses the bit-exact integer rational key
+    (:func:`_rational_key`), so the WHOLE retrieval — candidate sets AND
+    ranks — has a strict-hash DuckDB twin (``__ray_entry__._knn_lsh_sql``).
+    Recall vs brute force is additionally floor-tested in pytest.
 
     Scale shape: corpus code rows (one per table) and query probe rows
     (bucket + hamming-1 per table) meet in a NATIVE HASH JOIN on
@@ -532,7 +606,7 @@ def knn_lsh(sf_dir: str, k: int = 5, query_stride: int = 50,
         ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         M_raw = np.array(t["embedding"].to_pylist(), dtype=np.float64)
         codes = _lsh_codes_int(M_raw, P)                   # (n, T)
-        M = M_raw / np.linalg.norm(M_raw, axis=1, keepdims=True)
+        M = _quant1000(M_raw)                              # int64 blobs
         L = P.shape[0]
         blobs = [r.tobytes() for r in M]
         return pa.table({
@@ -549,8 +623,7 @@ def knn_lsh(sf_dir: str, k: int = 5, query_stride: int = 50,
     if len(q_ids) == 0:
         return _empty_knn()
     qcodes = _lsh_codes_int(Q_raw, planes)  # (nq, L)
-    Q = Q_raw / np.linalg.norm(Q_raw, axis=1, keepdims=True) \
-        if len(q_ids) else Q_raw
+    Q = _quant1000(Q_raw)                   # int64 query blobs
     rows_t, rows_c, rows_q, rows_v = [], [], [], []
     for qi in range(len(q_ids)):
         blob = Q[qi].tobytes()
@@ -860,11 +933,13 @@ def knn_ivfpq(sf_dir: str, k: int = 5, query_stride: int = 50,
          (n_sub × n_codes) per-query lookup table, never the candidate's
          raw vector;
       4. top-``rerank`` candidates per query by (adc, vec_id) fetch their
-         REAL vectors via a vec_id-co-partitioned hash join and rerank by
-         exact cosine to the final top-k.
+         REAL vectors via a semi-join streaming pass and rerank by the
+         BIT-EXACT integer rational key (:func:`_rational_key`) to the
+         final top-k.
 
-    Every stage is bit-reproducible, so the WHOLE retrieval has a DuckDB
-    twin (``__ray_entry__._knn_ivfpq_sql``); recall vs brute force is
+    Every stage — including the final ranks — is bit-reproducible, so
+    the WHOLE retrieval has a strict-hash DuckDB twin
+    (``__ray_entry__._knn_ivfpq_sql``); recall vs brute force is
     floor-tested in pytest.
 
     Scale shape: the candidate join carries (list_id, vec_id, n_sub-byte
@@ -970,14 +1045,15 @@ def knn_ivfpq(sf_dir: str, k: int = 5, query_stride: int = 50,
         for qid, vid in zip(t["query_id"].to_pylist(),
                             t["vec_id"].to_pylist()):
             wanted.setdefault(int(vid), []).append(int(qid))
-    Qn = (Q_raw / np.linalg.norm(Q_raw, axis=1, keepdims=True)
-          if len(q_ids) else Q_raw)
-    w_ref = ray.put((wanted, q_ids, Qn))
+    w_ref = ray.put((wanted, q_ids, Qq))  # Qq: quantized query matrix
 
     def score(t: pa.Table) -> pa.Table:
         wmap, qi_ids, qM = ray.get(w_ref)
-        ids, M = _norm_rows(t)
-        rows_q, rows_n, rows_s = [], [], []
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        M = _quant1000(np.array(t["embedding"].to_pylist(),
+                                dtype=np.float64))
+        ssqs = np.einsum("ij,ij->i", M, M)              # int64 exact
+        rows_q, rows_n, rows_d, rows_s = [], [], [], []
         for i, vid in enumerate(ids):
             qs = wmap.get(int(vid))
             if not qs:
@@ -986,13 +1062,15 @@ def knn_ivfpq(sf_dir: str, k: int = 5, query_stride: int = 50,
                 pos = int(np.searchsorted(qi_ids, qid))
                 rows_q.append(qid)
                 rows_n.append(int(vid))
-                rows_s.append(float(qM[pos] @ M[i]))
+                rows_d.append(int(qM[pos] @ M[i]))      # int64 exact
+                rows_s.append(int(ssqs[i]))
         return pa.table({"query_id": pa.array(rows_q, pa.int64()),
                          "neighbor_id": pa.array(rows_n, pa.int64()),
-                         "score": pa.array(rows_s, pa.float64())})
+                         "d": pa.array(rows_d, pa.int64()),
+                         "ssq": pa.array(rows_s, pa.int64())})
 
     def merge_group(g: pd.DataFrame) -> pd.DataFrame:
-        return _topk_frame(g, k)
+        return _rank_exact(g, k)
 
     return (_emb(sf_dir).map_batches(score, batch_format="pyarrow")
             .groupby("query_id")
