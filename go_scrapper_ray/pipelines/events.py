@@ -46,35 +46,169 @@ def windowed_counts(sf_dir: str, window_s: int = 3600) -> rd.Dataset:
                     [("p_n", "sum", "n"), ("p_cents", "sum", "cents")])
 
 
+_SESS_SCHEMA = pa.schema([
+    ("user_id", pa.int64()), ("session_idx", pa.int64()),
+    ("n_events", pa.int64()), ("start_us", pa.int64()),
+    ("end_us", pa.int64())])
+
+
 def sessionize(sf_dir: str, gap_s: int = 1800) -> rd.Dataset:
     """(user_id, session_idx, n_events, start_us, end_us): session windows
-    with a 30-min inactivity gap, per user.  groupby(user).map_groups with an
-    in-group sort — the documented partitioning assumption is events of one
-    user fit one group (true for user-keyed web logs)."""
+    with a 30-min inactivity gap, per user.
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts_us", "event_id"])
-        ts = g["ts_us"].to_numpy()
-        new_session = np.ones(len(g), dtype=bool)
-        new_session[1:] = (ts[1:] - ts[:-1]) > gap_s * 1_000_000
-        sess = np.cumsum(new_session) - 1
-        out = (pd.DataFrame({"session_idx": sess, "ts_us": ts})
-               .groupby("session_idx")
-               .agg(n_events=("ts_us", "size"), start_us=("ts_us", "min"),
-                    end_us=("ts_us", "max"))
-               .reset_index())
-        out.insert(0, "user_id", g["user_id"].iloc[0])
-        return out
+    Scale shape — HOT-USER SAFE (no per-user group ever materializes):
+    one range-partitioned ``sort`` on (user, ts, event_id), then each
+    block sessionizes its own slice vectorized, and the driver stitches
+    the O(blocks) boundary fragments (a session that spans a block cut
+    merges across the cut; chains spanning many blocks fold left) — the
+    ``cumulative_value`` two-pass pattern.  A bot user holding 10% of all
+    events is simply 10% of the sorted blocks, processed in parallel;
+    driver state and per-task work stay O(block), never O(hot user).
+    Per-user session_idx numbering flows through the same O(blocks)
+    walk (only block-boundary users need cross-block offsets)."""
+    import ray
+
+    gap_us = gap_s * 1_000_000
 
     def prep(t: pa.Table) -> pa.Table:
         return pa.table({"user_id": t["user_id"],
                          "event_id": t["event_id"],
                          "ts_us": t["ts"].cast(pa.int64())})
 
-    return (_events(sf_dir, ("ts", "user_id", "event_id"))
+    refs = (_events(sf_dir, ("ts", "user_id", "event_id"))
             .map_batches(prep, batch_format="pyarrow")
-            .groupby("user_id")
-            .map_groups(per_user, batch_format="pandas"))
+            .sort(["user_id", "ts_us", "event_id"])
+            .to_arrow_refs())
+
+    @ray.remote(num_cpus=0.5, num_returns=2)
+    def block_sessionize(tb: pa.Table):
+        """ONE heavy pass per block: the local session table (user_id,
+        local per-user ordinal, n, start, end — session-count-sized, kept
+        in the object store) and the O(1) boundary meta the driver stitch
+        needs, as two return objects so the driver gathers only meta."""
+        if tb.num_rows == 0 or "user_id" not in tb.column_names:
+            return _SESS_SCHEMA.empty_table(), None
+        u = tb["user_id"].to_numpy(zero_copy_only=False)
+        ts = tb["ts_us"].to_numpy(zero_copy_only=False)
+        new = np.ones(len(u), dtype=bool)
+        new[1:] = (u[1:] != u[:-1]) | ((ts[1:] - ts[:-1]) > gap_us)
+        n_sess = int(new.sum())
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(u)) - 1
+        su = u[starts]
+        run_first = np.ones(n_sess, dtype=bool)
+        run_first[1:] = su[1:] != su[:-1]
+        run_id = np.cumsum(run_first) - 1
+        first_pos = np.flatnonzero(run_first)
+        local_idx = np.arange(n_sess) - first_pos[run_id]
+        sess = pa.table({
+            "user_id": pa.array(su, pa.int64()),
+            "session_idx": pa.array(local_idx, pa.int64()),  # LOCAL idx
+            "n_events": pa.array(ends - starts + 1, pa.int64()),
+            "start_us": pa.array(ts[starts], pa.int64()),
+            "end_us": pa.array(ts[ends], pa.int64())})
+        fu, lu = int(u[0]), int(u[-1])
+        meta = {"fu": fu, "fu_ts": int(ts[0]), "lu": lu,
+                "lu_ts": int(ts[-1]), "n_sess": n_sess,
+                "n_fu": int((su == fu).sum()), "n_lu": int((su == lu).sum()),
+                "first": (int(ts[starts[0]]), int(ts[ends[0]]),
+                          int(ends[0] - starts[0] + 1)),
+                "last": (int(ts[starts[-1]]), int(ts[ends[-1]]),
+                         int(ends[-1] - starts[-1] + 1))}
+        return sess, meta
+
+    ret = [block_sessionize.remote(r) for r in refs]
+    sess_refs = [r[0] for r in ret]
+    metas = ray.get([r[1] for r in ret])
+    live = [(i, m) for i, m in enumerate(metas) if m is not None]
+
+    # ---- O(blocks) driver stitch: merge flags, per-block user offsets,
+    # and the chain-merged boundary sessions
+    drop_first = {i: False for i, _ in live}
+    drop_last = {i: False for i, _ in live}
+    offs: dict[int, dict[int, int]] = {i: {} for i, _ in live}
+    merged_rows: list[tuple[int, int, int, int, int]] = []
+
+    carry_user: "int | None" = None
+    completed = 0          # fully closed sessions of carry_user so far
+    open_frag: "tuple[int, int, int] | None" = None  # (start, end, n)
+    open_multi = False     # does open_frag span >1 block
+    open_src: "int | None" = None  # block owning the first fragment
+
+    def _close_open():
+        nonlocal open_frag, open_multi, open_src
+        if open_frag is not None and open_multi:
+            merged_rows.append((carry_user, completed, open_frag[2],
+                                open_frag[0], open_frag[1]))
+        open_frag, open_multi, open_src = None, False, None
+
+    for i, m in live:
+        merged_here = False
+        if carry_user is not None:
+            if (m["fu"] == carry_user
+                    and m["fu_ts"] - open_frag[1] <= gap_us):
+                # block i's first session continues the open session
+                merged_here = True
+                drop_first[i] = True
+                if not open_multi:
+                    drop_last[open_src] = True
+                    open_multi = True
+                fs = m["first"]
+                open_frag = (open_frag[0], fs[1], open_frag[2] + fs[2])
+                offs[i][m["fu"]] = completed
+            else:
+                _close_open()
+                if m["fu"] == carry_user:
+                    offs[i][m["fu"]] = completed + 1
+        if merged_here and (m["fu"] != m["lu"] or m["n_sess"] > 1):
+            # the merged session closed inside block i
+            _close_open()
+        # open candidate: block i's last session
+        base_lu = offs[i].get(m["lu"], 0)
+        offs[i][m["lu"]] = base_lu
+        new_completed = base_lu + m["n_lu"] - 1
+        if open_frag is None:
+            open_frag = m["last"]
+            open_src = i
+            open_multi = False
+        carry_user = m["lu"]
+        completed = new_completed
+    _close_open()
+
+    @ray.remote(num_cpus=0.25)
+    def patch(sess: pa.Table, dfirst: bool, dlast: bool,
+              off: dict) -> pa.Table:
+        """TINY pass over the session-count-sized wave-1 table: apply the
+        boundary drops and per-user global offsets the stitch decided."""
+        n = sess.num_rows
+        if n == 0:
+            return sess
+        su = sess["user_id"].to_numpy(zero_copy_only=False)
+        gidx = (sess["session_idx"].to_numpy(zero_copy_only=False)
+                + np.array([off.get(int(x), 0) for x in su],
+                           dtype=np.int64))
+        keep = np.ones(n, dtype=bool)
+        if dfirst:
+            keep[0] = False
+        if dlast and (n > 1 or not dfirst):
+            keep[-1] = False
+        return pa.table({
+            "user_id": pa.array(su[keep], pa.int64()),
+            "session_idx": pa.array(gidx[keep], pa.int64()),
+            "n_events": sess["n_events"].filter(pa.array(keep)),
+            "start_us": sess["start_us"].filter(pa.array(keep)),
+            "end_us": sess["end_us"].filter(pa.array(keep))})
+
+    out_refs = [patch.remote(s, drop_first.get(i, False),
+                             drop_last.get(i, False), offs.get(i, {}))
+                for i, s in enumerate(sess_refs)]
+    mtbl = pa.table({
+        "user_id": pa.array([r[0] for r in merged_rows], pa.int64()),
+        "session_idx": pa.array([r[1] for r in merged_rows], pa.int64()),
+        "n_events": pa.array([r[2] for r in merged_rows], pa.int64()),
+        "start_us": pa.array([r[3] for r in merged_rows], pa.int64()),
+        "end_us": pa.array([r[4] for r in merged_rows], pa.int64())})
+    return rd.from_arrow_refs(out_refs).union(rd.from_arrow(mtbl))
 
 
 def asof_join(sf_dir: str, left_type: str = "purchase",
@@ -496,30 +630,87 @@ def user_gap_stats(sf_dir: str) -> rd.Dataset:
     per user (lag-window diff) — the cadence profile behind bot scoring
     and session-gap tuning.  All outputs exact int64 microseconds.
 
-    Same partitioning contract as sessionize: groupby(user_id) with an
-    in-group sort; one user's events fit one group (user-keyed logs)."""
-
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts_us", "event_id"])
-        ts = g["ts_us"].to_numpy()
-        gaps = ts[1:] - ts[:-1]
-        return pd.DataFrame({
-            "user_id": [g["user_id"].iloc[0]],
-            "n_gaps": np.array([len(gaps)], dtype="int64"),
-            "sum_gap_us": np.array([gaps.sum() if len(gaps) else 0],
-                                   dtype="int64"),
-            "max_gap_us": np.array([gaps.max() if len(gaps) else 0],
-                                   dtype="int64")})
+    Scale shape — HOT-USER SAFE (the sessionize sorted-block pattern, no
+    per-user group): consecutive gaps are local to the (user, ts,
+    event_id)-sorted order, so each range-partitioned block computes its
+    users' partial (n_gaps, sum_gap, max_gap) vectorized, the driver
+    contributes the O(blocks) block-boundary gaps (a cut inside one
+    user's run), and one user-keyed ``hash_agg`` folds the partials —
+    all three stats are decomposable (sum/telescoping, count, max)."""
+    import ray
 
     def prep(t: pa.Table) -> pa.Table:
         return pa.table({"user_id": t["user_id"],
                          "event_id": t["event_id"],
                          "ts_us": t["ts"].cast(pa.int64())})
 
-    return (_events(sf_dir, ("ts", "user_id", "event_id"))
+    refs = (_events(sf_dir, ("ts", "user_id", "event_id"))
             .map_batches(prep, batch_format="pyarrow")
-            .groupby("user_id")
-            .map_groups(per_user, batch_format="pandas"))
+            .sort(["user_id", "ts_us", "event_id"])
+            .to_arrow_refs())
+
+    _GAP_SCHEMA = pa.schema([
+        ("user_id", pa.int64()), ("p_n", pa.int64()),
+        ("p_sum", pa.int64()), ("p_max", pa.int64())])
+
+    @ray.remote(num_cpus=0.5, num_returns=2)
+    def block_partial(tb: pa.Table):
+        """((user, n, sum, max) partial rows, (fu, fu_ts, lu, lu_ts)) as
+        TWO return objects: the driver gathers only the O(1) bounds; the
+        partial tables stay in the object store (from_arrow_refs)."""
+        if tb.num_rows == 0 or "user_id" not in tb.column_names:
+            return _GAP_SCHEMA.empty_table(), None
+        u = tb["user_id"].to_numpy(zero_copy_only=False)
+        ts = tb["ts_us"].to_numpy(zero_copy_only=False)
+        same = np.zeros(len(u), dtype=bool)
+        same[1:] = u[1:] == u[:-1]
+        gaps = np.zeros(len(u), dtype=np.int64)
+        gaps[1:] = ts[1:] - ts[:-1]
+        # per-user partial over this block's in-run gaps
+        gu = u[same]
+        gg = gaps[same]
+        users = np.unique(u)
+        out = {"user_id": [], "p_n": [], "p_sum": [], "p_max": []}
+        if len(gu):
+            import pandas as _pd
+            agg = (_pd.DataFrame({"u": gu, "g": gg}).groupby("u")["g"]
+                   .agg(["size", "sum", "max"]))
+            have = set(agg.index)
+        else:
+            agg, have = None, set()
+        for usr in users:
+            out["user_id"].append(int(usr))
+            if usr in have:
+                row = agg.loc[usr]
+                out["p_n"].append(int(row["size"]))
+                out["p_sum"].append(int(row["sum"]))
+                out["p_max"].append(int(row["max"]))
+            else:
+                out["p_n"].append(0)
+                out["p_sum"].append(0)
+                out["p_max"].append(0)
+        tbl = pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
+        return tbl, (int(u[0]), int(ts[0]), int(u[-1]), int(ts[-1]))
+
+    ret = [block_partial.remote(r) for r in refs]
+    tbl_refs = [r[0] for r in ret]
+    bounds = [b for b in ray.get([r[1] for r in ret]) if b is not None]
+    # O(blocks) boundary gaps: a block cut inside one user's run
+    brows = {"user_id": [], "p_n": [], "p_sum": [], "p_max": []}
+    for (_, _, lu, lu_ts), (fu, fu_ts, _, _) in zip(bounds, bounds[1:]):
+        if lu == fu:
+            g = fu_ts - lu_ts
+            brows["user_id"].append(lu)
+            brows["p_n"].append(1)
+            brows["p_sum"].append(g)
+            brows["p_max"].append(g)
+    btbl = pa.table({k: pa.array(v, pa.int64()) for k, v in brows.items()})
+
+    partials = rd.from_arrow_refs(tbl_refs).union(rd.from_arrow(btbl))
+    return hash_agg(partials, "user_id",
+                    [("p_n", "sum", "n_gaps"),
+                     ("p_sum", "sum", "sum_gap_us"),
+                     ("p_max", "max", "max_gap_us")])
 
 
 def last_touch(sf_dir: str) -> rd.Dataset:

@@ -78,3 +78,106 @@ def test_per_host_round_cap_bounds_and_preserves_output(fixture_corpus,
         b = sorted((r["seed_id"], r["rank"], r["jsonl"])
                    for r in res_cap.records.take_all())
         assert a == b
+
+
+# --------------------------------------------------- hot-USER event skew
+# (VERDICT r4 item 6: per-user operators must not serialize a bot user
+# holding ~10% of all events onto one task)
+
+def _hot_user_corpus(tmp_path, n=20_000, hot_share=0.10, n_users=50):
+    """events.parquet where user 7 owns ``hot_share`` of all events,
+    timestamps interleaved so sessions/gaps are nontrivial."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(42)
+    n_hot = int(n * hot_share)
+    users = np.concatenate([
+        np.full(n_hot, 7, dtype=np.int64),
+        rng.integers(100, 100 + n_users, size=n - n_hot, dtype=np.int64)])
+    rng.shuffle(users)
+    # gaps drawn around the 1800 s session threshold
+    ts = np.cumsum(rng.integers(1, 3_600_000_000, size=n)) \
+        + 1_600_000_000_000_000
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array(users),
+        "event_type": pa.array(["view"] * n),
+        "value": pa.array(np.ones(n)),
+        "props": pa.array(["{}"] * n),
+    })
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    return str(tmp_path), tbl
+
+
+def _serial_sessions(tbl, gap_s=1800):
+    import numpy as np
+    import pandas as pd
+
+    df = (tbl.select(["user_id", "ts", "event_id"]).to_pandas())
+    df["ts_us"] = df["ts"].astype("int64")
+    out = []
+    for uid, g in df.groupby("user_id"):
+        g = g.sort_values(["ts_us", "event_id"])
+        ts = g["ts_us"].to_numpy()
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = (ts[1:] - ts[:-1]) > gap_s * 1_000_000
+        sess = np.cumsum(new) - 1
+        for s in range(sess[-1] + 1):
+            m = sess == s
+            out.append((uid, s, int(m.sum()), int(ts[m].min()),
+                        int(ts[m].max())))
+    return sorted(out)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sessionize_hot_user_block_distributed(tmp_path):
+    """sessionize must produce the exact serial answer when one user owns
+    10% of events AND the sorted stream is split into many small blocks
+    (so the hot user spans multiple blocks and every boundary-stitch path
+    — merge, chain, numbering offsets — is exercised)."""
+    import ray.data as rd
+    from ray.data.context import DataContext
+
+    sf_dir, tbl = _hot_user_corpus(tmp_path)
+    from go_scrapper_ray.pipelines import events
+
+    old = DataContext.get_current().target_max_block_size
+    DataContext.get_current().target_max_block_size = 64 * 1024  # many blocks
+    try:
+        got = sorted(
+            (r["user_id"], r["session_idx"], r["n_events"], r["start_us"],
+             r["end_us"]) for r in events.sessionize(sf_dir).take_all())
+    finally:
+        DataContext.get_current().target_max_block_size = old
+    assert got == _serial_sessions(tbl)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_gap_stats_hot_user_block_distributed(tmp_path):
+    """user_gap_stats decomposable partials + boundary gaps must equal the
+    serial per-user answer under the same hot-user many-block regime."""
+    import numpy as np
+    from ray.data.context import DataContext
+
+    sf_dir, tbl = _hot_user_corpus(tmp_path)
+    from go_scrapper_ray.pipelines import events
+
+    old = DataContext.get_current().target_max_block_size
+    DataContext.get_current().target_max_block_size = 64 * 1024
+    try:
+        got = {r["user_id"]: (r["n_gaps"], r["sum_gap_us"], r["max_gap_us"])
+               for r in events.user_gap_stats(sf_dir).take_all()}
+    finally:
+        DataContext.get_current().target_max_block_size = old
+
+    df = tbl.select(["user_id", "ts", "event_id"]).to_pandas()
+    df["ts_us"] = df["ts"].astype("int64")
+    for uid, g in df.groupby("user_id"):
+        ts = g.sort_values(["ts_us", "event_id"])["ts_us"].to_numpy()
+        gaps = ts[1:] - ts[:-1]
+        want = (len(gaps), int(gaps.sum()) if len(gaps) else 0,
+                int(gaps.max()) if len(gaps) else 0)
+        assert got[uid] == want, uid
