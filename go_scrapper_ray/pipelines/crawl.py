@@ -670,13 +670,15 @@ class CrawlEngine:
         tbl = self._seeds_tbl
         nseen = len(self.seen)
         ncpu = int(ray.cluster_resources().get("CPU", 8))
-        # ~3000 rows/chunk: the canon kernel is ~25 us/row, so a chunk is
-        # ~75 ms of compute — fine-grained enough to pack ncpu cores, while
-        # keeping the submit fan-out (nchunks x nshards actor RPCs, each
-        # ~1-2 ms serialize+dispatch on 4 serial actor mailboxes) off the
-        # intake critical path (32 chunks measured 0.84 s ik_chunks; the
-        # RPC churn, not the canon compute, dominated)
-        nchunks = max(1, min(max(8, ncpu), tbl.num_rows // 3000 + 1))
+        # ~6000 rows/chunk, capped at ncpu//2: the canon kernel is
+        # ~25 us/row (~150 ms compute per chunk), and the submit fan-out
+        # (nchunks x nshards actor RPCs on the serial seen-shard
+        # mailboxes) is what actually bounds the wave — at 96k seeds /
+        # 32 cpus, 32 chunks measured ik_chunks 0.73-0.74 s vs 0.50-0.59 s
+        # at 16 (round-5 A/B, three runs each): the RPC churn, not the
+        # canon compute, dominates past ncpu//2 chunks
+        nchunks = int(os.environ.get("GSR_IK_CHUNKS", 0)) or \
+            max(1, min(max(8, ncpu // 2), tbl.num_rows // 6000 + 1))
         t0 = self._t("ik_read", t0)
         import numpy as np
         edges = np.linspace(0, tbl.num_rows, nchunks + 1).astype(int)
