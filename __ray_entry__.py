@@ -286,6 +286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_label_separation": similarity.label_separation,  # pair dist audit
         "emb_ivf_assign": similarity.ivf_assign,
         "emb_lsh_code": similarity.lsh_code,
+        "emb_rp_sketch": similarity.rp_sketch,  # JL sign projection
         "docs_pagerank": graph.pagerank,
         "docs_hits": graph.hits,                      # hub/authority sweep
         "events_window_users": events.window_users,   # exact distinct/window
@@ -814,6 +815,31 @@ def _lsh_code_sql(n_tables: int, n_bits: int, dims: int) -> str:
                    sum(CASE WHEN dot >= 0
                             THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS code
             FROM dots GROUP BY 1, 2"""
+
+
+def _rp_sketch_sql(k: int, dims: int) -> str:
+    """DuckDB twin of similarity.rp_sketch (md5-parity ±1 sign projection,
+    salt "rp_", table index fixed at 0; exact int64 sums over the
+    1/1000-quantized components)."""
+    return f"""
+            WITH q AS (SELECT vec_id,
+                         list_transform(embedding,
+                           x -> CAST(round(CAST(x AS DOUBLE) * 1000)
+                                     AS BIGINT)) AS qv
+                       FROM embeddings),
+                 sgn AS (SELECT r2.range AS j, r3.range AS d,
+                           CASE WHEN md5_number_upper('rp_0_' ||
+                                  r2.range::VARCHAR || '_' ||
+                                  r3.range::VARCHAR) % 2 = 0
+                                THEN 1 ELSE -1 END AS sg
+                         FROM range({k}) r2, range({dims}) r3),
+                 comp AS (SELECT vec_id,
+                            generate_subscripts(qv, 1) - 1 AS d,
+                            unnest(qv) AS v
+                          FROM q)
+            SELECT c.vec_id, sgn.j::BIGINT AS comp,
+                   sum(sgn.sg * c.v)::BIGINT AS s
+            FROM comp c JOIN sgn USING (d) GROUP BY 1, 2"""
 
 
 def _ivf_assign_sql(n_centroids: int) -> str:
@@ -1983,6 +2009,9 @@ def oracle_sql() -> dict[str, str]:
             _sig_default(similarity.lsh_code, "n_tables"),
             _sig_default(similarity.lsh_code, "n_bits"),
             _sig_default(similarity.lsh_code, "dims")),
+        "emb_rp_sketch": _rp_sketch_sql(
+            _sig_default(similarity.rp_sketch, "k"),
+            _sig_default(similarity.rp_sketch, "dims")),
         "emb_ivf_assign": _ivf_assign_sql(
             _sig_default(similarity.ivf_assign, "n_centroids")),
         "emb_label_separation": """

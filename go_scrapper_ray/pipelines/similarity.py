@@ -758,6 +758,41 @@ def lsh_code(sf_dir: str, n_tables: int = 4, n_bits: int = 8,
     return _emb(sf_dir).map_batches(kernel, batch_format="pyarrow")
 
 
+RP_SALT = "rp_"  # distinct plane family from lsh_code's and knn_lsh's
+
+
+def rp_sketch(sf_dir: str, k: int = 16, dims: int = EMB_DIMS) -> rd.Dataset:
+    """(vec_id, comp, s): deterministic ±1 random-projection sketch — each
+    vector reduced to ``k`` EXACT integer components s_j = Σ_d sign(j,d)·q_d
+    over the 1/1000-quantized vector (signs = md5-parity family, salt
+    "rp_" — the Achlioptas/JL sign projection in reproducible integer
+    arithmetic).  The dimensionality-reduction step before ANN indexing
+    or sketch-space clustering: distances in sketch space approximate
+    scaled distances in embedding space, and because both sides compute
+    the identical int64 sums the sketch is strict-hash SQL-checkable.
+
+    Scale shape: the (k × dims) sign matrix is constant broadcast state;
+    one streaming map_batches with a vectorized integer matmul — no
+    shuffle, no driver state."""
+    S = _pm1_planes(1, k, dims, RP_SALT)[0]  # (k, dims) ±1 int64
+    s_ref = ray.put(S)
+
+    def kernel(t: pa.Table) -> pa.Table:
+        sg = ray.get(s_ref)
+        M = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        Q = _quant1000(M)
+        sk = Q @ sg.T                                   # (n, k) int64 exact
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kk = sg.shape[0]
+        return pa.table({
+            "vec_id": pa.array(np.repeat(ids, kk), pa.int64()),
+            "comp": pa.array(np.tile(np.arange(kk, dtype=np.int64),
+                                     len(ids)), pa.int64()),
+            "s": pa.array(sk.reshape(-1), pa.int64())})
+
+    return _emb(sf_dir).map_batches(kernel, batch_format="pyarrow")
+
+
 def label_centroids(sf_dir: str) -> rd.Dataset:
     """(label, dim, q_sum, n_vecs): per-label centroid of the embedding
     column in QUANTIZED integer space (components rounded half-away to
