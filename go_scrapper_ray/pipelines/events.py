@@ -211,6 +211,61 @@ def sessionize(sf_dir: str, gap_s: int = 1800) -> rd.Dataset:
     return rd.from_arrow_refs(out_refs).union(rd.from_arrow(mtbl))
 
 
+import ray as _ray_mod
+
+
+@_ray_mod.remote(num_cpus=0.25)
+def _block_bounds(tb: pa.Table):
+    """(fu, fu_ts, lu, lu_ts) of a (user, ts, event_id)-sorted block —
+    the O(1) metadata the sorted-block context walks run on."""
+    if tb.num_rows == 0 or "user_id" not in tb.column_names:
+        return None
+    u = tb["user_id"].to_numpy(zero_copy_only=False)
+    ts = tb["ts_us"].to_numpy(zero_copy_only=False)
+    return (int(u[0]), int(ts[0]), int(u[-1]), int(ts[-1]))
+
+
+def _back_window_ctx(live: list[int], bounds: dict,
+                     window_us: int) -> dict[int, list[int]]:
+    """Back-window context per block: the contiguous run of EARLIER
+    blocks that can still hold rows of this block's first user within
+    ``window_us`` of its first row.  Within one user the stream is
+    ts-sorted across blocks, so the walk stops at the first earlier
+    block whose last ts falls below the bound.  O(blocks) total."""
+    out: dict[int, list[int]] = {i: [] for i in live}
+    for pos, i in enumerate(live):
+        fu, fu_ts, _lu, _lts = bounds[i]
+        lob = fu_ts - window_us
+        js: list[int] = []
+        for j in reversed(live[:pos]):
+            fu_j, _fts_j, lu_j, lts_j = bounds[j]
+            if lu_j != fu or lts_j < lob:
+                break
+            js.append(j)
+            if fu_j != fu:  # block j starts a different user: run ends
+                break
+        out[i] = list(reversed(js))
+    return out
+
+
+def _fwd_eq_ctx(live: list[int], bounds: dict) -> dict[int, list[int]]:
+    """Forward equal-ts context per block: the contiguous run of LATER
+    blocks that start with the same (user, ts) this block ends on — the
+    only place same-ts peers of a block's tail rows can hide (the stream
+    is (user, ts, event_id)-sorted).  O(blocks) total."""
+    out: dict[int, list[int]] = {i: [] for i in live}
+    for pos, i in enumerate(live):
+        _fu, _fts, lu, lts = bounds[i]
+        for j in live[pos + 1:]:
+            fu_j, fts_j, lu_j, lts_j = bounds[j]
+            if fu_j != lu or fts_j != lts:
+                break
+            out[i].append(j)
+            if lu_j != lu or lts_j != lts:  # run ends inside j
+                break
+    return out
+
+
 def asof_join(sf_dir: str, left_type: str = "purchase",
               right_type: str = "click") -> rd.Dataset:
     """(event_id, user_id, ts_us, prior_event_id, prior_ts_us, gap_us):
@@ -218,56 +273,129 @@ def asof_join(sf_dir: str, left_type: str = "purchase",
     `right_type` event at-or-before it (ties on ts broken by max event_id).
     Lefts with no prior right are dropped (inner as-of).
 
-    Ray Data has no as-of join primitive; this is the documented
-    composition: filter both sides in one pass, groupby(user_id), and a
-    vectorized sorted-searchsorted merge inside map_groups.  Partitioning
-    assumption: one user's events fit one group (true for user-keyed web
-    logs; a hot user would need ts-range sub-splitting)."""
+    Ray Data has no as-of join primitive.  Scale shape — HOT-USER SAFE
+    (the sessionize sorted-block pattern): one range-partitioned sort on
+    (user, ts, event_id); each block matches its own lefts vectorized;
+    the ONLY cross-block state is (a) the latest earlier-block right of
+    the block's first user — a single row the driver chains through
+    O(blocks) metadata — and (b) same-ts peer rights in the forward
+    equal-(user, ts) run (a right with the left's exact ts but a larger
+    event_id can land in the next block)."""
+    import ray
 
     def prep(t: pa.Table) -> pa.Table:
         keep = pc.is_in(t["event_type"],
                         value_set=pa.array([left_type, right_type]))
         t = t.filter(keep)
         return pa.table({
-            "event_id": t["event_id"],
             "user_id": t["user_id"],
             "ts_us": t["ts"].cast(pa.int64()),
+            "event_id": t["event_id"],
             "is_left": pc.equal(t["event_type"], left_type),
         })
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        left = g[g["is_left"]].sort_values(["ts_us", "event_id"])
-        right = g[~g["is_left"]].sort_values(["ts_us", "event_id"])
-        if not len(left) or not len(right):
-            return pd.DataFrame({
-                "event_id": pd.Series([], dtype=np.int64),
-                "user_id": pd.Series([], dtype=np.int64),
-                "ts_us": pd.Series([], dtype=np.int64),
-                "prior_event_id": pd.Series([], dtype=np.int64),
-                "prior_ts_us": pd.Series([], dtype=np.int64),
-                "gap_us": pd.Series([], dtype=np.int64),
-            })
-        r_ts = right["ts_us"].to_numpy()
-        # last right with ts <= left ts; rights sorted by (ts, event_id) so
-        # that element is also the max event_id among equal-ts candidates
-        idx = np.searchsorted(r_ts, left["ts_us"].to_numpy(),
-                              side="right") - 1
-        hit = idx >= 0
-        left = left[hit]
-        idx = idx[hit]
-        return pd.DataFrame({
-            "event_id": left["event_id"].to_numpy(),
-            "user_id": left["user_id"].to_numpy(),
-            "ts_us": left["ts_us"].to_numpy(),
-            "prior_event_id": right["event_id"].to_numpy()[idx],
-            "prior_ts_us": r_ts[idx],
-            "gap_us": left["ts_us"].to_numpy() - r_ts[idx],
-        })
-
-    return (_events(sf_dir, ("ts", "user_id", "event_id", "event_type"))
+    refs = (_events(sf_dir, ("ts", "user_id", "event_id", "event_type"))
             .map_batches(prep, batch_format="pyarrow")
-            .groupby("user_id")
-            .map_groups(per_user, batch_format="pandas"))
+            .sort(["user_id", "ts_us", "event_id"])
+            .to_arrow_refs())
+
+    @ray.remote(num_cpus=0.25)
+    def meta(tb: pa.Table):
+        """(fu, fu_ts, lu, lu_ts, lr_ts, lr_eid): block bounds + the last
+        RIGHT row of the block's last user (None sentinel -1)."""
+        if tb.num_rows == 0 or "user_id" not in tb.column_names:
+            return None
+        u = tb["user_id"].to_numpy(zero_copy_only=False)
+        ts = tb["ts_us"].to_numpy(zero_copy_only=False)
+        eid = tb["event_id"].to_numpy(zero_copy_only=False)
+        il = tb["is_left"].to_numpy(zero_copy_only=False)
+        lu = int(u[-1])
+        rmask = (u == lu) & ~il
+        if rmask.any():
+            last = np.flatnonzero(rmask)[-1]
+            lr = (int(ts[last]), int(eid[last]))
+        else:
+            lr = None
+        return (int(u[0]), int(ts[0]), lu, int(ts[-1]), lr)
+
+    metas = ray.get([meta.remote(r) for r in refs])
+    live = [i for i, m in enumerate(metas) if m is not None]
+    bounds = {i: metas[i][:4] for i in live}
+    fwd = _fwd_eq_ctx(live, bounds)
+
+    # chain the latest-right carry through the sorted block sequence
+    carry_in: dict[int, "tuple[int, int] | None"] = {}
+    carry: "tuple[int, int] | None" = None
+    carry_user: "int | None" = None
+    for i in live:
+        fu, _fts, lu, _lts, lr = metas[i]
+        carry_in[i] = carry if carry_user == fu else None
+        if lr is not None:
+            carry, carry_user = lr, lu
+        elif not (fu == lu and carry_user == lu):
+            carry, carry_user = None, lu
+
+    _OUT = pa.schema([
+        ("event_id", pa.int64()), ("user_id", pa.int64()),
+        ("ts_us", pa.int64()), ("prior_event_id", pa.int64()),
+        ("prior_ts_us", pa.int64()), ("gap_us", pa.int64())])
+
+    @ray.remote(num_cpus=0.5)
+    def block_asof(tb: pa.Table, cin, fu, lu, lts, *fwd_blocks) -> pa.Table:
+        if tb.num_rows == 0 or "user_id" not in tb.column_names:
+            return _OUT.empty_table()
+        u = tb["user_id"].to_numpy(zero_copy_only=False)
+        ts = tb["ts_us"].to_numpy(zero_copy_only=False)
+        eid = tb["event_id"].to_numpy(zero_copy_only=False)
+        il = tb["is_left"].to_numpy(zero_copy_only=False)
+        # forward same-(user, ts) peer rights from the run blocks
+        f_ts, f_eid = [], []
+        for fb in fwd_blocks:
+            fu_b = fb["user_id"].to_numpy(zero_copy_only=False)
+            ft = fb["ts_us"].to_numpy(zero_copy_only=False)
+            m = (fu_b == lu) & (ft == lts) & \
+                ~fb["is_left"].to_numpy(zero_copy_only=False)
+            f_ts.append(ft[m])
+            f_eid.append(fb["event_id"].to_numpy(zero_copy_only=False)[m])
+        cols = {k: [] for k in ("event_id", "user_id", "ts_us",
+                                "prior_event_id", "prior_ts_us", "gap_us")}
+        seg_starts = np.flatnonzero(
+            np.concatenate(([True], u[1:] != u[:-1])))
+        seg_ends = np.append(seg_starts[1:], len(u))
+        for s, e in zip(seg_starts, seg_ends):
+            usr = int(u[s])
+            lm = il[s:e]
+            l_ts, l_eid = ts[s:e][lm], eid[s:e][lm]
+            r_ts, r_eid = ts[s:e][~lm], eid[s:e][~lm]
+            if usr == fu and cin is not None:
+                r_ts = np.concatenate(([cin[0]], r_ts))
+                r_eid = np.concatenate(([cin[1]], r_eid))
+            if usr == lu and f_ts:
+                r_ts = np.concatenate([r_ts] + f_ts)
+                r_eid = np.concatenate([r_eid] + f_eid)
+            if not len(l_ts) or not len(r_ts):
+                continue
+            idx = np.searchsorted(r_ts, l_ts, side="right") - 1
+            hit = idx >= 0
+            idx = idx[hit]
+            cols["event_id"].append(l_eid[hit])
+            cols["user_id"].append(np.full(int(hit.sum()), usr, np.int64))
+            cols["ts_us"].append(l_ts[hit])
+            cols["prior_event_id"].append(r_eid[idx])
+            cols["prior_ts_us"].append(r_ts[idx])
+            cols["gap_us"].append(l_ts[hit] - r_ts[idx])
+        if not cols["event_id"]:
+            return _OUT.empty_table()
+        return pa.table({k: pa.array(np.concatenate(v), pa.int64())
+                         for k, v in cols.items()})
+
+    out_refs = [block_asof.remote(refs[i], carry_in[i], metas[i][0],
+                                  metas[i][2], metas[i][3],
+                                  *[refs[j] for j in fwd[i]])
+                for i in live]
+    if not out_refs:
+        return rd.from_arrow(_OUT.empty_table())
+    return rd.from_arrow_refs(out_refs)
 
 
 def top_users_by_value(sf_dir: str, n: int = 10) -> rd.Dataset:
@@ -337,10 +465,19 @@ def range_join(sf_dir: str, window_s: int = 3600) -> rd.Dataset:
     """(event_id, user_id, ts_us, n_clicks_1h, click_cents_1h): per-user
     RANGE JOIN — each purchase joined to the clicks in the preceding
     ``window_s`` half-open window [ts - window_s, ts).  Ray Data has no
-    range-join primitive; composition: one filtered pass over both sides,
-    groupby(user_id), and an in-group vectorized prefix-sum + two
-    searchsorted probes (O((n+m) log m) per user, no pairwise blow-up).
-    Partitioning assumption: one user's events fit one group."""
+    range-join primitive.
+
+    Scale shape — HOT-USER SAFE (the sessionize sorted-block pattern):
+    one range-partitioned sort on (user, ts, event_id); each block
+    range-joins its own purchases vectorized (per-segment prefix-sum +
+    two searchsorted probes); the only cross-block input is the BACK
+    window context — clicks of the block's first user within
+    ``window_s`` of its first row, pulled zero-copy from the contiguous
+    run of earlier same-user blocks the driver identifies from O(blocks)
+    bounds.  The window is half-open, so no forward peers exist."""
+    import ray
+
+    W = window_s * 1_000_000
 
     def prep(t: pa.Table) -> pa.Table:
         keep = pc.is_in(t["event_type"],
@@ -348,33 +485,80 @@ def range_join(sf_dir: str, window_s: int = 3600) -> rd.Dataset:
         t = t.filter(keep)
         cents = pc.round(pc.multiply(t["value"], 100),
                          round_mode="half_towards_infinity").cast(pa.int64())
-        return pa.table({"event_id": t["event_id"],
-                         "user_id": t["user_id"],
+        return pa.table({"user_id": t["user_id"],
                          "ts_us": t["ts"].cast(pa.int64()),
+                         "event_id": t["event_id"],
                          "is_left": pc.equal(t["event_type"], "purchase"),
                          "cents": cents})
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        left = g[g["is_left"]]
-        right = g[~g["is_left"]].sort_values(["ts_us", "event_id"])
-        l_ts = left["ts_us"].to_numpy()
-        r_ts = right["ts_us"].to_numpy()
-        pref = np.concatenate(([0], np.cumsum(right["cents"].to_numpy())))
-        lo = np.searchsorted(r_ts, l_ts - window_s * 1_000_000, side="left")
-        hi = np.searchsorted(r_ts, l_ts, side="left")
-        return pd.DataFrame({
-            "event_id": left["event_id"].to_numpy(),
-            "user_id": left["user_id"].to_numpy(),
-            "ts_us": l_ts,
-            "n_clicks_1h": (hi - lo).astype(np.int64),
-            "click_cents_1h": pref[hi] - pref[lo],
-        })
-
-    return (_events(sf_dir, ("ts", "user_id", "event_id", "event_type",
+    refs = (_events(sf_dir, ("ts", "user_id", "event_id", "event_type",
                              "value"))
             .map_batches(prep, batch_format="pyarrow")
-            .groupby("user_id")
-            .map_groups(per_user, batch_format="pandas"))
+            .sort(["user_id", "ts_us", "event_id"])
+            .to_arrow_refs())
+
+    bounds_l = ray.get([_block_bounds.remote(r) for r in refs])
+    live = [i for i, b in enumerate(bounds_l) if b is not None]
+    bounds = {i: bounds_l[i] for i in live}
+    back = _back_window_ctx(live, bounds, W)
+
+    _OUT = pa.schema([
+        ("event_id", pa.int64()), ("user_id", pa.int64()),
+        ("ts_us", pa.int64()), ("n_clicks_1h", pa.int64()),
+        ("click_cents_1h", pa.int64())])
+
+    @ray.remote(num_cpus=0.5)
+    def block_range(tb: pa.Table, fu, fu_ts, *back_blocks) -> pa.Table:
+        if tb.num_rows == 0 or "user_id" not in tb.column_names:
+            return _OUT.empty_table()
+        # back-context clicks of the first user within its window
+        b_ts, b_cents = [], []
+        for bb in back_blocks:
+            bu = bb["user_id"].to_numpy(zero_copy_only=False)
+            bt = bb["ts_us"].to_numpy(zero_copy_only=False)
+            m = (bu == fu) & (bt >= fu_ts - W) & \
+                ~bb["is_left"].to_numpy(zero_copy_only=False)
+            b_ts.append(bt[m])
+            b_cents.append(bb["cents"].to_numpy(zero_copy_only=False)[m])
+        u = tb["user_id"].to_numpy(zero_copy_only=False)
+        ts = tb["ts_us"].to_numpy(zero_copy_only=False)
+        eid = tb["event_id"].to_numpy(zero_copy_only=False)
+        il = tb["is_left"].to_numpy(zero_copy_only=False)
+        cents = tb["cents"].to_numpy(zero_copy_only=False)
+        cols = {k: [] for k in ("event_id", "user_id", "ts_us",
+                                "n_clicks_1h", "click_cents_1h")}
+        seg_starts = np.flatnonzero(
+            np.concatenate(([True], u[1:] != u[:-1])))
+        seg_ends = np.append(seg_starts[1:], len(u))
+        for s, e in zip(seg_starts, seg_ends):
+            usr = int(u[s])
+            lm = il[s:e]
+            l_ts, l_eid = ts[s:e][lm], eid[s:e][lm]
+            if not len(l_ts):
+                continue
+            r_ts, r_c = ts[s:e][~lm], cents[s:e][~lm]
+            if usr == fu and b_ts:
+                r_ts = np.concatenate(b_ts + [r_ts])
+                r_c = np.concatenate(b_cents + [r_c])
+            pref = np.concatenate(([0], np.cumsum(r_c)))
+            lo = np.searchsorted(r_ts, l_ts - W, side="left")
+            hi = np.searchsorted(r_ts, l_ts, side="left")
+            cols["event_id"].append(l_eid)
+            cols["user_id"].append(np.full(len(l_ts), usr, np.int64))
+            cols["ts_us"].append(l_ts)
+            cols["n_clicks_1h"].append((hi - lo).astype(np.int64))
+            cols["click_cents_1h"].append(pref[hi] - pref[lo])
+        if not cols["event_id"]:
+            return _OUT.empty_table()
+        return pa.table({k: pa.array(np.concatenate(v), pa.int64())
+                         for k, v in cols.items()})
+
+    out_refs = [block_range.remote(refs[i], bounds[i][0], bounds[i][1],
+                                   *[refs[j] for j in back[i]])
+                for i in live]
+    if not out_refs:
+        return rd.from_arrow(_OUT.empty_table())
+    return rd.from_arrow_refs(out_refs)
 
 
 def daily_active(sf_dir: str) -> rd.Dataset:
@@ -501,35 +685,108 @@ def rolling_value(sf_dir: str, window_s: int = 3600) -> rd.Dataset:
     ``window_s`` seconds, RANGE semantics (all ts peers share one frame,
     exactly SQL's RANGE BETWEEN W PRECEDING AND CURRENT ROW).
 
-    Same per-user-fits-one-group partitioning assumption as sessionize;
-    inside the group everything is numpy: one cumsum and two vectorized
-    searchsorted passes, no per-row Python."""
+    Scale shape — HOT-USER SAFE (the sessionize sorted-block pattern):
+    one range-partitioned sort on (user, ts, event_id); each block
+    computes its own rows' trailing windows vectorized (per-segment
+    cumsum + two searchsorted probes); cross-block inputs are the BACK
+    window context of the first user and — because the window closes AT
+    ts (peers included) — the forward equal-(user, ts) run of the last
+    user, both pulled zero-copy from the O(blocks)-identified runs."""
+    import ray
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts_us", "event_id"])
-        ts = g["ts_us"].to_numpy()
-        csum = np.cumsum(g["cents"].to_numpy())
-        lo = np.searchsorted(ts, ts - window_s * 1_000_000, side="left")
-        hi = np.searchsorted(ts, ts, side="right")  # include ts peers
-        roll = csum[hi - 1] - np.where(lo > 0, csum[lo - 1], 0)
-        return pd.DataFrame({"event_id": g["event_id"].to_numpy(),
-                             "user_id": g["user_id"].to_numpy(),
-                             "ts_us": ts,
-                             "roll_cents": roll.astype(np.int64),
-                             "roll_n": (hi - lo).astype(np.int64)})
+    W = window_s * 1_000_000
 
     def prep(t: pa.Table) -> pa.Table:
         cents = pc.round(pc.multiply(t["value"], 100),
                          round_mode="half_towards_infinity").cast(pa.int64())
         return pa.table({"user_id": t["user_id"],
-                         "event_id": t["event_id"],
                          "ts_us": t["ts"].cast(pa.int64()),
+                         "event_id": t["event_id"],
                          "cents": cents})
 
-    return (_events(sf_dir, ("ts", "user_id", "event_id", "value"))
+    refs = (_events(sf_dir, ("ts", "user_id", "event_id", "value"))
             .map_batches(prep, batch_format="pyarrow")
-            .groupby("user_id")
-            .map_groups(per_user, batch_format="pandas"))
+            .sort(["user_id", "ts_us", "event_id"])
+            .to_arrow_refs())
+
+    bounds_l = ray.get([_block_bounds.remote(r) for r in refs])
+    live = [i for i, b in enumerate(bounds_l) if b is not None]
+    bounds = {i: bounds_l[i] for i in live}
+    back = _back_window_ctx(live, bounds, W)
+    fwd = _fwd_eq_ctx(live, bounds)
+
+    _OUT = pa.schema([
+        ("event_id", pa.int64()), ("user_id", pa.int64()),
+        ("ts_us", pa.int64()), ("roll_cents", pa.int64()),
+        ("roll_n", pa.int64())])
+
+    @ray.remote(num_cpus=0.5)
+    def block_roll(tb: pa.Table, fu, fu_ts, lu, lts,
+                   nback: int, *ctx_blocks) -> pa.Table:
+        if tb.num_rows == 0 or "user_id" not in tb.column_names:
+            return _OUT.empty_table()
+        back_blocks = ctx_blocks[:nback]
+        fwd_blocks = ctx_blocks[nback:]
+        b_ts, b_c = [], []
+        for bb in back_blocks:
+            bu = bb["user_id"].to_numpy(zero_copy_only=False)
+            bt = bb["ts_us"].to_numpy(zero_copy_only=False)
+            m = (bu == fu) & (bt >= fu_ts - W)
+            b_ts.append(bt[m])
+            b_c.append(bb["cents"].to_numpy(zero_copy_only=False)[m])
+        f_ts, f_c = [], []
+        for fb in fwd_blocks:
+            fu_b = fb["user_id"].to_numpy(zero_copy_only=False)
+            ft = fb["ts_us"].to_numpy(zero_copy_only=False)
+            m = (fu_b == lu) & (ft == lts)
+            f_ts.append(ft[m])
+            f_c.append(fb["cents"].to_numpy(zero_copy_only=False)[m])
+        u = tb["user_id"].to_numpy(zero_copy_only=False)
+        ts = tb["ts_us"].to_numpy(zero_copy_only=False)
+        eid = tb["event_id"].to_numpy(zero_copy_only=False)
+        cents = tb["cents"].to_numpy(zero_copy_only=False)
+        cols = {k: [] for k in ("event_id", "user_id", "ts_us",
+                                "roll_cents", "roll_n")}
+        seg_starts = np.flatnonzero(
+            np.concatenate(([True], u[1:] != u[:-1])))
+        seg_ends = np.append(seg_starts[1:], len(u))
+        for s, e in zip(seg_starts, seg_ends):
+            usr = int(u[s])
+            o_ts, o_c = ts[s:e], cents[s:e]
+            npre = 0
+            a_ts, a_c = o_ts, o_c
+            if usr == fu and b_ts:
+                pre_ts = np.concatenate(b_ts)
+                a_ts = np.concatenate([pre_ts, a_ts])
+                a_c = np.concatenate(b_c + [a_c])
+                npre = len(pre_ts)
+            if usr == lu and f_ts:
+                a_ts = np.concatenate([a_ts] + f_ts)
+                a_c = np.concatenate([a_c] + f_c)
+            csum = np.cumsum(a_c)
+            q_ts = o_ts  # windows computed for OWN rows only
+            lo = np.searchsorted(a_ts, q_ts - W, side="left")
+            hi = np.searchsorted(a_ts, q_ts, side="right")
+            roll = csum[hi - 1] - np.where(lo > 0, csum[lo - 1], 0)
+            cols["event_id"].append(eid[s:e])
+            cols["user_id"].append(np.full(e - s, usr, np.int64))
+            cols["ts_us"].append(o_ts)
+            cols["roll_cents"].append(roll.astype(np.int64))
+            cols["roll_n"].append((hi - lo).astype(np.int64))
+        if not cols["event_id"]:
+            return _OUT.empty_table()
+        return pa.table({k: pa.array(np.concatenate(v), pa.int64())
+                         for k, v in cols.items()})
+
+    out_refs = [block_roll.remote(
+                    refs[i], bounds[i][0], bounds[i][1], bounds[i][2],
+                    bounds[i][3], len(back[i]),
+                    *[refs[j] for j in back[i]],
+                    *[refs[j] for j in fwd[i]])
+                for i in live]
+    if not out_refs:
+        return rd.from_arrow(_OUT.empty_table())
+    return rd.from_arrow_refs(out_refs)
 
 
 def cumulative_value(sf_dir: str) -> rd.Dataset:

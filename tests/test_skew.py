@@ -181,3 +181,110 @@ def test_gap_stats_hot_user_block_distributed(tmp_path):
         want = (len(gaps), int(gaps.sum()) if len(gaps) else 0,
                 int(gaps.max()) if len(gaps) else 0)
         assert got[uid] == want, uid
+
+
+def _hot_user_mixed_corpus(tmp_path, n=24_000, hot_share=0.10):
+    """events.parquet with a hot user, mixed types, and deliberate
+    same-(user, ts) collisions (every 7th event repeats the previous
+    timestamp) so the sorted-block forward-peer paths are exercised."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(7)
+    n_hot = int(n * hot_share)
+    users = np.concatenate([
+        np.full(n_hot, 7, dtype=np.int64),
+        rng.integers(100, 160, size=n - n_hot, dtype=np.int64)])
+    rng.shuffle(users)
+    gaps = rng.integers(1, 2_000_000_000, size=n)
+    gaps[::7] = 0  # ts collisions (global AND within users after sort)
+    ts = np.cumsum(gaps) + 1_600_000_000_000_000
+    types = rng.choice(["view", "click", "purchase"], size=n)
+    vals = np.round(rng.uniform(0.5, 99.5, size=n), 2)
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array(users),
+        "event_type": pa.array(types.tolist()),
+        "value": pa.array(vals),
+        "props": pa.array(["{}"] * n),
+    })
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    return str(tmp_path), tbl
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_asof_range_rolling_hot_user_block_distributed(tmp_path):
+    """asof_join / range_join / rolling_value sorted-block rewrites must
+    equal the serial per-user reference under a hot user, many small
+    blocks, and same-(user, ts) collisions (back-window + forward-peer
+    context paths all exercised)."""
+    import numpy as np
+    import pandas as pd
+    from ray.data.context import DataContext
+
+    sf_dir, tbl = _hot_user_mixed_corpus(tmp_path)
+    from go_scrapper_ray.pipelines import events
+
+    df = tbl.to_pandas()
+    df["ts_us"] = df["ts"].astype("int64")
+    W = 3600 * 1_000_000
+
+    old = DataContext.get_current().target_max_block_size
+    DataContext.get_current().target_max_block_size = 64 * 1024
+    try:
+        got_asof = events.asof_join(sf_dir).to_pandas()
+        got_range = events.range_join(sf_dir).to_pandas()
+        got_roll = events.rolling_value(sf_dir).to_pandas()
+    finally:
+        DataContext.get_current().target_max_block_size = old
+
+    # serial references (the original per-user formulations)
+    asof_rows, range_rows, roll_rows = [], [], []
+    for uid, g in df.groupby("user_id"):
+        g = g.sort_values(["ts_us", "event_id"])
+        cents = np.round(g["value"].to_numpy() * 100).astype(np.int64)
+        # asof: purchase vs click
+        left = g[g["event_type"] == "purchase"]
+        right = g[g["event_type"] == "click"]
+        r_ts = right["ts_us"].to_numpy()
+        if len(left) and len(right):
+            idx = np.searchsorted(r_ts, left["ts_us"].to_numpy(),
+                                  side="right") - 1
+            hit = idx >= 0
+            for le, lt, i in zip(left["event_id"].to_numpy()[hit],
+                                 left["ts_us"].to_numpy()[hit], idx[hit]):
+                asof_rows.append((le, uid, lt,
+                                  int(right["event_id"].to_numpy()[i]),
+                                  int(r_ts[i]), int(lt - r_ts[i])))
+        # range: purchases vs clicks in [ts-W, ts)
+        rc = cents[(g["event_type"] == "click").to_numpy()]
+        pref = np.concatenate(([0], np.cumsum(rc)))
+        l_ts = left["ts_us"].to_numpy()
+        lo = np.searchsorted(r_ts, l_ts - W, side="left")
+        hi = np.searchsorted(r_ts, l_ts, side="left")
+        for le, lt, a, b in zip(left["event_id"].to_numpy(), l_ts, lo, hi):
+            range_rows.append((le, uid, lt, int(b - a),
+                               int(pref[b] - pref[a])))
+        # rolling over ALL events
+        ts_all = g["ts_us"].to_numpy()
+        csum = np.cumsum(cents)
+        lo = np.searchsorted(ts_all, ts_all - W, side="left")
+        hi = np.searchsorted(ts_all, ts_all, side="right")
+        roll = csum[hi - 1] - np.where(lo > 0, csum[lo - 1], 0)
+        for ei, t, rl, nn in zip(g["event_id"].to_numpy(), ts_all,
+                                 roll, hi - lo):
+            roll_rows.append((ei, uid, t, int(rl), int(nn)))
+
+    def norm(df_, cols):
+        return sorted(map(tuple, df_[cols].to_numpy().tolist()))
+
+    assert norm(got_asof, ["event_id", "user_id", "ts_us",
+                           "prior_event_id", "prior_ts_us", "gap_us"]) \
+        == sorted(asof_rows)
+    assert norm(got_range, ["event_id", "user_id", "ts_us",
+                            "n_clicks_1h", "click_cents_1h"]) \
+        == sorted(range_rows)
+    assert norm(got_roll, ["event_id", "user_id", "ts_us",
+                           "roll_cents", "roll_n"]) == sorted(roll_rows)
