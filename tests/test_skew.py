@@ -288,3 +288,43 @@ def test_asof_range_rolling_hot_user_block_distributed(tmp_path):
         == sorted(range_rows)
     assert norm(got_roll, ["event_id", "user_id", "ts_us",
                            "roll_cents", "roll_n"]) == sorted(roll_rows)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_funnel_hot_user_shuffle_only(tmp_path):
+    """funnel's join-chain decomposition must equal the serial per-user
+    reference under the hot-user mixed corpus (no per-user group exists
+    anywhere in the pipeline)."""
+    import numpy as np
+    from ray.data.context import DataContext
+
+    sf_dir, tbl = _hot_user_mixed_corpus(tmp_path)
+    from go_scrapper_ray.pipelines import events
+
+    old = DataContext.get_current().target_max_block_size
+    DataContext.get_current().target_max_block_size = 64 * 1024
+    try:
+        got = {r["user_id"]: (r["n_views"], r["n_clicks"], r["n_purchases"],
+                              r["first_view_us"],
+                              r["first_click_after_view_us"],
+                              r["first_purchase_us"])
+               for r in events.funnel(sf_dir).take_all()}
+    finally:
+        DataContext.get_current().target_max_block_size = old
+
+    df = tbl.to_pandas()
+    df["ts_us"] = df["ts"].astype("int64")
+    for uid, g in df.groupby("user_id"):
+        ts = {k: g.loc[g["event_type"] == k, "ts_us"].to_numpy()
+              for k in ("view", "click", "purchase")}
+        fv = int(ts["view"].min()) if len(ts["view"]) else -1
+        fc = -1
+        if fv >= 0:
+            c = ts["click"][ts["click"] >= fv]
+            fc = int(c.min()) if len(c) else -1
+        fp = -1
+        if fc >= 0:
+            p = ts["purchase"][ts["purchase"] >= fc]
+            fp = int(p.min()) if len(p) else -1
+        assert got[uid] == (len(ts["view"]), len(ts["click"]),
+                            len(ts["purchase"]), fv, fc, fp), uid
