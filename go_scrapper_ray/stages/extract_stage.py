@@ -84,6 +84,16 @@ def extract_batch(batch: pa.Table, seeds_ref, cfg_dict: dict,
     if stage is None:
         stage = ExtractStage(seeds_ref, cfg_dict, watermarks_ref, store_dir)
         _STAGE_CACHE[key] = stage
+    import os as _os
+    _pdir = _os.environ.get("GSR_EXTRACT_PROFILE")
+    if _pdir:
+        import cProfile
+        pr = cProfile.Profile()
+        pr.enable()
+        out = stage(batch)
+        pr.disable()
+        pr.dump_stats(f"{_pdir}/p-{_os.getpid()}-{id(batch)}.prof")
+        return out
     return stage(batch)
 
 
