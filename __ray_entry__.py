@@ -291,6 +291,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_hits": graph.hits,                      # hub/authority sweep
         "events_window_users": events.window_users,   # exact distinct/window
         "docs_bigram_surprisal": textstats.bigram_surprisal,  # bigram LM gate
+        "docs_knn_text": textstats.knn_text,  # text ANN, hashed BoW
         "docs_hapax_rate": textstats.hapax_rate,      # corpus-hapax share
         "docs_keywords": textstats.keywords,          # per-doc tf-idf top-k
         "docs_containment_dups": dedup.containment_dups,  # directed containment
@@ -815,6 +816,48 @@ def _lsh_code_sql(n_tables: int, n_bits: int, dims: int) -> str:
                    sum(CASE WHEN dot >= 0
                             THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS code
             FROM dots GROUP BY 1, 2"""
+
+
+def _knn_text_sql(k: int, query_stride: int, dim: int) -> str:
+    r"""DuckDB twin of textstats.knn_text — feature-hashed bag-of-words
+    (md5 % dim exact counts, the topic_clusters featurization), full
+    query × candidate domain (CROSS JOIN + COALESCE so zero-overlap and
+    empty-doc pairs rank identically to the engine), and the bit-exact
+    integer rational rank key (``_ikey_sql``)."""
+    return f"""
+        WITH comp AS MATERIALIZED (
+          SELECT doc_id,
+                 CAST(md5_number_upper(w) % {dim} AS BIGINT) AS d,
+                 count(*)::BIGINT AS v
+          FROM (SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '\\S+')) AS w
+                FROM documents)
+          GROUP BY 1, 2),
+        nrm AS (SELECT doc_id, sum(v * v)::BIGINT AS ssq
+                FROM comp GROUP BY 1),
+        q AS (SELECT doc_id AS qid FROM documents
+              WHERE doc_id % {query_stride} = 0),
+        dd0 AS (SELECT a.doc_id AS qid, b.doc_id AS nid,
+                  sum(a.v * b.v)::BIGINT AS dot
+                FROM comp a JOIN comp b USING (d)
+                WHERE a.doc_id % {query_stride} = 0
+                  AND b.doc_id <> a.doc_id
+                GROUP BY 1, 2),
+        pairs AS (SELECT q.qid, e.doc_id AS nid
+                  FROM q, documents e WHERE e.doc_id <> q.qid),
+        dd AS (SELECT p.qid, p.nid,
+                 COALESCE(d0.dot, 0)::BIGINT AS dot,
+                 COALESCE(n.ssq, 0)::BIGINT AS ssq
+               FROM pairs p
+               LEFT JOIN dd0 d0 ON d0.qid = p.qid AND d0.nid = p.nid
+               LEFT JOIN nrm n ON n.doc_id = p.nid),
+        scored AS (SELECT qid, nid,
+                     row_number() OVER (PARTITION BY qid
+                       ORDER BY {_ikey_sql('dot', 'ssq')} DESC, nid)
+                       AS rnk
+                   FROM dd)
+        SELECT qid AS query_id, rnk, nid AS neighbor_id
+        FROM scored WHERE rnk <= {k}"""
 
 
 def _rp_sketch_sql(k: int, dims: int) -> str:
@@ -2012,6 +2055,10 @@ def oracle_sql() -> dict[str, str]:
         "emb_rp_sketch": _rp_sketch_sql(
             _sig_default(similarity.rp_sketch, "k"),
             _sig_default(similarity.rp_sketch, "dims")),
+        "docs_knn_text": _knn_text_sql(
+            _sig_default(textstats.knn_text, "k"),
+            _sig_default(textstats.knn_text, "query_stride"),
+            _sig_default(textstats.knn_text, "dim")),
         "emb_ivf_assign": _ivf_assign_sql(
             _sig_default(similarity.ivf_assign, "n_centroids")),
         "emb_label_separation": """

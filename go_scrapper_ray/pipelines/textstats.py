@@ -973,6 +973,107 @@ def topic_clusters(sf_dir: str, n_clusters: int = 8, dim: int = 64,
         batch_format="pyarrow")
 
 
+def knn_text(sf_dir: str, k: int = 5, query_stride: int = 10,
+             dim: int = 64) -> rd.Dataset:
+    """(query_id, rnk, neighbor_id): exact cosine top-k BETWEEN DOCUMENTS
+    in feature-hashed bag-of-words space (md5_upper64(token) % dim exact
+    integer counts — the topic_clusters featurization) for every
+    ``query_stride``-th doc_id, self excluded — the text near-neighbor
+    search a corpus pipeline runs for dedup triage and retrieval QA
+    without an embedding model.  Ranking is the BIT-EXACT integer
+    rational key (similarity._rational_key) over the integer count
+    vectors (they are already exact ints — no quantization step), so the
+    full ranked output is strict-hash SQL-checked.
+
+    Scale shape: the query matrix is broadcast (n/query_stride × dim
+    int64 — bounded); the corpus featurizes and streams through one
+    map_batches with a vectorized integer matmul + float prefilter with
+    a provable margin (the knn_bruteforce pattern); the per-query merge
+    ranks exactly."""
+    from .dedup import md5_upper64
+    from .similarity import _KEY_MIN, _rank_exact, _rational_key
+
+    def featurize(t: pa.Table) -> pa.Table:
+        ids, blobs = [], []
+        for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            vec = np.zeros(dim, np.int64)
+            for w in TOKEN_RE.findall(s.lower()):
+                vec[md5_upper64(w.encode()) % dim] += 1
+            ids.append(did)
+            blobs.append(vec.tobytes())
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "q": pa.array(blobs, pa.binary())})
+
+    feat = docs(sf_dir).map_batches(featurize,
+                                    batch_format="pyarrow").materialize()
+
+    # query matrix: every stride-th doc, driver state bounded by n/stride
+    ids_l, blobs = [], []
+    for t in feat.iter_batches(batch_format="pyarrow"):
+        d_ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        m = d_ids % query_stride == 0
+        ids_l.append(d_ids[m])
+        for i in np.flatnonzero(m):
+            blobs.append(t["q"][int(i)].as_py())
+    q_ids = (np.concatenate(ids_l).astype(np.int64)
+             if ids_l else np.empty(0, np.int64))
+    if len(q_ids) == 0:
+        from .similarity import _empty_knn
+        return _empty_knn()
+    Qm = np.frombuffer(b"".join(blobs), np.int64).reshape(len(q_ids), dim)
+    o = np.argsort(q_ids)
+    q_ids, Qm = q_ids[o], np.ascontiguousarray(Qm[o])
+    qn = np.linalg.norm(Qm.astype(np.float64), axis=1)
+    qn[qn == 0] = 1.0
+    Qf = Qm.astype(np.float64) / qn[:, None]
+    q_ref = ray.put((q_ids, Qf, Qm))
+
+    def batch_topk(t: pa.Table) -> pa.Table:
+        qi_ids, qF, qQ = ray.get(q_ref)
+        c_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(c_ids)
+        Cq = np.frombuffer(b"".join(t["q"].to_pylist()),
+                           np.int64).reshape(n, dim)
+        cssq = np.einsum("ij,ij->i", Cq, Cq)
+        cn = np.sqrt(cssq.astype(np.float64))
+        cn[cn == 0] = 1.0
+        sims = qF @ (Cq.astype(np.float64) / cn[:, None]).T
+        self_mask = qi_ids[:, None] == c_ids[None, :]
+        sims[self_mask] = -np.inf
+        kk = min(k, sims.shape[1])
+        thresh = -np.partition(-sims, kk - 1, axis=1)[:, kk - 1]
+        rows_q, rows_n, rows_d, rows_s = [], [], [], []
+        for qi in range(sims.shape[0]):
+            sel = np.flatnonzero(sims[qi] >= thresh[qi] - 1e-9)
+            sel = sel[sims[qi, sel] > -np.inf]
+            d_sel = Cq[sel] @ qQ[qi]
+            keys = [_rational_key(int(d), int(s))
+                    for d, s in zip(d_sel, cssq[sel])]
+            if len(keys) > kk:
+                kth = sorted(keys, reverse=True)[kk - 1]
+            else:
+                kth = _KEY_MIN
+            for j, d, ky in zip(sel, d_sel, keys):
+                if ky < kth:
+                    continue
+                rows_q.append(qi_ids[qi])
+                rows_n.append(c_ids[j])
+                rows_d.append(int(d))
+                rows_s.append(int(cssq[j]))
+        return pa.table({"query_id": pa.array(rows_q, pa.int64()),
+                         "neighbor_id": pa.array(rows_n, pa.int64()),
+                         "d": pa.array(rows_d, pa.int64()),
+                         "ssq": pa.array(rows_s, pa.int64())})
+
+    def merge_group(g):
+        return _rank_exact(g, k)
+
+    return (feat.map_batches(batch_topk, batch_format="pyarrow",
+                             batch_size=2048)
+            .groupby("query_id")
+            .map_groups(merge_group, batch_format="pandas"))
+
+
 def bigram_surprisal(sf_dir: str) -> rd.Dataset:
     """(doc_id, n_bigrams, surprisal): integer CONDITIONAL bigram
     surprisal — Σ over adjacent token pairs (w1,w2) of
