@@ -269,6 +269,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- multimodal plumbing (SQL-checked; codecs stubbed) ---
         "media_features": multimodal.media_features,
         "media_frame_sample": multimodal.frame_sample,
+        "media_decode_real": multimodal.media_decode_real,  # real codecs
         # --- relational (broadcast hash joins + combiner aggregates) ---
         "top_suppliers": relational.top_suppliers_by_revenue,
         "customers_no_orders": relational.customers_without_orders,
@@ -858,6 +859,31 @@ def _knn_text_sql(k: int, query_stride: int, dim: int) -> str:
                    FROM dd)
         SELECT qid AS query_id, rnk, nid AS neighbor_id
         FROM scored WHERE rnk <= {k}"""
+
+
+_MEDIA_DECODE_REAL_SQL = """
+    WITH m AS (SELECT doc_id AS media_id,
+                 CASE WHEN doc_id % 3 = 0 THEN 'image'
+                      ELSE 'audio' END AS kind,
+                 CASE WHEN doc_id % 3 = 0
+                      THEN (64 + (doc_id % 8) * 16)
+                           * (64 + (doc_id % 5) * 16)
+                      ELSE (doc_id % 30) * 1000 END AS n
+               FROM documents WHERE doc_id % 3 IN (0, 1)),
+    g AS (SELECT media_id, kind, unnest(range(n)) AS i FROM m),
+    u AS (SELECT media_id, kind,
+            CASE WHEN kind = 'image'
+                 THEN (media_id * 31 + 7 * i) % 256
+                 ELSE ((media_id * 13 + 5 * i) % 65536) - 32768
+            END AS v
+          FROM g),
+    s AS (SELECT media_id, sum(v)::BIGINT AS su,
+                 sum(v * v)::BIGINT AS sq
+          FROM u GROUP BY 1)
+    SELECT m.media_id, m.kind, m.n::BIGINT AS n_units,
+           COALESCE(s.su, 0)::BIGINT AS unit_sum,
+           COALESCE(s.sq, 0)::BIGINT AS unit_sqsum
+    FROM m LEFT JOIN s USING (media_id)"""
 
 
 def _rp_sketch_sql(k: int, dims: int) -> str:
@@ -1650,6 +1676,7 @@ def oracle_sql() -> dict[str, str]:
             _sig_default(multimodal.ResizeStage.__init__, "bins")),
         "media_frame_sample": _frame_sample_sql(
             _sig_default(multimodal.frame_sample, "every_ms")),
+        "media_decode_real": _MEDIA_DECODE_REAL_SQL,
         "knn_lsh": _knn_lsh_sql(
             _sig_default(similarity.knn_lsh, "k"),
             _sig_default(similarity.knn_lsh, "query_stride"),

@@ -1,12 +1,18 @@
 """Multimodal column plumbing — image/audio/video as opaque ``binary``
 columns with typed metadata, processed by actor-pool map_batches stages.
 
-The sandbox has no image/audio codecs, so the DECODE step is stubbed two
-ways (clearly marked):
-  * ``decode="strict"``  → raises NotImplementedError (the real-codec path);
-  * ``decode="fake"``    → a deterministic fake decoder (byte histogram as
-    "pixels") so the Ray-side plumbing — schema, batch sizing, actor
-    signature, output layout — is real and tested end-to-end.
+DECODE comes in three grades:
+  * **REAL** (``media_decode_real`` / :class:`RealDecodeStage`, round 5):
+    genuine binary codecs for the formats the sandbox CAN decode —
+    strict netpbm **P5 PGM** image parsing and **PCM16 RIFF/WAVE** chunk
+    walking, both with ValueError paths and exact-integer features; the
+    payloads are real encoded binaries (``synth_media_encoded``) whose
+    deterministic content gives the decode a closed-form SQL twin.
+  * ``decode="fake"`` — a deterministic stand-in (byte histogram as
+    "pixels") for the foreign-codec pipeline shapes.
+  * ``decode="strict"`` — raises NotImplementedError: the documented
+    remaining stub is VIDEO (and foreign image/audio codecs like JPEG),
+    for which no in-sandbox decoder exists.
 
 Batch sizes are SMALL (64) because payload rows are fat — the knob that
 keeps batch × concurrency inside a worker's heap with binary columns."""
@@ -50,6 +56,158 @@ def synth_media(sf_dir: str) -> rd.Dataset:
     return rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"]).map_batches(
         kernel, batch_format="pyarrow")
+
+
+def _pgm_encode(w: int, h: int, pix: np.ndarray) -> bytes:
+    """Well-formed binary netpbm P5 (grayscale PGM) — a REAL image
+    format the sandbox can both write and parse."""
+    return b"P5\n%d %d\n255\n" % (w, h) + pix.astype(np.uint8).tobytes()
+
+
+def _pgm_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Strict binary-P5 parser (magic, dims, maxval 255, raw bytes).
+    Raises ValueError on anything malformed — the error path a real
+    decode stage must have."""
+    if not payload.startswith(b"P5"):
+        raise ValueError("not a P5 PGM payload")
+    parts = payload.split(b"\n", 3)
+    if len(parts) != 4:
+        raise ValueError("truncated PGM header")
+    try:
+        w, h = (int(x) for x in parts[1].split())
+        maxval = int(parts[2])
+    except Exception as e:
+        raise ValueError(f"bad PGM header: {e}") from e
+    if maxval != 255 or w <= 0 or h <= 0:
+        raise ValueError("unsupported PGM variant")
+    raw = parts[3]
+    if len(raw) != w * h:
+        raise ValueError("PGM payload length != w*h")
+    return w, h, np.frombuffer(raw, np.uint8)
+
+
+def _wav_encode(samples: np.ndarray, rate: int = 1000) -> bytes:
+    """Well-formed RIFF/WAVE, PCM16 mono — real audio container bytes."""
+    import struct
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def _wav_decode(payload: bytes) -> np.ndarray:
+    """Strict RIFF/WAVE chunk walk → int16 sample array; ValueError on
+    malformed containers."""
+    import struct
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, data = 12, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (sz,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        body = payload[pos + 8:pos + 8 + sz]
+        if cid == b"fmt " and struct.unpack("<H", body[:2])[0] != 1:
+            raise ValueError("non-PCM WAVE")
+        if cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)
+    if data is None:
+        raise ValueError("WAVE without data chunk")
+    return np.frombuffer(data, "<i2")
+
+
+def synth_media_encoded(sf_dir: str) -> rd.Dataset:
+    """Media table whose image/audio payloads are REAL encoded binaries
+    (P5 PGM / PCM16 WAV) with DETERMINISTIC content the SQL twins can
+    recompute in closed form: pixel i of image doc = (doc_id·31+7i)%256;
+    sample i of audio doc = ((doc_id·13+5i)%65536)−32768 at 1 kHz for
+    duration_ms samples.  Video payloads stay opaque (no real video
+    codec exists in-sandbox — the one remaining documented stub)."""
+
+    def kernel(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        kinds = ["image", "audio", "video"]
+        pl, kd, ww, hh, dd = [], [], [], [], []
+        for i, s in zip(ids, texts):
+            kind = kinds[i % 3]
+            w = 64 + (i % 8) * 16
+            h = 64 + (i % 5) * 16
+            dur = (i % 30) * 1000
+            if kind == "image":
+                px = (np.int64(i) * 31
+                      + 7 * np.arange(w * h, dtype=np.int64)) % 256
+                pl.append(_pgm_encode(w, h, px))
+            elif kind == "audio":
+                n = dur  # 1 kHz => one sample per ms
+                sm = ((np.int64(i) * 13
+                       + 5 * np.arange(n, dtype=np.int64)) % 65536) - 32768
+                pl.append(_wav_encode(sm))
+            else:
+                pl.append(s.encode("utf-8"))
+            kd.append(kind)
+            ww.append(w)
+            hh.append(h)
+            dd.append(dur)
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(kd, pa.string()),
+            "payload": pa.array(pl, pa.binary()),
+            "width": pa.array(ww, pa.int32()),
+            "height": pa.array(hh, pa.int32()),
+            "duration_ms": pa.array(dd, pa.int32()),
+        }, schema=MEDIA_SCHEMA)
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]).map_batches(
+        kernel, batch_format="pyarrow")
+
+
+class RealDecodeStage:
+    """Actor-pool decode stage over REAL binary codecs (P5 PGM images,
+    PCM16 WAV audio): strict parsers with a ValueError path, exact
+    integer features (unit count / sum / sum-of-squares) per decoded
+    payload.  Video rows are skipped (documented stub — no in-sandbox
+    video codec).  Small batches: payload rows are fat."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        mids, kinds, n_u, s_u, q_u = [], [], [], [], []
+        for mid, kind, payload, w, h in zip(
+                t["media_id"].to_pylist(), t["kind"].to_pylist(),
+                t["payload"].to_pylist(), t["width"].to_pylist(),
+                t["height"].to_pylist()):
+            if kind == "image":
+                pw, ph, pix = _pgm_decode(payload)
+                if (pw, ph) != (w, h):
+                    raise ValueError("PGM dims disagree with metadata")
+                v = pix.astype(np.int64)
+            elif kind == "audio":
+                v = _wav_decode(payload).astype(np.int64)
+            else:
+                continue
+            mids.append(mid)
+            kinds.append(kind)
+            n_u.append(len(v))
+            s_u.append(int(v.sum()))
+            q_u.append(int((v * v).sum()))
+        return pa.table({
+            "media_id": pa.array(mids, pa.int64()),
+            "kind": pa.array(kinds, pa.string()),
+            "n_units": pa.array(n_u, pa.int64()),
+            "unit_sum": pa.array(s_u, pa.int64()),
+            "unit_sqsum": pa.array(q_u, pa.int64())})
+
+
+def media_decode_real(sf_dir: str, concurrency: int = 4) -> rd.Dataset:
+    """(media_id, kind, n_units, unit_sum, unit_sqsum): REAL-codec decode
+    features — pixels of every P5 image and samples of every PCM WAV,
+    parsed from genuine binary containers in an actor-pool stage.  The
+    closed-form generators make the whole decode SQL-checkable
+    (``__ray_entry__._media_decode_real_sql``)."""
+    return synth_media_encoded(sf_dir).map_batches(
+        RealDecodeStage, batch_format="pyarrow", batch_size=64,
+        concurrency=(1, concurrency), num_cpus=1)
 
 
 class DecodeStage:
