@@ -1348,29 +1348,109 @@ def late_events(sf_dir: str, allowed_s: int = 0) -> rd.Dataset:
     ts of the user's EARLIER events in arrival order (event_id — the
     deterministic stand-in for ingest order).
 
-    Scale shape: one groupby(user_id) + per-group vectorized cummax (the
-    per-user-fits-one-group assumption documented on sessionize); the
-    shuffle carries only (user_id, event_id, ts)."""
-    allowed_us = 1_000_000 * allowed_s
+    Scale shape — HOT-USER SAFE (the sessionize sorted-block pattern over
+    ARRIVAL order): one range-partitioned sort on (user, event_id); ONE
+    heavy wave counts each block's late events carry-free and emits the
+    O(1) boundary meta plus (in plasma, never via the driver) the sorted
+    locally-non-late ts values of the block's first user; the driver
+    chains the running-max CARRY scalar through O(blocks) metadata (max
+    is order-free), and a TINY patch wave searchsorts each carry into
+    its block's blob for the rows the carry flips to late; one
+    user-keyed hash_agg folds the (n, late) partials."""
+    import ray
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("event_id", kind="mergesort")
-        us = g["us"].to_numpy()
-        prior = np.maximum.accumulate(us)[:-1]
-        late = int((us[1:] < prior - allowed_us).sum())
-        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
-                             "n_events": [len(g)],
-                             "n_late": [late]})
+    allowed_us = 1_000_000 * allowed_s
 
     def prep(t: pa.Table) -> pa.Table:
         return pa.table({"user_id": t["user_id"],
                          "event_id": t["event_id"],
                          "us": t["ts"].cast(pa.int64())})
 
-    return (_events(sf_dir, ("user_id", "event_id", "ts"))
+    refs = (_events(sf_dir, ("user_id", "event_id", "ts"))
             .map_batches(prep, batch_format="pyarrow")
-            .groupby("user_id")
-            .map_groups(per_user, batch_format="pandas"))
+            .sort(["user_id", "event_id"])
+            .to_arrow_refs())
+
+    _LP = pa.schema([("user_id", pa.int64()), ("p_n", pa.int64()),
+                     ("p_late", pa.int64())])
+
+    @ray.remote(num_cpus=0.5, num_returns=3)
+    def block_late(tb: pa.Table):
+        """(partials, meta, fu_nonlate_blob): the carry-FREE late counts
+        per user in this block, O(1) boundary meta, and — as a separate
+        object the driver never touches — the SORTED ts values of the
+        first user's locally-non-late rows (the only rows a carried
+        running max can flip to late; the tiny patch wave searchsorts
+        the carry into this array)."""
+        if tb.num_rows == 0 or "user_id" not in tb.column_names:
+            return _LP.empty_table(), None, b""
+        u = tb["user_id"].to_numpy(zero_copy_only=False)
+        us = tb["us"].to_numpy(zero_copy_only=False)
+        out_u, out_n, out_l = [], [], []
+        seg_starts = np.flatnonzero(
+            np.concatenate(([True], u[1:] != u[:-1])))
+        seg_ends = np.append(seg_starts[1:], len(u))
+        LOW = np.int64(-(1 << 62))
+        fu, lu = int(u[0]), int(u[-1])
+        fu_blob = b""
+        for s, e in zip(seg_starts, seg_ends):
+            usr = int(u[s])
+            seg = us[s:e]
+            run = np.maximum.accumulate(seg)
+            prior = np.empty_like(seg)
+            prior[0] = LOW
+            prior[1:] = run[:-1]
+            late_mask = seg < prior - allowed_us
+            if usr == fu:
+                fu_blob = np.sort(seg[~late_mask]).tobytes()
+            out_u.append(usr)
+            out_n.append(e - s)
+            out_l.append(int(late_mask.sum()))
+        meta = (fu, lu, int(us[u == lu].max()))
+        return (pa.table({"user_id": pa.array(out_u, pa.int64()),
+                          "p_n": pa.array(out_n, pa.int64()),
+                          "p_late": pa.array(out_l, pa.int64())}),
+                meta, fu_blob)
+
+    ret = [block_late.remote(r) for r in refs]
+    part_refs = [r[0] for r in ret]
+    metas = ray.get([r[1] for r in ret])
+    live = [i for i, m in enumerate(metas) if m is not None]
+
+    # O(blocks) carry chain: running max of the boundary user's ts
+    carry_in: dict[int, "int | None"] = {}
+    carry_user: "int | None" = None
+    carry_max = 0
+    for i in live:
+        fu, lu, lu_max = metas[i]
+        carry_in[i] = carry_max if carry_user == fu else None
+        if carry_user == lu:
+            carry_max = max(carry_max, lu_max)
+        else:
+            carry_user, carry_max = lu, lu_max
+
+    @ray.remote(num_cpus=0.25)
+    def carry_adjust(blob: bytes, fu: int, cin: int) -> pa.Table:
+        """Extra-late rows the carry flips: locally-non-late fu values
+        below carry − allowed (one searchsorted over the sorted blob)."""
+        v = np.frombuffer(blob, np.int64)
+        extra = int(np.searchsorted(v, cin - allowed_us, side="left"))
+        if extra == 0:
+            return _LP.empty_table()
+        return pa.table({"user_id": pa.array([fu], pa.int64()),
+                         "p_n": pa.array([0], pa.int64()),
+                         "p_late": pa.array([extra], pa.int64())})
+
+    adj_refs = [carry_adjust.remote(ret[i][2], metas[i][0], carry_in[i])
+                for i in live if carry_in[i] is not None]
+    if not live:
+        return rd.from_arrow(pa.schema(
+            [("user_id", pa.int64()), ("n_events", pa.int64()),
+             ("n_late", pa.int64())]).empty_table())
+    partials = rd.from_arrow_refs(part_refs + adj_refs)
+    return hash_agg(partials, "user_id",
+                    [("p_n", "sum", "n_events"),
+                     ("p_late", "sum", "n_late")])
 
 
 def heavy_hitters(sf_dir: str, d: int = 4, w: int = 256,

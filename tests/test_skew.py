@@ -328,3 +328,32 @@ def test_funnel_hot_user_shuffle_only(tmp_path):
             fp = int(p.min()) if len(p) else -1
         assert got[uid] == (len(ts["view"]), len(ts["click"]),
                             len(ts["purchase"]), fv, fc, fp), uid
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_late_events_hot_user_block_distributed(tmp_path):
+    """late_events' carry-scalar sorted-block shape must equal the serial
+    arrival-order reference under the hot-user mixed corpus and many
+    small blocks."""
+    import numpy as np
+    from ray.data.context import DataContext
+
+    sf_dir, tbl = _hot_user_mixed_corpus(tmp_path)
+    from go_scrapper_ray.pipelines import events
+
+    old = DataContext.get_current().target_max_block_size
+    DataContext.get_current().target_max_block_size = 64 * 1024
+    try:
+        got = {r["user_id"]: (r["n_events"], r["n_late"])
+               for r in events.late_events(sf_dir).take_all()}
+    finally:
+        DataContext.get_current().target_max_block_size = old
+
+    df = tbl.to_pandas()
+    df["us"] = df["ts"].astype("int64")
+    for uid, g in df.groupby("user_id"):
+        g = g.sort_values("event_id", kind="mergesort")
+        us = g["us"].to_numpy()
+        prior = np.maximum.accumulate(us)[:-1]
+        late = int((us[1:] < prior).sum())
+        assert got[uid] == (len(g), late), uid
