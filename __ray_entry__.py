@@ -242,6 +242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_exact_dedup": dedup.exact_dedup,
         "docs_chunk_dedup": dedup.chunk_dedup,
         "docs_minhash_dups": dedup.minhash_dups,          # SQL-checked sketch
+        "docs_minhash_est": dedup.minhash_est,            # sketch-accuracy audit
         "docs_simhash_dups": dedup.simhash_dups,          # SQL-checked sketch
         "docs_jaccard_dups": dedup.ngram_jaccard_dups,    # exact, SQL-checked
         "docs_dup_clusters": dedup.dup_clusters,          # CC over minhash pairs
@@ -1555,6 +1556,16 @@ def oracle_sql() -> dict[str, str]:
                    md5_number_upper(canon_url) AS url_hash, host
             FROM c""",
         "docs_langid": _langid_sql(),
+        "docs_minhash_est": _lsh_cte_prefix() + f""",
+            agree AS (SELECT c.da, c.db,
+                        sum(CASE WHEN a.v = b.v THEN 1 ELSE 0 END) AS eq
+                      FROM cand c
+                      JOIN mh a ON a.doc_id = c.da
+                      JOIN mh b ON b.doc_id = c.db AND b.perm = a.perm
+                      GROUP BY 1, 2)
+            SELECT da AS doc_a, db AS doc_b,
+                   (eq * 10000 // {dedup._N_PERM})::BIGINT AS est_bp
+            FROM agree""",
         "docs_minhash_dups": _minhash_sql(
             _sig_default(dedup.minhash_dups, "threshold")),
         "docs_dup_clusters": _dup_clusters_sql(

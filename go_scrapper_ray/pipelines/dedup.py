@@ -343,6 +343,49 @@ def minhash_dups(sf_dir: str, threshold: float = 0.8,
     return hit
 
 
+def minhash_est(sf_dir: str, seed: int = 42) -> rd.Dataset:
+    """(doc_a, doc_b, est_bp): the MinHash-ESTIMATED Jaccard for every
+    LSH candidate pair, in integer basis points — 10000 · |equal
+    signature components| // 64 — the sketch-accuracy audit a dedup
+    pipeline reports next to the exact verify (how far the estimator is
+    from the exact Jaccard decides whether the sketch could replace the
+    blob verify at the next scale jump).
+
+    Scale shape: rides the SAME memoized candidate + blob tables as
+    minhash_dups/containment_dups (no new corpus pass, no new shuffle);
+    per pair the 64 permutation minima recompute vectorized from the
+    sorted-unique shingle blobs — the identical uint64 (a·x+b) wraparound
+    arithmetic the signature kernel uses, so the DuckDB twin matches
+    bit-for-bit."""
+    a_p, b_p, _ = _minhash_params(seed)
+    cand_ds = _band_candidates(sf_dir, seed)
+    pairs = _candidate_blob_pairs(cand_ds, sf_dir, seed)
+
+    def kernel(t: pa.Table) -> pa.Table:
+        out_a, out_b, out_e = [], [], []
+        for da, db, sa, sb in zip(t["doc_a"].to_pylist(),
+                                  t["doc_b"].to_pylist(),
+                                  t["sh_a"].to_pylist(),
+                                  t["sh_b"].to_pylist()):
+            if not sa or not sb:   # shingle-less docs never band-collide
+                continue
+            xa = np.frombuffer(sa, np.int64).astype(np.uint64)
+            xb = np.frombuffer(sb, np.int64).astype(np.uint64)
+            sig_a = (a_p[:, None] * xa[None, :]
+                     + b_p[:, None]).min(axis=1)
+            sig_b = (a_p[:, None] * xb[None, :]
+                     + b_p[:, None]).min(axis=1)
+            eq = int((sig_a == sig_b).sum())
+            out_a.append(da)
+            out_b.append(db)
+            out_e.append(eq * 10_000 // _N_PERM)
+        return pa.table({"doc_a": pa.array(out_a, pa.int64()),
+                         "doc_b": pa.array(out_b, pa.int64()),
+                         "est_bp": pa.array(out_e, pa.int64())})
+
+    return pairs.map_batches(kernel, batch_format="pyarrow")
+
+
 def _minhash_dups_impl(sf_dir: str, threshold: float = 0.8,
                        seed: int = 42) -> rd.Dataset:
     """(doc_a, doc_b) near-dup pairs: LSH band candidates verified by exact
