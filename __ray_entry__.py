@@ -243,6 +243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_chunk_dedup": dedup.chunk_dedup,
         "docs_minhash_dups": dedup.minhash_dups,          # SQL-checked sketch
         "docs_minhash_est": dedup.minhash_est,            # sketch-accuracy audit
+        "docs_ngram_novelty": dedup.ngram_novelty,        # dataset-growth curve
         "docs_simhash_dups": dedup.simhash_dups,          # SQL-checked sketch
         "docs_jaccard_dups": dedup.ngram_jaccard_dups,    # exact, SQL-checked
         "docs_dup_clusters": dedup.dup_clusters,          # CC over minhash pairs
@@ -341,7 +342,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_surprisal": textstats.surprisal,        # int unigram surprisal
         "knn_ivfpq": similarity.knn_ivfpq,            # IVF+PQ ANN, SQL-checked
         "emb_semantic_dedup": dedup.semantic_dedup,   # SemDeDup-style
-        "events_heavy_hitters": events.heavy_hitters,  # count-min sketch
+        "events_heavy_hitters": events.heavy_hitters,
+        "events_gap_quantiles": events.gap_quantiles,  # exact order stats  # count-min sketch
         "events_window_top_user": events.window_top_user,  # windowed argmax
         "docs_gate_funnel": clean.gate_funnel,        # pipeline observability
     }
@@ -1346,6 +1348,23 @@ def _knn_ivf_sql(k: int, query_stride: int, n_lists: int, n_probe: int,
         SELECT query_id, rnk, neighbor_id FROM scored WHERE rnk <= {k}"""
 
 
+def _gap_quantiles_sql() -> str:
+    """DuckDB twin of events.gap_quantiles — lag-window inter-arrival
+    gaps per user, quantile_disc legs (the _quantiles_sql shape)."""
+    from go_scrapper_ray.pipelines.textstats import QUANTILES
+
+    legs = [f"SELECT {int(round(q * 1000))}::BIGINT AS q_milli, "
+            f"quantile_disc(gap_us, {q}) AS gap_us FROM g"
+            for q in QUANTILES]
+    return ("""
+        WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id
+                   FROM events),
+        s AS (SELECT us - lag(us) OVER (PARTITION BY user_id
+                ORDER BY us, event_id) AS gap FROM e),
+        g AS (SELECT gap::BIGINT AS gap_us FROM s WHERE gap IS NOT NULL)
+        """ + " UNION ALL ".join(legs))
+
+
 def _window_top_user_sql(window_s: int) -> str:
     """DuckDB twin of events.window_top_user (windowed argmax by integer
     cents, ties → smaller user_id)."""
@@ -1566,6 +1585,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT da AS doc_a, db AS doc_b,
                    (eq * 10000 // {dedup._N_PERM})::BIGINT AS est_bp
             FROM agree""",
+        "docs_ngram_novelty": r"""
+            WITH d AS (SELECT doc_id,
+                         regexp_extract_all(lower(text), '\S+') AS toks
+                       FROM documents),
+            pos AS (SELECT doc_id, toks,
+                      unnest(generate_series(1, len(toks) - {km1})) AS i
+                    FROM d WHERE len(toks) >= {k}),
+            g AS (SELECT DISTINCT doc_id,
+                    md5_number_upper({gram}) >> 3 AS gh
+                  FROM pos),
+            f AS (SELECT gh, min(doc_id) AS first_doc FROM g GROUP BY gh)
+            SELECT g.doc_id, count(*)::BIGINT AS n_grams,
+                   sum(CASE WHEN f.first_doc = g.doc_id
+                            THEN 1 ELSE 0 END)::BIGINT AS n_novel
+            FROM g JOIN f USING (gh) GROUP BY g.doc_id""".format(
+            k=_sig_default(dedup.ngram_novelty, "k"),
+            km1=_sig_default(dedup.ngram_novelty, "k") - 1,
+            gram=" || ' ' || ".join(
+                f"toks[i+{j}]" for j in range(
+                    _sig_default(dedup.ngram_novelty, "k")))),
         "docs_minhash_dups": _minhash_sql(
             _sig_default(dedup.minhash_dups, "threshold")),
         "docs_dup_clusters": _dup_clusters_sql(
@@ -1699,6 +1738,7 @@ def oracle_sql() -> dict[str, str]:
             _sig_default(clean.gate_funnel, "threshold")),
         "events_window_top_user": _window_top_user_sql(
             _sig_default(events.window_top_user, "window_s")),
+        "events_gap_quantiles": _gap_quantiles_sql(),
         "events_heavy_hitters": _heavy_hitters_sql(
             _sig_default(events.heavy_hitters, "d"),
             _sig_default(events.heavy_hitters, "w"),

@@ -1209,6 +1209,60 @@ def decontaminate(sf_dir: str, mod: int = 97, k: int = 3) -> rd.Dataset:
     return docs(sf_dir).map_batches(flag, batch_format="pyarrow")
 
 
+def ngram_novelty(sf_dir: str, k: int = 3) -> rd.Dataset:
+    """(doc_id, n_grams, n_novel): per-document NOVELTY — of the doc's
+    distinct ``k``-token shingles, how many occur in NO smaller-doc_id
+    document (doc_id as ingest order — the dataset-growth curve
+    curation reads to decide when additional crawl yields mostly
+    repetition).  Gram hash = md5_upper64(" ".join(toks)) >> 3, the
+    decontaminate convention.  Docs with < k tokens carry no rows.
+
+    Scale shape: (doc_id, gh) distinct-per-doc occurrence rows; the
+    corpus-first table is a gram-keyed hash_agg min (combiner per
+    batch); one gram-co-partitioned hash_join puts first_doc on each
+    occurrence row and a doc-keyed hash_agg counts — gram hashes + ids
+    on every exchange, text never shuffles."""
+    from .textstats import TOKEN_RE as _TRE
+
+    def occ_rows(t: pa.Table) -> pa.Table:
+        ids, ghs = [], []
+        for doc_id, s in zip(t["doc_id"].to_pylist(),
+                             t["text"].to_pylist()):
+            toks = _TRE.findall(s.lower())
+            if len(toks) < k:
+                continue
+            arr = np.unique(np.array(
+                [md5_upper64(" ".join(toks[i:i + k]).encode()) >> 3
+                 for i in range(len(toks) - k + 1)], dtype=np.int64))
+            ids.extend([doc_id] * len(arr))
+            ghs.extend(arr.tolist())
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "gh": pa.array(ghs, pa.int64())})
+
+    occ = docs(sf_dir).map_batches(occ_rows,
+                                   batch_format="pyarrow").materialize()
+
+    first = hash_agg(occ.map_batches(
+        lambda t: t.group_by("gh").aggregate([("doc_id", "min")])
+        .rename_columns(["gh", "p"]), batch_format="pyarrow"),
+        "gh", [("p", "min", "first_doc")])
+
+    j = hash_join(occ, first, on="gh",
+                  left_cols={"doc_id": pa.int64()},
+                  right_cols={"first_doc": pa.int64()})
+
+    def part(t: pa.Table) -> pa.Table:
+        novel = pc.cast(pc.equal(t["doc_id"], t["first_doc"]), pa.int64())
+        g = (pa.table({"doc_id": t["doc_id"], "p_n": novel})
+             .group_by("doc_id")
+             .aggregate([([], "count_all"), ("p_n", "sum")]))
+        return g.rename_columns(["doc_id", "p_g", "p_n"])
+
+    return hash_agg(j.map_batches(part, batch_format="pyarrow"),
+                    "doc_id", [("p_g", "sum", "n_grams"),
+                               ("p_n", "sum", "n_novel")])
+
+
 def substring_dup(sf_dir: str, k: int = 40,
                   num_partitions: int = 32) -> rd.Dataset:
     """(doc_id, n_win, n_dup): EXACT substring-duplication rate — for

@@ -1453,6 +1453,82 @@ def late_events(sf_dir: str, allowed_s: int = 0) -> rd.Dataset:
                      ("p_late", "sum", "n_late")])
 
 
+def gap_quantiles(sf_dir: str) -> pa.Table:
+    """(q_milli, gap_us): EXACT corpus-wide quantiles of per-user
+    inter-arrival gaps (quantile_disc semantics: value at index
+    ceil(q·n)−1 of the sorted multiset) — the latency-profile numbers a
+    streaming ingest is tuned against.
+
+    Scale shape — exact for ANY value-domain size: gap rows come from
+    the user_gap_stats sorted-block machinery (in-block run gaps + the
+    O(blocks) boundary gaps); then a RANGE-PARTITIONED sort on the gap
+    column and an O(blocks) driver index walk — per-block row counts
+    locate the block holding each target rank, and a tiny task extracts
+    that single value.  The bounded-histogram path (length_quantiles)
+    assumes a small distinct domain; µs gaps don't have one, so this is
+    the distributed order-statistic composition instead: sort → counts
+    → point lookups, never a full materialization."""
+    import ray
+
+    from .textstats import QUANTILES
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t["user_id"],
+                         "event_id": t["event_id"],
+                         "ts_us": t["ts"].cast(pa.int64())})
+
+    refs = (_events(sf_dir, ("ts", "user_id", "event_id"))
+            .map_batches(prep, batch_format="pyarrow")
+            .sort(["user_id", "ts_us", "event_id"])
+            .to_arrow_refs())
+
+    @ray.remote(num_cpus=0.5, num_returns=2)
+    def block_gaps(tb: pa.Table):
+        if tb.num_rows == 0 or "user_id" not in tb.column_names:
+            return pa.table({"gap_us": pa.array([], pa.int64())}), None
+        u = tb["user_id"].to_numpy(zero_copy_only=False)
+        ts = tb["ts_us"].to_numpy(zero_copy_only=False)
+        same = np.zeros(len(u), dtype=bool)
+        same[1:] = u[1:] == u[:-1]
+        gaps = (ts - np.roll(ts, 1))[same]
+        return (pa.table({"gap_us": pa.array(gaps, pa.int64())}),
+                (int(u[0]), int(ts[0]), int(u[-1]), int(ts[-1])))
+
+    ret = [block_gaps.remote(r) for r in refs]
+    bounds = [b for b in ray.get([r[1] for r in ret]) if b is not None]
+    brows = [fu_ts - lu_ts
+             for (_, _, lu, lu_ts), (fu, fu_ts, _, _)
+             in zip(bounds, bounds[1:]) if lu == fu]
+    gaps_ds = (rd.from_arrow_refs([r[0] for r in ret])
+               .union(rd.from_arrow(pa.table(
+                   {"gap_us": pa.array(brows, pa.int64())}))))
+
+    sorted_refs = gaps_ds.sort("gap_us").to_arrow_refs()
+
+    @ray.remote(num_cpus=0.25)
+    def nrows(tb: pa.Table) -> int:
+        return tb.num_rows
+
+    @ray.remote(num_cpus=0.25)
+    def pick(tb: pa.Table, i: int) -> int:
+        return int(tb["gap_us"][i].as_py())
+
+    counts = ray.get([nrows.remote(r) for r in sorted_refs])
+    cum = np.cumsum(counts)
+    total = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    picks = []
+    for q in QUANTILES:
+        rank = max(1, int(np.ceil(q * total)))
+        blk = int(np.searchsorted(cum, rank, side="left"))
+        local = rank - (int(cum[blk - 1]) if blk else 0) - 1
+        out_q.append(int(round(q * 1000)))
+        picks.append(pick.remote(sorted_refs[blk], local))
+    out_v = ray.get(picks)
+    return pa.table({"q_milli": pa.array(out_q, pa.int64()),
+                     "gap_us": pa.array(out_v, pa.int64())})
+
+
 def heavy_hitters(sf_dir: str, d: int = 4, w: int = 256,
                   k: int = 20) -> rd.Dataset:
     """(user_id, n_est): top-k heavy hitters by COUNT-MIN-SKETCH estimate
