@@ -343,7 +343,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivfpq": similarity.knn_ivfpq,            # IVF+PQ ANN, SQL-checked
         "emb_semantic_dedup": dedup.semantic_dedup,   # SemDeDup-style
         "events_heavy_hitters": events.heavy_hitters,
-        "events_gap_quantiles": events.gap_quantiles,  # exact order stats  # count-min sketch
+        "events_gap_quantiles": events.gap_quantiles,  # exact order stats
+        "events_burstiness": events.burstiness_stats,  # Fano inputs
+        "docs_heaps_stats": textstats.heaps_stats,     # Heaps-law audit  # count-min sketch
         "events_window_top_user": events.window_top_user,  # windowed argmax
         "docs_gate_funnel": clean.gate_funnel,        # pipeline observability
     }
@@ -1739,6 +1741,25 @@ def oracle_sql() -> dict[str, str]:
         "events_window_top_user": _window_top_user_sql(
             _sig_default(events.window_top_user, "window_s")),
         "events_gap_quantiles": _gap_quantiles_sql(),
+        "events_burstiness": """
+            WITH h AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hour,
+                         count(*)::BIGINT AS c
+                       FROM events GROUP BY 1, 2)
+            SELECT user_id, count(*)::BIGINT AS n_hours,
+                   sum(c)::BIGINT AS sum_c,
+                   sum(c * c)::BIGINT AS sum_c_sq
+            FROM h GROUP BY user_id""",
+        "docs_heaps_stats": r"""
+            WITH d AS (SELECT regexp_extract_all(lower(text), '\S+') AS w
+                       FROM documents),
+            s AS (SELECT len(w)::BIGINT AS l,
+                         len(list_distinct(w))::BIGINT AS t FROM d)
+            SELECT count(*)::BIGINT AS n_docs, sum(l)::BIGINT AS sum_len,
+                   sum(t)::BIGINT AS sum_types,
+                   sum(l * l)::BIGINT AS sum_len_sq,
+                   sum(t * t)::BIGINT AS sum_types_sq,
+                   sum(l * t)::BIGINT AS sum_len_types
+            FROM s""",
         "events_heavy_hitters": _heavy_hitters_sql(
             _sig_default(events.heavy_hitters, "d"),
             _sig_default(events.heavy_hitters, "w"),

@@ -1453,6 +1453,47 @@ def late_events(sf_dir: str, allowed_s: int = 0) -> rd.Dataset:
                      ("p_late", "sum", "n_late")])
 
 
+def burstiness_stats(sf_dir: str) -> rd.Dataset:
+    """(user_id, n_hours, sum_c, sum_c_sq): per-user ACTIVE-hour event
+    counts' exact sufficient statistics — the Fano-factor
+    (variance/mean over hourly buckets) inputs of bot/burst detection,
+    in exact integer arithmetic.
+
+    Scale shape: per-batch (user, hour) count partials (combiner), one
+    (user, hour)-keyed hash_agg to exact hourly counts (each key lands
+    exactly once, so the second pass squares true counts, not
+    partials), per-batch user partials over that, one user-keyed
+    hash_agg."""
+    HOUR_US = 3_600_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        hour = pc.cast(pc.divide(t["ts"].cast(pa.int64()), HOUR_US),
+                       pa.int64())
+        g = (pa.table({"user_id": t["user_id"], "hour": hour})
+             .group_by(["user_id", "hour"])
+             .aggregate([([], "count_all")]))
+        return g.rename_columns(["user_id", "hour", "p_c"])
+
+    hourly = hash_agg(_events(sf_dir, ("ts", "user_id"))
+                      .map_batches(partial, batch_format="pyarrow"),
+                      ["user_id", "hour"], [("p_c", "sum", "c")])
+
+    def upart(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy(zero_copy_only=False)
+        g = (pa.table({"user_id": t["user_id"],
+                       "p_n": pa.array(np.ones(len(c), np.int64)),
+                       "p_s": t["c"],
+                       "p_q": pa.array(c * c, pa.int64())})
+             .group_by("user_id")
+             .aggregate([("p_n", "sum"), ("p_s", "sum"), ("p_q", "sum")]))
+        return g.rename_columns(["user_id", "p_n", "p_s", "p_q"])
+
+    return hash_agg(hourly.map_batches(upart, batch_format="pyarrow"),
+                    "user_id", [("p_n", "sum", "n_hours"),
+                                ("p_s", "sum", "sum_c"),
+                                ("p_q", "sum", "sum_c_sq")])
+
+
 def gap_quantiles(sf_dir: str) -> pa.Table:
     """(q_milli, gap_us): EXACT corpus-wide quantiles of per-user
     inter-arrival gaps (quantile_disc semantics: value at index

@@ -973,6 +973,50 @@ def topic_clusters(sf_dir: str, n_clusters: int = 8, dim: int = 64,
         batch_format="pyarrow")
 
 
+def heaps_stats(sf_dir: str) -> rd.Dataset:
+    """One row (n_docs, sum_len, sum_types, sum_len_sq, sum_types_sq,
+    sum_len_types): the EXACT integer sufficient statistics of the
+    corpus' length-vs-vocabulary relationship (len = token occurrences,
+    types = distinct tokens per doc) — everything a Heaps'-law /
+    type-token-ratio fit or a Pearson correlation needs, without ever
+    shipping per-doc rows to the driver.
+
+    Scale shape: the canonical one-pass sufficient-statistics reduce —
+    per-batch partial sums (ONE row per batch) into a single tiny
+    coalesced aggregate; at any corpus size the exchange is
+    O(n_batches) rows of six ints."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        n = ln = ty = l2 = t2 = lt = 0
+        for s in t["text"].to_pylist():
+            toks = TOKEN_RE.findall(s.lower())
+            a, b = len(toks), len(set(toks))
+            n += 1
+            ln += a
+            ty += b
+            l2 += a * a
+            t2 += b * b
+            lt += a * b
+        return pa.table({"k": pa.array([0], pa.int64()),
+                         "p_n": pa.array([n], pa.int64()),
+                         "p_l": pa.array([ln], pa.int64()),
+                         "p_t": pa.array([ty], pa.int64()),
+                         "p_l2": pa.array([l2], pa.int64()),
+                         "p_t2": pa.array([t2], pa.int64()),
+                         "p_lt": pa.array([lt], pa.int64())})
+
+    out = hash_agg(docs(sf_dir).map_batches(partial,
+                                            batch_format="pyarrow"),
+                   "k", [("p_n", "sum", "n_docs"),
+                         ("p_l", "sum", "sum_len"),
+                         ("p_t", "sum", "sum_types"),
+                         ("p_l2", "sum", "sum_len_sq"),
+                         ("p_t2", "sum", "sum_types_sq"),
+                         ("p_lt", "sum", "sum_len_types")], small=True)
+    return out.map_batches(lambda t: t.drop_columns(["k"]),
+                           batch_format="pyarrow")
+
+
 def knn_text(sf_dir: str, k: int = 5, query_stride: int = 10,
              dim: int = 64) -> rd.Dataset:
     """(query_id, rnk, neighbor_id): exact cosine top-k BETWEEN DOCUMENTS
