@@ -345,7 +345,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_heavy_hitters": events.heavy_hitters,
         "events_gap_quantiles": events.gap_quantiles,  # exact order stats
         "events_burstiness": events.burstiness_stats,  # Fano inputs
-        "docs_heaps_stats": textstats.heaps_stats,     # Heaps-law audit  # count-min sketch
+        "docs_heaps_stats": textstats.heaps_stats,     # Heaps-law audit
+        "emb_pq_distortion": similarity.pq_distortion,  # PQ error audit  # count-min sketch
         "events_window_top_user": events.window_top_user,  # windowed argmax
         "docs_gate_funnel": clean.gate_funnel,        # pipeline observability
     }
@@ -1033,9 +1034,10 @@ def _brand_supplier_sql(type_prefix: str) -> str:
         GROUP BY 1, 2"""
 
 
-def _pq_assign_sql(n_sub: int, n_codes: int) -> str:
-    """DuckDB twin of similarity.pq_assign: same deterministic codebook
-    pick, exact int squared-L2 per subspace via list slices."""
+def _pq_cte_prefix(n_sub: int, n_codes: int) -> str:
+    """Shared PQ CTE prefix (codebook pick + per-subspace exact int
+    squared-L2 + the per-(vec, subspace) winner) for the pq_assign and
+    pq_distortion twins."""
     from go_scrapper_ray.pipelines.similarity import EMB_DIMS
 
     sd = EMB_DIMS // n_sub
@@ -1065,10 +1067,28 @@ def _pq_assign_sql(n_sub: int, n_codes: int) -> str:
         pick AS (SELECT vec_id, s, code, d2,
                    row_number() OVER (PARTITION BY vec_id, s
                                       ORDER BY d2, code) AS rn
-                 FROM d)
+                 FROM d)"""
+
+
+def _pq_assign_sql(n_sub: int, n_codes: int) -> str:
+    """DuckDB twin of similarity.pq_assign: same deterministic codebook
+    pick, exact int squared-L2 per subspace via list slices."""
+    return _pq_cte_prefix(n_sub, n_codes) + """
         SELECT vec_id, s::BIGINT AS subspace, code::BIGINT AS code,
                d2::BIGINT AS dist
         FROM pick WHERE rn = 1"""
+
+
+def _pq_distortion_sql(n_sub: int, n_codes: int) -> str:
+    """DuckDB twin of similarity.pq_distortion: per-vector sum of the
+    winning subspace distances next to the vector's quantized ssq."""
+    return _pq_cte_prefix(n_sub, n_codes) + """,
+        nrm AS (SELECT vec_id,
+                  CAST(list_inner_product(qq, qq) AS BIGINT) AS ssq
+                FROM q)
+        SELECT p.vec_id, n.ssq, sum(p.d2)::BIGINT AS distortion
+        FROM pick p JOIN nrm n USING (vec_id)
+        WHERE p.rn = 1 GROUP BY 1, 2"""
 
 
 def _split_sql(val_pct: int, test_pct: int) -> str:
@@ -1718,6 +1738,9 @@ def oracle_sql() -> dict[str, str]:
         "cheapest_supplier": _CHEAPEST_SUPPLIER_SQL,
         "brand_supplier_counts": _brand_supplier_sql(
             _sig_default(relational.brand_supplier_counts, "type_prefix")),
+        "emb_pq_distortion": _pq_distortion_sql(
+            _sig_default(similarity.pq_distortion, "n_sub"),
+            _sig_default(similarity.pq_distortion, "n_codes")),
         "emb_pq_assign": _pq_assign_sql(
             _sig_default(similarity.pq_assign, "n_sub"),
             _sig_default(similarity.pq_assign, "n_codes")),

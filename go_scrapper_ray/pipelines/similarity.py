@@ -912,6 +912,42 @@ def pq_assign(sf_dir: str, n_sub: int = 8, n_codes: int = 16) -> rd.Dataset:
     return _emb(sf_dir).map_batches(kernel, batch_format="pyarrow")
 
 
+def pq_distortion(sf_dir: str, n_sub: int = 8,
+                  n_codes: int = 16) -> rd.Dataset:
+    """(vec_id, ssq, distortion): PQ reconstruction-error audit — each
+    vector's total EXACT integer squared-L2 distance to its
+    product-quantized reconstruction (Σ over subspaces of the winning
+    codebook distance), next to the vector's quantized squared norm
+    (distortion/ssq is the relative error that decides whether the PQ
+    config is safe for the retrieval tier).  Same deterministic
+    codebooks as pq_assign/knn_ivfpq; one streaming map_batches with
+    vectorized integer matmuls, no shuffle."""
+    books = _pq_codebooks(sf_dir, n_sub, n_codes)
+    sd = books.shape[2]
+    b_ref = ray.put(books)
+
+    def kernel(t: pa.Table) -> pa.Table:
+        B = ray.get(b_ref)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        Q = _quant1000(np.array(t["embedding"].to_pylist(),
+                                dtype=np.float64))
+        n = len(ids)
+        total = np.zeros(n, np.int64)
+        for s in range(n_sub):
+            X = Q[:, s * sd:(s + 1) * sd]
+            C = B[s]
+            d2 = ((X * X).sum(axis=1)[:, None]
+                  - 2 * (X @ C.T)
+                  + (C * C).sum(axis=1)[None, :])
+            total += d2.min(axis=1)
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "ssq": pa.array(np.einsum("ij,ij->i", Q, Q), pa.int64()),
+            "distortion": pa.array(total, pa.int64())})
+
+    return _emb(sf_dir).map_batches(kernel, batch_format="pyarrow")
+
+
 def _pq_codebooks(sf_dir: str, n_sub: int, n_codes: int):
     """(n_sub, n_codes, sd) int64 codebook tensor — sub-vectors of the
     n_codes smallest vec_ids (two-pass pruned read; the deterministic
