@@ -346,7 +346,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_gap_quantiles": events.gap_quantiles,  # exact order stats
         "events_burstiness": events.burstiness_stats,  # Fano inputs
         "docs_heaps_stats": textstats.heaps_stats,     # Heaps-law audit
-        "emb_pq_distortion": similarity.pq_distortion,  # PQ error audit  # count-min sketch
+        "emb_pq_distortion": similarity.pq_distortion,  # PQ error audit
+        "events_markov_entropy": events.markov_entropy,  # predictability
+        "docs_simhash_bit_balance": dedup.simhash_bit_balance,  # sketch health  # count-min sketch
         "events_window_top_user": events.window_top_user,  # windowed argmax
         "docs_gate_funnel": clean.gate_funnel,        # pipeline observability
     }
@@ -475,7 +477,7 @@ def _winnow_sql(k: int = 5, w: int = 8) -> str:
         FROM d LEFT JOIN fp USING (doc_id)"""
 
 
-_SIMHASH_SQL = """
+_SIMHASH_CTE = """
     WITH tok AS (SELECT DISTINCT doc_id,
                    unnest(regexp_extract_all(lower(text), '\\S+')) AS w
                  FROM documents),
@@ -489,11 +491,20 @@ _SIMHASH_SQL = """
                        0)::UBIGINT AS sh
             FROM bt GROUP BY doc_id),
     allsig AS (SELECT d.doc_id, COALESCE(s.sh, 0)::UBIGINT AS sh
-               FROM documents d LEFT JOIN sig s USING (doc_id))
+               FROM documents d LEFT JOIN sig s USING (doc_id))"""
+
+_SIMHASH_SQL = _SIMHASH_CTE + """
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            bit_count(xor(a.sh, b.sh))::BIGINT AS hamming
     FROM allsig a JOIN allsig b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.sh, b.sh)) <= 3"""
+
+_SIMHASH_BIT_BALANCE_SQL = _SIMHASH_CTE + """
+    SELECT bb.b::BIGINT AS bit,
+           sum(((sh >> bb.b) & 1))::BIGINT AS n_ones
+    FROM allsig CROSS JOIN
+         (SELECT unnest(generate_series(0, 63)) AS b) bb
+    GROUP BY 1"""
 
 
 def _dup_clusters_sql(threshold: float = 0.8) -> str:
@@ -1764,6 +1775,22 @@ def oracle_sql() -> dict[str, str]:
         "events_window_top_user": _window_top_user_sql(
             _sig_default(events.window_top_user, "window_s")),
         "events_gap_quantiles": _gap_quantiles_sql(),
+        "docs_simhash_bit_balance": _SIMHASH_BIT_BALANCE_SQL,
+        "events_markov_entropy": """
+            WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us,
+                         event_id FROM events),
+            p AS (SELECT event_type AS from_type,
+                    lead(event_type) OVER (PARTITION BY user_id
+                      ORDER BY us, event_id) AS to_type
+                  FROM e),
+            c AS (SELECT from_type, to_type, count(*)::BIGINT AS n
+                  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+            tot AS (SELECT from_type, sum(n)::BIGINT AS n_total
+                    FROM c GROUP BY 1)
+            SELECT t.from_type, t.n_total,
+                   sum(c.n * (length(bin(t.n_total // c.n)) - 1))::BIGINT
+                     AS surprisal_bits
+            FROM c JOIN tot t USING (from_type) GROUP BY 1, 2""",
         "events_burstiness": """
             WITH h AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hour,
                          count(*)::BIGINT AS c

@@ -989,6 +989,31 @@ def simhash64(text: str) -> int:
     return int.from_bytes(out, "little")
 
 
+def simhash_bit_balance(sf_dir: str) -> rd.Dataset:
+    """(bit, n_ones): corpus count of documents with simhash bit b set —
+    the sketch-health audit of the simhash family (a healthy random
+    projection keeps every bit near 50%; a skewed bit means the token
+    distribution leaks into the sketch and near-dup recall degrades on
+    that plane).  Shares :func:`simhash64` exactly, so the DuckDB twin
+    reuses the simhash CTE prefix.
+
+    Scale shape: per-batch 64-row partials (ones-count per bit —
+    combiner), one bounded-key hash_agg; no text ever shuffles."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        ones = np.zeros(64, np.int64)
+        for s in t["text"].to_pylist():
+            sh = simhash64(s)
+            for b in range(64):
+                ones[b] += (sh >> b) & 1
+        return pa.table({"bit": pa.array(np.arange(64, dtype=np.int64)),
+                         "p_n": pa.array(ones, pa.int64())})
+
+    return hash_agg(docs(sf_dir).map_batches(partial,
+                                             batch_format="pyarrow"),
+                    "bit", [("p_n", "sum", "n_ones")], small=True)
+
+
 def simhash_dups(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
     """(doc_a, doc_b, hamming): pairs within hamming distance ≤ 3, found by
     chunk-LSH (4×16-bit chunks; ≤3 flipped bits ⇒ ≥1 chunk identical)."""

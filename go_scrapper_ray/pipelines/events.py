@@ -679,6 +679,43 @@ def type_transitions(sf_dir: str, shards: int = 64) -> rd.Dataset:
                     ["from_type", "to_type"], [("p_n", "sum", "n")], small=True)
 
 
+def markov_entropy(sf_dir: str, shards: int = 64) -> rd.Dataset:
+    """(from_type, n_total, surprisal_bits): the transition-
+    PREDICTABILITY audit over :func:`type_transitions` — per source
+    event type, Σ over successor types of n·floor(log2(n_total / n))
+    (the floor-log2-of-integer-quotient bits convention shared with
+    bigram_surprisal, exact at any width).  Formulaic streams (one
+    dominant successor) score ~0 bits; uniform successor mixes score
+    high — the behavioral bot/burst companion to burstiness_stats.
+
+    Scale shape: rides the |types|²-bounded transition table; the
+    finalize runs on that single bounded block."""
+    tr = type_transitions(sf_dir, shards)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"from_type": pa.array([], pa.string()),
+                             "n_total": pa.array([], pa.int64()),
+                             "surprisal_bits": pa.array([], pa.int64())})
+        df = t.to_pandas()
+        tot = df.groupby("from_type")["n"].sum()
+        out_f, out_t, out_s = [], [], []
+        for ft, g in df.groupby("from_type", sort=True):
+            T = int(tot[ft])
+            bits = sum(int(n) * ((T // int(n)).bit_length() - 1)
+                       for n in g["n"])
+            out_f.append(ft)
+            out_t.append(T)
+            out_s.append(bits)
+        return pa.table({"from_type": pa.array(out_f, pa.string()),
+                         "n_total": pa.array(out_t, pa.int64()),
+                         "surprisal_bits": pa.array(out_s, pa.int64())})
+
+    # the transition table is |types|^2-bounded, so the one-block
+    # finalize is bounded-size by construction (the dau_hll precedent)
+    return tr.repartition(1).map_batches(finalize, batch_format="pyarrow")
+
+
 def rolling_value(sf_dir: str, window_s: int = 3600) -> rd.Dataset:
     """(event_id, user_id, ts_us, roll_cents, roll_n): per-user TRAILING
     time-window aggregate — rolling sum/count of value cents over the last
