@@ -348,6 +348,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_heaps_stats": textstats.heaps_stats,     # Heaps-law audit
         "emb_pq_distortion": similarity.pq_distortion,  # PQ error audit
         "events_markov_entropy": events.markov_entropy,  # predictability
+        "docs_cluster_lang_purity": textstats.cluster_lang_purity,
+        "emb_norm_outliers": similarity.norm_outliers,  # sanity gate
         "docs_simhash_bit_balance": dedup.simhash_bit_balance,  # sketch health  # count-min sketch
         "events_window_top_user": events.window_top_user,  # windowed argmax
         "docs_gate_funnel": clean.gate_funnel,        # pipeline observability
@@ -1707,6 +1709,16 @@ def oracle_sql() -> dict[str, str]:
             _sig_default(textstats.sample_stratified, "keep")),
         "docs_length_quantiles": _quantiles_sql(),
         "emb_norm_stats": _EMB_NORM_SQL,
+        "emb_norm_outliers": """
+            WITH s AS ({base}),
+            q AS (SELECT quantile_disc(sq_sum, {lo}) AS lo,
+                         quantile_disc(sq_sum, {hi}) AS hi FROM s)
+            SELECT s.vec_id, s.sq_sum,
+                   (s.sq_sum < q.lo OR s.sq_sum > q.hi) AS outlier
+            FROM s, q""".format(
+            base=_EMB_NORM_SQL,
+            lo=_sig_default(similarity.norm_outliers, "lo_q"),
+            hi=_sig_default(similarity.norm_outliers, "hi_q")),
         "shipping_priority": _SHIP_PRIO_SQL,
         "docs_decontaminate": _DECONTAM_SQL,
         "docs_jaccard_dups": r"""
@@ -1848,6 +1860,13 @@ def oracle_sql() -> dict[str, str]:
             _sig_default(textstats.topic_clusters, "n_clusters"),
             _sig_default(textstats.topic_clusters, "dim"),
             _sig_default(textstats.topic_clusters, "iters")),
+        "docs_cluster_lang_purity": """
+            SELECT tc.cluster_id, d.lang, count(*)::BIGINT AS n
+            FROM ({topic}) tc JOIN documents d USING (doc_id)
+            GROUP BY 1, 2""".format(topic=_topic_clusters_sql(
+            _sig_default(textstats.cluster_lang_purity, "n_clusters"),
+            _sig_default(textstats.cluster_lang_purity, "dim"),
+            _sig_default(textstats.cluster_lang_purity, "iters"))),
         "docs_incremental_new": rf"""
             WITH h AS (SELECT doc_id, md5(text) AS text_hash,
                          md5_number_upper(doc_id::VARCHAR)

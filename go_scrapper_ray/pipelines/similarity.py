@@ -793,6 +793,54 @@ def rp_sketch(sf_dir: str, k: int = 16, dims: int = EMB_DIMS) -> rd.Dataset:
     return _emb(sf_dir).map_batches(kernel, batch_format="pyarrow")
 
 
+def norm_outliers(sf_dir: str, lo_q: float = 0.01,
+                  hi_q: float = 0.99) -> rd.Dataset:
+    """(vec_id, sq_sum, outlier): flag vectors whose QUANTIZED squared
+    norm falls outside the corpus [lo_q, hi_q] quantile_disc gates — the
+    embedding sanity pass run before ANN indexing (near-zero and blown
+    norms poison cosine buckets).  Quantiles are EXACT at any
+    value-domain size via the distributed order-statistic composition
+    (events.gap_quantiles pattern): range-partitioned sort on sq_sum,
+    O(blocks) count walk, two point lookups; thresholds broadcast for
+    one streaming flag pass."""
+
+    stats = emb_norm_stats(sf_dir).materialize()
+    sorted_refs = stats.sort("sq_sum").to_arrow_refs()
+
+    @ray.remote(num_cpus=0.25)
+    def nrows(tb: pa.Table) -> int:
+        return tb.num_rows
+
+    @ray.remote(num_cpus=0.25)
+    def pick(tb: pa.Table, i: int) -> int:
+        return int(tb["sq_sum"][i].as_py())
+
+    counts = ray.get([nrows.remote(r) for r in sorted_refs])
+    cum = np.cumsum(counts)
+    total = int(cum[-1]) if len(cum) else 0
+    if total == 0:
+        return rd.from_arrow(pa.schema(
+            [("vec_id", pa.int64()), ("sq_sum", pa.int64()),
+             ("outlier", pa.bool_())]).empty_table())
+    picks = []
+    for q in (lo_q, hi_q):
+        rank = max(1, int(np.ceil(q * total)))
+        blk = int(np.searchsorted(cum, rank, side="left"))
+        local = rank - (int(cum[blk - 1]) if blk else 0) - 1
+        picks.append(pick.remote(sorted_refs[blk], local))
+    lo, hi = ray.get(picks)
+
+    def flag(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        s = t["sq_sum"]
+        out = pc.or_(pc.less(s, pa.scalar(lo, pa.int64())),
+                     pc.greater(s, pa.scalar(hi, pa.int64())))
+        return pa.table({"vec_id": t["vec_id"], "sq_sum": s,
+                         "outlier": out})
+
+    return stats.map_batches(flag, batch_format="pyarrow")
+
+
 def label_centroids(sf_dir: str) -> rd.Dataset:
     """(label, dim, q_sum, n_vecs): per-label centroid of the embedding
     column in QUANTIZED integer space (components rounded half-away to

@@ -1118,6 +1118,35 @@ def knn_text(sf_dir: str, k: int = 5, query_stride: int = 10,
             .map_groups(merge_group, batch_format="pandas"))
 
 
+def cluster_lang_purity(sf_dir: str, n_clusters: int = 8, dim: int = 64,
+                        iters: int = 6) -> rd.Dataset:
+    """(cluster_id, lang, n): the unsupervised-vs-labeled crosstab over
+    :func:`topic_clusters` — how well the hashed-BoW k-means clusters
+    align with the declared language column, the purity table an
+    unsupervised mixture step is judged by before it drives sampling.
+
+    Scale shape: one doc_id-co-partitioned join of the (doc_id,
+    cluster_id) assignment against the (doc_id, lang) projection, then
+    a bounded-key (clusters × languages) aggregate."""
+    tc = topic_clusters(sf_dir, n_clusters=n_clusters, dim=dim,
+                        iters=iters)
+    langs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "lang"])
+    j = hash_join(tc, langs, on="doc_id",
+                  left_cols={"cluster_id": pa.int64()},
+                  right_cols={"lang": pa.string()})
+
+    def part(t: pa.Table) -> pa.Table:
+        g = (t.select(["cluster_id", "lang"])
+             .group_by(["cluster_id", "lang"])
+             .aggregate([([], "count_all")]))
+        return g.rename_columns(["cluster_id", "lang", "p_n"])
+
+    return hash_agg(j.map_batches(part, batch_format="pyarrow"),
+                    ["cluster_id", "lang"], [("p_n", "sum", "n")],
+                    small=True)
+
+
 def bigram_surprisal(sf_dir: str) -> rd.Dataset:
     """(doc_id, n_bigrams, surprisal): integer CONDITIONAL bigram
     surprisal — Σ over adjacent token pairs (w1,w2) of
