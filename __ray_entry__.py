@@ -350,6 +350,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_markov_entropy": events.markov_entropy,  # predictability
         "docs_cluster_lang_purity": textstats.cluster_lang_purity,
         "emb_norm_outliers": similarity.norm_outliers,  # sanity gate
+        "docs_minhash_recall": dedup.minhash_recall,    # sketch eval
+        "docs_source_entropy": textstats.source_entropy,
+        "supplier_hhi": relational.supplier_hhi,
         "docs_simhash_bit_balance": dedup.simhash_bit_balance,  # sketch health  # count-min sketch
         "events_window_top_user": events.window_top_user,  # windowed argmax
         "docs_gate_funnel": clean.gate_funnel,        # pipeline observability
@@ -478,6 +481,23 @@ def _winnow_sql(k: int = 5, w: int = 8) -> str:
         SELECT d.doc_id, COALESCE(fp.fpv, 0)::UBIGINT AS winnow_fp
         FROM d LEFT JOIN fp USING (doc_id)"""
 
+
+_JACCARD_SQL = r"""
+    WITH ts AS (
+      SELECT DISTINCT doc_id,
+             unnest(regexp_extract_all(lower(text), '\S+')) AS w
+      FROM documents),
+    cnt AS (SELECT doc_id, count(*) AS n FROM ts GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+      FROM ts a JOIN ts b USING (w)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT da AS doc_a, db AS doc_b
+    FROM inter
+    JOIN cnt ca ON ca.doc_id = da
+    JOIN cnt cb ON cb.doc_id = db
+    WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8"""
 
 _SIMHASH_CTE = """
     WITH tok AS (SELECT DISTINCT doc_id,
@@ -1721,22 +1741,39 @@ def oracle_sql() -> dict[str, str]:
             hi=_sig_default(similarity.norm_outliers, "hi_q")),
         "shipping_priority": _SHIP_PRIO_SQL,
         "docs_decontaminate": _DECONTAM_SQL,
-        "docs_jaccard_dups": r"""
-            WITH ts AS (
-              SELECT DISTINCT doc_id,
-                     unnest(regexp_extract_all(lower(text), '\S+')) AS w
-              FROM documents),
-            cnt AS (SELECT doc_id, count(*) AS n FROM ts GROUP BY doc_id),
-            inter AS (
-              SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
-              FROM ts a JOIN ts b USING (w)
-              WHERE a.doc_id < b.doc_id
-              GROUP BY a.doc_id, b.doc_id)
-            SELECT da AS doc_a, db AS doc_b
-            FROM inter
-            JOIN cnt ca ON ca.doc_id = da
-            JOIN cnt cb ON cb.doc_id = db
-            WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8""",
+        "docs_jaccard_dups": _JACCARD_SQL,
+        "docs_minhash_recall": f"""
+            WITH ex AS ({_JACCARD_SQL}),
+            sk AS ({{mh}}),
+            u AS (SELECT doc_a, doc_b, max(e) AS e, max(s) AS s FROM (
+                    SELECT doc_a, doc_b, 1 AS e, 0 AS s FROM ex
+                    UNION ALL
+                    SELECT doc_a, doc_b, 0, 1 FROM sk)
+                  GROUP BY 1, 2)
+            SELECT sum(e)::BIGINT AS n_exact, sum(s)::BIGINT AS n_sketch,
+                   sum(e * s)::BIGINT AS n_both FROM u""".format(
+            mh=_minhash_sql(
+                _sig_default(dedup.minhash_recall, "threshold"))),
+        "docs_source_entropy": r"""
+            WITH c AS (SELECT source, count(*)::BIGINT AS n
+                       FROM documents GROUP BY 1),
+            t AS (SELECT sum(n)::BIGINT AS total, count(*)::BIGINT AS ns
+                  FROM c)
+            SELECT t.total AS n_docs, t.ns AS n_sources,
+                   (SELECT sum(n * (length(bin(t.total // n)) - 1))
+                    FROM c)::BIGINT AS surprisal_bits
+            FROM t""",
+        "supplier_hhi": """
+            WITH r AS (SELECT l_suppkey,
+                         sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                        * 100) AS BIGINT))::BIGINT AS c
+                       FROM lineitem GROUP BY 1)
+            SELECT count(*)::BIGINT AS n_suppliers,
+                   sum(c)::BIGINT AS total_cents,
+                   ((sum(c::HUGEINT * c::HUGEINT) * 100000000::HUGEINT)
+                    // (sum(c)::HUGEINT * sum(c)::HUGEINT))::BIGINT
+                     AS hhi_e8
+            FROM r""",
         "emb_cosine_dups": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
             FROM embeddings a, embeddings b

@@ -989,6 +989,49 @@ def simhash64(text: str) -> int:
     return int.from_bytes(out, "little")
 
 
+def minhash_recall(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
+    """One row (n_exact, n_sketch, n_both): the sketch-vs-exact pair-set
+    comparison — how many of the EXACT PPJoin Jaccard ≥ threshold pairs
+    the MinHash-LSH pipeline recovers (n_both/n_exact = recall,
+    n_both/n_sketch = precision) — the eval table that qualifies the
+    sketch tier to replace the exact verify at the next scale jump.
+
+    Scale shape: both pair sets are output-sized and memoized; tagged
+    union + one pair-keyed hash_agg + a per-batch counting partial into
+    a single tiny reduce — no text, no new corpus pass."""
+    ex = ngram_jaccard_dups(sf_dir, threshold=threshold)
+    sk = minhash_dups(sf_dir, threshold=threshold)
+
+    def tag(e: int, s: int):
+        def k(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            return pa.table({
+                "doc_a": t["doc_a"], "doc_b": t["doc_b"],
+                "e": pa.array(np.full(n, e, np.int64)),
+                "s": pa.array(np.full(n, s, np.int64))})
+        return k
+
+    u = (ex.map_batches(tag(1, 0), batch_format="pyarrow")
+         .union(sk.map_batches(tag(0, 1), batch_format="pyarrow")))
+    pairs = hash_agg(u, ["doc_a", "doc_b"],
+                     [("e", "max", "e"), ("s", "max", "s")])
+
+    def part(t: pa.Table) -> pa.Table:
+        e = t["e"].to_numpy(zero_copy_only=False)
+        s = t["s"].to_numpy(zero_copy_only=False)
+        return pa.table({"k": pa.array([0], pa.int64()),
+                         "p_e": pa.array([int(e.sum())], pa.int64()),
+                         "p_s": pa.array([int(s.sum())], pa.int64()),
+                         "p_b": pa.array([int((e * s).sum())], pa.int64())})
+
+    out = hash_agg(pairs.map_batches(part, batch_format="pyarrow"),
+                   "k", [("p_e", "sum", "n_exact"),
+                         ("p_s", "sum", "n_sketch"),
+                         ("p_b", "sum", "n_both")], small=True)
+    return out.map_batches(lambda t: t.drop_columns(["k"]),
+                           batch_format="pyarrow")
+
+
 def simhash_bit_balance(sf_dir: str) -> rd.Dataset:
     """(bit, n_ones): corpus count of documents with simhash bit b set —
     the sketch-health audit of the simhash family (a healthy random

@@ -72,6 +72,46 @@ def top_suppliers_by_revenue(sf_dir: str, n: int = 10) -> rd.Dataset:
         [("cents", "descending"), ("s_name", "ascending")], n)
 
 
+def supplier_hhi(sf_dir: str) -> rd.Dataset:
+    """One row (n_suppliers, total_cents, hhi_e8): the Herfindahl–
+    Hirschman concentration index of supplier revenue share, scaled by
+    10^8 and computed in EXACT integer arithmetic — hhi_e8 =
+    (Σ c_i² · 10^8) // (Σ c_i)² (10^8 = full-concentration), the
+    supply-chain concentration audit.
+
+    Scale shape: the per-supplier revenue aggregate is supplier-count
+    bounded (the top_suppliers partial), so the finalize runs on that
+    one bounded block with Python ints (the sums exceed int64; the
+    DuckDB twin uses HUGEINT)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.round(pc.multiply(
+            pc.multiply(t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            100), round_mode="half_towards_infinity")
+        tmp = pa.table({"l_suppkey": t["l_suppkey"],
+                        "cents": pc.cast(cents, pa.int64())})
+        g = tmp.group_by("l_suppkey").aggregate([("cents", "sum")])
+        return g.rename_columns(["l_suppkey", "p_cents"])
+
+    agg = hash_agg(_read(sf_dir, "lineitem",
+                         ["l_suppkey", "l_extendedprice", "l_discount"])
+                   .map_batches(partial, batch_format="pyarrow"),
+                   "l_suppkey", [("p_cents", "sum", "cents")])
+
+    def finalize(t: pa.Table) -> pa.Table:
+        cs = [int(x) for x in t["cents"].to_pylist()]
+        tot = sum(cs)
+        sq = sum(c * c for c in cs)
+        hhi = (sq * 10 ** 8) // (tot * tot) if tot else 0
+        return pa.table({"n_suppliers": pa.array([len(cs)], pa.int64()),
+                         "total_cents": pa.array([tot], pa.int64()),
+                         "hhi_e8": pa.array([hhi], pa.int64())})
+
+    # supplier-count-bounded single block (the markov_entropy precedent)
+    return agg.repartition(1).map_batches(finalize, batch_format="pyarrow")
+
+
 def order_priority_counts(sf_dir: str) -> rd.Dataset:
     """(o_orderpriority, n): order counts per priority — pre-aggregated per
     batch, tiny final groupby."""

@@ -1118,6 +1118,36 @@ def knn_text(sf_dir: str, k: int = 5, query_stride: int = 10,
             .map_groups(merge_group, batch_format="pandas"))
 
 
+def source_entropy(sf_dir: str) -> rd.Dataset:
+    """One row (n_docs, n_sources, surprisal_bits): corpus source-mixture
+    concentration in exact floor-log2 bits — Σ over sources of
+    n·floor(log2(n_docs // n)) (the markov_entropy convention): a
+    single-source corpus scores 0, a uniform mixture scores high — the
+    one-number mixture-balance check next to mixture_quota.
+
+    Scale shape: per-batch source-count partials into a bounded-key
+    aggregate; the finalize runs on that |sources|-bounded block."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (t.select(["source"]).group_by("source")
+             .aggregate([([], "count_all")]))
+        return g.rename_columns(["source", "p_n"])
+
+    agg = hash_agg(docs(sf_dir, columns=("doc_id", "source"))
+                   .map_batches(partial, batch_format="pyarrow"),
+                   "source", [("p_n", "sum", "n")], small=True)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        ns = [int(x) for x in t["n"].to_pylist()]
+        total = sum(ns)
+        bits = sum(n * ((total // n).bit_length() - 1) for n in ns)
+        return pa.table({"n_docs": pa.array([total], pa.int64()),
+                         "n_sources": pa.array([len(ns)], pa.int64()),
+                         "surprisal_bits": pa.array([bits], pa.int64())})
+
+    return agg.repartition(1).map_batches(finalize, batch_format="pyarrow")
+
+
 def cluster_lang_purity(sf_dir: str, n_clusters: int = 8, dim: int = 64,
                         iters: int = 6) -> rd.Dataset:
     """(cluster_id, lang, n): the unsupervised-vs-labeled crosstab over
