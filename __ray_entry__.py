@@ -353,6 +353,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_minhash_recall": dedup.minhash_recall,    # sketch eval
         "docs_source_entropy": textstats.source_entropy,
         "supplier_hhi": relational.supplier_hhi,
+        "docs_collocations": textstats.collocations,    # exact PMI top-k
+        "docs_char_entropy": textstats.char_entropy,    # OCR-noise gate
         "docs_simhash_bit_balance": dedup.simhash_bit_balance,  # sketch health  # count-min sketch
         "events_window_top_user": events.window_top_user,  # windowed argmax
         "docs_gate_funnel": clean.gate_funnel,        # pipeline observability
@@ -1754,6 +1756,42 @@ def oracle_sql() -> dict[str, str]:
                    sum(e * s)::BIGINT AS n_both FROM u""".format(
             mh=_minhash_sql(
                 _sig_default(dedup.minhash_recall, "threshold"))),
+        "docs_collocations": r"""
+            WITH toks AS (SELECT doc_id,
+                            regexp_extract_all(lower(text), '\S+') AS ws
+                          FROM documents),
+            pos AS (SELECT doc_id, ws,
+                      unnest(generate_series(1, len(ws)-1)) AS i
+                    FROM toks WHERE len(ws) >= 2),
+            big AS (SELECT ws[i] AS w1, ws[i+1] AS w2,
+                      count(*)::BIGINT AS c2
+                    FROM pos GROUP BY 1, 2),
+            lm AS (SELECT w1, sum(c2)::BIGINT AS l FROM big GROUP BY 1),
+            rm AS (SELECT w2, sum(c2)::BIGINT AS r FROM big GROUP BY 1),
+            nn AS (SELECT sum(c2)::BIGINT AS n FROM big),
+            sc AS (SELECT b.w1, b.w2, b.c2 AS n,
+                     ((b.c2::HUGEINT * (SELECT n FROM nn)::HUGEINT
+                       * 1000000::HUGEINT)
+                      // (lm.l::HUGEINT * rm.r::HUGEINT))::BIGINT
+                       AS score_e6
+                   FROM big b JOIN lm USING (w1) JOIN rm USING (w2)
+                   WHERE b.c2 >= {mc})
+            SELECT w1, w2, n, score_e6 FROM sc
+            ORDER BY score_e6 DESC, w1, w2 LIMIT {k}""".format(
+            mc=_sig_default(textstats.collocations, "min_count"),
+            k=_sig_default(textstats.collocations, "k")),
+        "docs_char_entropy": """
+            WITH d AS (SELECT doc_id, text, length(text) AS n
+                       FROM documents WHERE length(text) > 0),
+            ch AS (SELECT doc_id, n,
+                     substr(text, unnest(generate_series(1, n)), 1) AS c
+                   FROM d),
+            cc AS (SELECT doc_id, n, c, count(*)::BIGINT AS v
+                   FROM ch GROUP BY 1, 2, 3)
+            SELECT doc_id, n::BIGINT AS n_chars,
+                   sum(v * (length(bin(n // v)) - 1))::BIGINT
+                     AS surprisal_bits
+            FROM cc GROUP BY 1, 2""",
         "docs_source_entropy": r"""
             WITH c AS (SELECT source, count(*)::BIGINT AS n
                        FROM documents GROUP BY 1),

@@ -1118,6 +1118,106 @@ def knn_text(sf_dir: str, k: int = 5, query_stride: int = 10,
             .map_groups(merge_group, batch_format="pandas"))
 
 
+def collocations(sf_dir: str, k: int = 20,
+                 min_count: int = 5) -> rd.Dataset:
+    """(w1, w2, n, score_e6): top-``k`` COLLOCATIONS by an exact
+    integer PMI surrogate — score_e6 = (c2 · N · 10^6) // (l(w1) ·
+    r(w2)) with c2 the corpus bigram count, l/r the bigram-marginal
+    counts and N the total bigram count (ties → (w1, w2) asc; pairs
+    below ``min_count`` gated out) — the phrase-mining table a
+    tokenizer/normalization pass reads.  All arithmetic is Python-int
+    on the gated candidate rows, so the score is exact at any corpus
+    size (the twin uses HUGEINT).
+
+    Scale shape: per-batch bigram Counter partials → one (w1,w2)
+    hash_agg; marginals re-aggregate FROM that table (token-keyed, no
+    second corpus pass); two token-co-partitioned joins put l and r on
+    each gated row; exact per-block topk."""
+    from collections import Counter
+
+
+    def big_partial(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for s in t["text"].to_pylist():
+            ws = s.lower().split()
+            c.update(zip(ws, ws[1:]))
+        return pa.table({"w1": pa.array([p[0] for p in c], pa.string()),
+                         "w2": pa.array([p[1] for p in c], pa.string()),
+                         "p": pa.array(list(c.values()), pa.int64())})
+
+    big = hash_agg(docs(sf_dir).map_batches(big_partial,
+                                            batch_format="pyarrow"),
+                   ["w1", "w2"], [("p", "sum", "c2")]).materialize()
+
+    lm = hash_agg(big.map_batches(
+        lambda t: t.select(["w1", "c2"]).group_by("w1")
+        .aggregate([("c2", "sum")]).rename_columns(["w1", "p"]),
+        batch_format="pyarrow"), "w1", [("p", "sum", "l")])
+    rm = hash_agg(big.map_batches(
+        lambda t: t.select(["w2", "c2"]).group_by("w2")
+        .aggregate([("c2", "sum")]).rename_columns(["w2", "p"]),
+        batch_format="pyarrow"), "w2", [("p", "sum", "r")])
+
+    # N: one tiny distributed sum collected as a scalar
+    N = 0
+    for t in big.iter_batches(batch_format="pyarrow"):
+        s = pc.sum(t["c2"]).as_py()
+        N += int(s) if s is not None else 0
+
+    gated = big.map_batches(
+        lambda t: t.filter(pc.greater_equal(
+            t["c2"], pa.scalar(min_count, pa.int64()))),
+        batch_format="pyarrow")
+    j1 = hash_join(gated, lm, on="w1",
+                   left_cols={"w2": pa.string(), "c2": pa.int64()},
+                   right_cols={"l": pa.int64()})
+    j2 = hash_join(j1, rm, on="w2", right_on="w2",
+                   left_cols={"w1": pa.string(), "c2": pa.int64(),
+                              "l": pa.int64()},
+                   right_cols={"r": pa.int64()})
+
+    def score(t: pa.Table) -> pa.Table:
+        sc = [int(c2) * N * 10 ** 6 // (int(l) * int(r))
+              for c2, l, r in zip(t["c2"].to_pylist(),
+                                  t["l"].to_pylist(),
+                                  t["r"].to_pylist())]
+        return pa.table({"w1": t["w1"], "w2": t["w2"],
+                         "n": t["c2"],
+                         "score_e6": pa.array(sc, pa.int64())})
+
+    return topk(j2.map_batches(score, batch_format="pyarrow"),
+                [("score_e6", "descending"), ("w1", "ascending"),
+                 ("w2", "ascending")], k)
+
+
+def char_entropy(sf_dir: str) -> rd.Dataset:
+    """(doc_id, n_chars, surprisal_bits): per-document CHARACTER-
+    distribution surprisal — Σ over distinct characters of
+    c·floor(log2(n_chars // c)) (the floor-log2 bits convention) — the
+    OCR-garbage / encoding-noise detector: natural text scores in a
+    narrow band, byte soup scores high, single-char runs score 0.
+    Empty docs carry no row.  Pure per-batch map, no shuffle."""
+    from collections import Counter
+
+
+    def kernel(t: pa.Table) -> pa.Table:
+        ids, ns, bits = [], [], []
+        for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            if not s:
+                continue
+            c = Counter(s)
+            n = len(s)
+            ids.append(did)
+            ns.append(n)
+            bits.append(sum(v * ((n // v).bit_length() - 1)
+                            for v in c.values()))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_chars": pa.array(ns, pa.int64()),
+                         "surprisal_bits": pa.array(bits, pa.int64())})
+
+    return docs(sf_dir).map_batches(kernel, batch_format="pyarrow")
+
+
 def source_entropy(sf_dir: str) -> rd.Dataset:
     """One row (n_docs, n_sources, surprisal_bits): corpus source-mixture
     concentration in exact floor-log2 bits — Σ over sources of
