@@ -60,6 +60,48 @@ class CleanFilter:
                          "text_hash": pa.array(hashes, pa.string())})
 
 
+class _FlagStage(CleanFilter):
+    """Per-doc GATE-FLAG table (doc_id, text_hash, len_ok, both_ok) for
+    ALL documents — the shared one-text-pass input of clean_corpus AND
+    gate_funnel (id+hash-sized rows; the text stays inside this stage).
+    Hashes are computed only for docs passing both gates (the only rows
+    whose hash any consumer reads)."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        preds = self.lid(t)["pred_lang"].to_pylist()
+        ids, hashes, len_ok, both_ok = [], [], [], []
+        for did, s, pl in zip(t["doc_id"].to_pylist(),
+                              t["text"].to_pylist(), preds):
+            lok = len(TOKEN_RE.findall(s)) >= self.min_words
+            bok = lok and pl == self.lang
+            ids.append(did)
+            hashes.append(hashlib.md5(s.encode("utf-8")).hexdigest()
+                          if bok else "")
+            len_ok.append(int(lok))
+            both_ok.append(int(bok))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text_hash": pa.array(hashes, pa.string()),
+                         "len_ok": pa.array(len_ok, pa.int64()),
+                         "both_ok": pa.array(both_ok, pa.int64())})
+
+
+def _gate_flags(sf_dir: str, min_words: int, lang: str) -> rd.Dataset:
+    """Memoized per (corpus, min_words, lang): the single actor-pool
+    text pass both clean consumers ride (the dedup._MEMO convention) —
+    in a suite run the langid+tokenize scan happens once, not once per
+    consumer."""
+    from .dedup import _MEMO, _memo_key
+
+    key = _memo_key("gate_flags", sf_dir, min_words, lang)
+    hit = _MEMO.get(key)
+    if hit is None:
+        hit = _MEMO[key] = docs(sf_dir).map_batches(
+            _FlagStage, fn_constructor_args=(min_words, lang),
+            batch_format="pyarrow", concurrency=(1, 8),
+            num_cpus=1).materialize()
+    return hit
+
+
 def _exact_winners(kept: rd.Dataset) -> rd.Dataset:
     """min doc_id per exact text hash among the filtered survivors."""
 
@@ -88,10 +130,14 @@ def clean_corpus(sf_dir: str, min_words: int = 20, lang: str = "en",
 
     A doc survives iff it passes the quality/language filter, is the min
     doc_id of its exact-text group among the filtered set, and is the min
-    such winner inside its MinHash near-dup cluster."""
-    kept = docs(sf_dir).map_batches(
-        CleanFilter, fn_constructor_args=(min_words, lang),
-        batch_format="pyarrow", concurrency=(1, 8), num_cpus=1)
+    such winner inside its MinHash near-dup cluster.  The text pass
+    rides the memoized :func:`_gate_flags` table shared with
+    gate_funnel."""
+    import pyarrow.compute as pc
+
+    kept = _gate_flags(sf_dir, min_words, lang).map_batches(
+        lambda t: t.filter(pc.equal(t["both_ok"], 1))
+        .select(["doc_id", "text_hash"]), batch_format="pyarrow")
     return _cluster_winners(_exact_winners(kept), sf_dir, threshold)
 
 
@@ -330,60 +376,38 @@ def gate_funnel(sf_dir: str, min_words: int = 20, lang: str = "en",
     4 = + near-dup cluster winner).  The observability table every
     production corpus pipeline reports next to its output.
 
-    Scale shape: gates 0–2 are per-batch counters riding the SINGLE
-    actor-pool text pass as sentinel rows (doc_id -1/-2/-3 — counts
-    survive even zero-survivor batches), summed DISTRIBUTEDLY by a
-    filter + 3-group hash_agg (only 3 rows ever reach the driver — the
-    kept id-table itself never does); gates 3–4 count the id-sized
-    winner tables through the SAME ``_exact_winners``/``_cluster_winners``
-    helpers clean_corpus runs, so the funnel cannot drift from the
-    pipeline it observes; the winner table materializes once (count +
-    join reuse the blocks)."""
+    Scale shape: gates 0–2 are distributed flag sums over the MEMOIZED
+    :func:`_gate_flags` table — the single actor-pool text pass shared
+    with clean_corpus, so in a suite run the langid+tokenize scan
+    happens once across both consumers and only 3 count rows ever
+    reach the driver; gates 3–4 count the id-sized winner tables
+    through the SAME ``_exact_winners``/``_cluster_winners`` helpers
+    clean_corpus runs, so the funnel cannot drift from the pipeline it
+    observes; the winner table materializes once (count + join reuse
+    the blocks)."""
+    import pyarrow.compute as pc
 
-    class FunnelCounts(CleanFilter):
-        def __call__(self, t: pa.Table) -> pa.Table:
-            preds = self.lid(t)["pred_lang"].to_pylist()
-            n_all = len(t)
-            n_len = n_both = 0
-            ids, hashes = [], []
-            for did, s, pl in zip(t["doc_id"].to_pylist(),
-                                  t["text"].to_pylist(), preds):
-                if len(TOKEN_RE.findall(s)) < self.min_words:
-                    continue
-                n_len += 1
-                if pl != self.lang:
-                    continue
-                n_both += 1
-                ids.append(did)
-                hashes.append(hashlib.md5(s.encode("utf-8")).hexdigest())
-            return pa.table({
-                "doc_id": pa.array(ids + [-1, -2, -3], pa.int64()),
-                "text_hash": pa.array(hashes + ["", "", ""], pa.string()),
-                "cnt": pa.array([0] * len(ids) + [n_len, n_both, n_all],
-                                pa.int64())})
+    flags = _gate_flags(sf_dir, min_words, lang)
 
-    passed = docs(sf_dir).map_batches(
-        FunnelCounts, fn_constructor_args=(min_words, lang),
-        batch_format="pyarrow", concurrency=(1, 8),
-        num_cpus=1).materialize()
+    def count_partial(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": pa.array([0], pa.int64()),
+            "p_all": pa.array([t.num_rows], pa.int64()),
+            "p_len": pa.array([int(pc.sum(t["len_ok"]).as_py() or 0)],
+                              pa.int64()),
+            "p_both": pa.array([int(pc.sum(t["both_ok"]).as_py() or 0)],
+                               pa.int64())})
 
+    gc = hash_agg(flags.map_batches(count_partial, batch_format="pyarrow"),
+                  "k", [("p_all", "sum", "n_all"),
+                        ("p_len", "sum", "n_len"),
+                        ("p_both", "sum", "n_both")],
+                  small=True).take_all()[0]
+    n_all, n_len, n_both = gc["n_all"], gc["n_len"], gc["n_both"]
 
-    def sentinel_rows(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        return t.filter(pc.less(t["doc_id"], 0)).select(["doc_id", "cnt"])
-
-    gate_counts = hash_agg(
-        passed.map_batches(sentinel_rows, batch_format="pyarrow"),
-        "doc_id", [("cnt", "sum", "n")], num_partitions=1)
-    cmap = {r["doc_id"]: r["n"] for r in gate_counts.iter_rows()}  # 3 rows
-    n_len, n_both, n_all = cmap.get(-1, 0), cmap.get(-2, 0), cmap.get(-3, 0)
-
-    def real_rows(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        return t.filter(pc.greater_equal(t["doc_id"], 0)) \
-                .select(["doc_id", "text_hash"])
-
-    kept = passed.map_batches(real_rows, batch_format="pyarrow")
+    kept = flags.map_batches(
+        lambda t: t.filter(pc.equal(t["both_ok"], 1))
+        .select(["doc_id", "text_hash"]), batch_format="pyarrow")
     exact_winners = _exact_winners(kept).materialize()
     n_exact = exact_winners.count()
     n_final = _cluster_winners(exact_winners, sf_dir, threshold).count()
