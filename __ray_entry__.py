@@ -355,6 +355,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_hhi": relational.supplier_hhi,
         "docs_collocations": textstats.collocations,    # exact PMI top-k
         "docs_char_entropy": textstats.char_entropy,    # OCR-noise gate
+        "docs_clean_text_corpus": clean.clean_text_corpus,  # the deliverable
+        "events_active_days": events.active_days_hist,
         "docs_simhash_bit_balance": dedup.simhash_bit_balance,  # sketch health  # count-min sketch
         "events_window_top_user": events.window_top_user,  # windowed argmax
         "docs_gate_funnel": clean.gate_funnel,        # pipeline observability
@@ -1422,6 +1424,40 @@ def _gap_quantiles_sql() -> str:
         """ + " UNION ALL ".join(legs))
 
 
+def _strip_boilerplate_sql(k: int) -> str:
+    """DuckDB twin of clean.strip_boilerplate (C4 common-lines APPLY) —
+    also the ``st`` CTE of the docs_clean_text_corpus composition."""
+    return r"""
+            WITH d AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+                       FROM documents),
+            pos AS (SELECT doc_id, toks,
+                      unnest(generate_series(0, (len(toks) + 9) // 10 - 1))
+                        AS j
+                    FROM d WHERE len(toks) >= 1),
+            ch AS (SELECT doc_id, j,
+                     array_to_string(toks[10*j + 1 : 10*j + 10], ' ')
+                       AS chunk
+                   FROM pos),
+            stats AS (SELECT md5(chunk) AS chunk_hash, chunk,
+                        count(DISTINCT doc_id)::BIGINT AS df
+                      FROM ch GROUP BY 1, 2),
+            top AS (SELECT chunk_hash FROM stats
+                    ORDER BY df DESC, chunk_hash LIMIT {k}),
+            f AS (SELECT doc_id, j, chunk,
+                    md5(chunk) IN (SELECT chunk_hash FROM top) AS bp
+                  FROM ch),
+            agg AS (SELECT doc_id,
+                      coalesce(string_agg(chunk, ' ' ORDER BY j)
+                               FILTER (WHERE NOT bp), '') AS clean_text,
+                      sum(CASE WHEN bp THEN 1 ELSE 0 END)::BIGINT
+                        AS n_dropped
+                    FROM f GROUP BY doc_id)
+            SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+                   coalesce(a.n_dropped, 0) AS n_dropped
+            FROM (SELECT doc_id FROM documents) d
+            LEFT JOIN agg a USING(doc_id)""".format(k=k)
+
+
 def _window_top_user_sql(window_s: int) -> str:
     """DuckDB twin of events.window_top_user (windowed argmax by integer
     cents, ties → smaller user_id)."""
@@ -1878,6 +1914,14 @@ def oracle_sql() -> dict[str, str]:
                    sum(c.n * (length(bin(t.n_total // c.n)) - 1))::BIGINT
                      AS surprisal_bits
             FROM c JOIN tot t USING (from_type) GROUP BY 1, 2""",
+        "events_active_days": """
+            WITH ud AS (SELECT DISTINCT user_id,
+                          epoch_us(ts) // 86400000000 AS day
+                        FROM events),
+            pu AS (SELECT user_id, count(*)::BIGINT AS n_days
+                   FROM ud GROUP BY 1)
+            SELECT n_days, count(*)::BIGINT AS n_users
+            FROM pu GROUP BY 1""",
         "events_burstiness": """
             WITH h AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hour,
                          count(*)::BIGINT AS c
@@ -2154,36 +2198,19 @@ def oracle_sql() -> dict[str, str]:
                    FROM edges e JOIN a2f ON a2f.node = e.dst GROUP BY e.src)
             SELECT nd.node, a2f.a AS auth, h2.h AS hub
             FROM nodes nd JOIN a2f USING(node) JOIN h2 USING(node)""",
-        "docs_strip_boilerplate": r"""
-            WITH d AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
-                       FROM documents),
-            pos AS (SELECT doc_id, toks,
-                      unnest(generate_series(0, (len(toks) + 9) // 10 - 1))
-                        AS j
-                    FROM d WHERE len(toks) >= 1),
-            ch AS (SELECT doc_id, j,
-                     array_to_string(toks[10*j + 1 : 10*j + 10], ' ')
-                       AS chunk
-                   FROM pos),
-            stats AS (SELECT md5(chunk) AS chunk_hash, chunk,
-                        count(DISTINCT doc_id)::BIGINT AS df
-                      FROM ch GROUP BY 1, 2),
-            top AS (SELECT chunk_hash FROM stats
-                    ORDER BY df DESC, chunk_hash LIMIT {k}),
-            f AS (SELECT doc_id, j, chunk,
-                    md5(chunk) IN (SELECT chunk_hash FROM top) AS bp
-                  FROM ch),
-            agg AS (SELECT doc_id,
-                      coalesce(string_agg(chunk, ' ' ORDER BY j)
-                               FILTER (WHERE NOT bp), '') AS clean_text,
-                      sum(CASE WHEN bp THEN 1 ELSE 0 END)::BIGINT
-                        AS n_dropped
-                    FROM f GROUP BY doc_id)
-            SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
-                   coalesce(a.n_dropped, 0) AS n_dropped
-            FROM (SELECT doc_id FROM documents) d
-            LEFT JOIN agg a USING(doc_id)""".format(
-            k=_sig_default(clean.strip_boilerplate, "k")),
+        "docs_strip_boilerplate": _strip_boilerplate_sql(
+            _sig_default(clean.strip_boilerplate, "k")),
+        "docs_clean_text_corpus": """
+            WITH surv AS ({surv}),
+            st AS ({strip})
+            SELECT s.doc_id, st.clean_text,
+                   len(regexp_extract_all(st.clean_text,
+                                          '\\S+'))::BIGINT
+                     AS n_tokens_clean
+            FROM surv s JOIN st USING (doc_id)""".format(
+            surv=_clean_corpus_sql(),
+            strip=_strip_boilerplate_sql(
+                _sig_default(clean.clean_text_corpus, "k"))),
         "docs_boilerplate": r"""
             WITH d AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
                        FROM documents),

@@ -416,6 +416,38 @@ def gate_funnel(sf_dir: str, min_words: int = 20, lang: str = "en",
                                          n_final], pa.int64())})
 
 
+def clean_text_corpus(sf_dir: str, min_words: int = 20, lang: str = "en",
+                      threshold: float = 0.8, k: int = 20) -> rd.Dataset:
+    """(doc_id, clean_text, n_tokens_clean): THE DELIVERABLE — the
+    clean_corpus survivor set joined with its boilerplate-stripped text,
+    i.e. exactly the rows a tokenizer consumes after the full
+    quality → language → exact-dedup → near-dup → C4-strip composition.
+
+    Scale shape: the survivor table is id-sized (memoized gates +
+    winner reduces); the strip pass streams the corpus once (k-hash
+    broadcast); one doc_id-co-partitioned join ships each surviving
+    doc's cleaned text exactly once — the unavoidable text movement of
+    materializing the output corpus, and nothing more."""
+    import pyarrow.compute as pc
+
+    surv = clean_corpus(sf_dir, min_words, lang, threshold).map_batches(
+        lambda t: t.select(["doc_id"]), batch_format="pyarrow")
+    stripped = strip_boilerplate(sf_dir, k)
+    j = hash_join(surv, stripped, on="doc_id",
+                  left_cols={},
+                  right_cols={"clean_text": pa.string(),
+                              "n_dropped": pa.int64()})
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = pa.array([len(TOKEN_RE.findall(s))
+                      for s in t["clean_text"].to_pylist()], pa.int64())
+        return pa.table({"doc_id": t["doc_id"],
+                         "clean_text": t["clean_text"],
+                         "n_tokens_clean": n})
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
 def strip_boilerplate(sf_dir: str, k: int = 20,
                       chunk_tokens: int = 10) -> rd.Dataset:
     """(doc_id, clean_text, n_dropped): every document with its top-``k``

@@ -1490,6 +1490,49 @@ def late_events(sf_dir: str, allowed_s: int = 0) -> rd.Dataset:
                      ("p_late", "sum", "n_late")])
 
 
+def active_days_hist(sf_dir: str) -> rd.Dataset:
+    """(n_days, n_users): histogram of per-user ACTIVE-day counts — the
+    engagement-distribution table (how many users showed up on exactly
+    k distinct days).
+
+    Scale shape: per-batch (user, day) dedupe partials → one
+    (user, day)-keyed hash_agg (each pair exactly once) → per-batch
+    user partials → user-keyed count → per-batch histogram partials →
+    a bounded-key (≤ distinct day count) aggregate."""
+    DAY_US = 86_400_000_000
+
+    def p1(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.divide(t["ts"].cast(pa.int64()), DAY_US),
+                      pa.int64())
+        g = (pa.table({"user_id": t["user_id"], "day": day})
+             .group_by(["user_id", "day"]).aggregate([]))
+        return g
+
+    ud = hash_agg(
+        _events(sf_dir, ("ts", "user_id"))
+        .map_batches(p1, batch_format="pyarrow")
+        .map_batches(lambda t: t.append_column(
+            "one", pa.array(np.ones(t.num_rows, np.int64))),
+            batch_format="pyarrow"),
+        ["user_id", "day"], [("one", "max", "one")])
+
+    def p2(t: pa.Table) -> pa.Table:
+        g = (t.select(["user_id", "one"]).group_by("user_id")
+             .aggregate([("one", "sum")]))
+        return g.rename_columns(["user_id", "p_d"])
+
+    per_user = hash_agg(ud.map_batches(p2, batch_format="pyarrow"),
+                        "user_id", [("p_d", "sum", "n_days")])
+
+    def p3(t: pa.Table) -> pa.Table:
+        g = (t.select(["n_days"]).group_by("n_days")
+             .aggregate([([], "count_all")]))
+        return g.rename_columns(["n_days", "p_n"])
+
+    return hash_agg(per_user.map_batches(p3, batch_format="pyarrow"),
+                    "n_days", [("p_n", "sum", "n_users")], small=True)
+
+
 def burstiness_stats(sf_dir: str) -> rd.Dataset:
     """(user_id, n_hours, sum_c, sum_c_sq): per-user ACTIVE-hour event
     counts' exact sufficient statistics — the Fano-factor
