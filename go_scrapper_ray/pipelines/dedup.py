@@ -615,6 +615,18 @@ def _dup_clusters_impl(sf_dir: str, threshold: float = 0.8,
 # ------------------------------------------------------------ n-gram jaccard
 
 def ngram_jaccard_dups(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
+    """Memoized wrapper over :func:`_ngram_jaccard_impl` — the exact pair
+    table materializes once per (corpus, threshold) per process and is
+    shared by minhash_recall."""
+    key = _memo_key("jaccard_dups", sf_dir, threshold)
+    hit = _MEMO.get(key)
+    if hit is None:
+        hit = _MEMO[key] = _ngram_jaccard_impl(
+            sf_dir, threshold).materialize()
+    return hit
+
+
+def _ngram_jaccard_impl(sf_dir: str, threshold: float = 0.8) -> rd.Dataset:
     """(doc_a, doc_b): EXACT token-set Jaccard >= threshold pairs — no LSH
     approximation, SQL-checkable against a DuckDB self-join oracle.
 

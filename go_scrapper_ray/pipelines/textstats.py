@@ -965,12 +965,20 @@ def topic_clusters(sf_dir: str, n_clusters: int = 8, dim: int = 64,
         return pa.table({"vec_id": pa.array(ids, pa.int64()),
                          "q": pa.array(blobs, pa.binary())})
 
+    from .dedup import _MEMO, _memo_key
+
+    key = _memo_key("topic_clusters", sf_dir, n_clusters, dim, iters)
+    hit = _MEMO.get(key)
+    if hit is not None:
+        return hit
     feat = docs(sf_dir).map_batches(featurize,
                                     batch_format="pyarrow").materialize()
     _C, assigned = _kmeans_dist_core(feat, n_clusters, iters)
-    return assigned.map_batches(
+    out = assigned.map_batches(
         lambda t: t.rename_columns(["doc_id", "cluster_id"]),
-        batch_format="pyarrow")
+        batch_format="pyarrow").materialize()
+    _MEMO[key] = out
+    return out
 
 
 def heaps_stats(sf_dir: str) -> rd.Dataset:
@@ -1129,10 +1137,12 @@ def collocations(sf_dir: str, k: int = 20,
     on the gated candidate rows, so the score is exact at any corpus
     size (the twin uses HUGEINT).
 
-    Scale shape: per-batch bigram Counter partials → one (w1,w2)
-    hash_agg; marginals re-aggregate FROM that table (token-keyed, no
-    second corpus pass); two token-co-partitioned joins put l and r on
-    each gated row; exact per-block topk."""
+    Scale shape, size-gated (the bigram_surprisal pattern): ONE tokenize
+    pass produces batch-bounded bigram partials; under a 2^17-bigram
+    gate the driver merges them and computes marginals + scores + the
+    top-k on the bounded table (no shuffle at all); past the gate, the
+    distributed path — (w1,w2) hash_agg, token-keyed marginal
+    re-aggregates, two co-partitioned joins, exact per-block topk."""
     from collections import Counter
 
 
@@ -1145,9 +1155,39 @@ def collocations(sf_dir: str, k: int = 20,
                          "w2": pa.array([p[1] for p in c], pa.string()),
                          "p": pa.array(list(c.values()), pa.int64())})
 
-    big = hash_agg(docs(sf_dir).map_batches(big_partial,
-                                            batch_format="pyarrow"),
-                   ["w1", "w2"], [("p", "sum", "c2")]).materialize()
+    parts = docs(sf_dir).map_batches(big_partial,
+                                     batch_format="pyarrow").materialize()
+
+    # ---- FAST PATH: bigram-table-sized driver merge, zero shuffles
+    c2_acc: Counter = Counter()
+    over_gate = False
+    for t in parts.iter_batches(batch_format="pyarrow"):
+        for a, b, c in zip(t["w1"].to_pylist(), t["w2"].to_pylist(),
+                           t["p"].to_pylist()):
+            c2_acc[(a, b)] += c
+        if len(c2_acc) > (1 << 17):
+            over_gate = True
+            break
+    if not over_gate:
+        lN: Counter = Counter()
+        rN: Counter = Counter()
+        total = 0
+        for (a, b), c in c2_acc.items():
+            lN[a] += c
+            rN[b] += c
+            total += c
+        rows = sorted(
+            ((int(c) * total * 10 ** 6 // (lN[a] * rN[b]), a, b, int(c))
+             for (a, b), c in c2_acc.items() if c >= min_count),
+            key=lambda r: (-r[0], r[1], r[2]))[:k]
+        return rd.from_arrow(pa.table({
+            "w1": pa.array([r[1] for r in rows], pa.string()),
+            "w2": pa.array([r[2] for r in rows], pa.string()),
+            "n": pa.array([r[3] for r in rows], pa.int64()),
+            "score_e6": pa.array([r[0] for r in rows], pa.int64())}))
+
+    # ---- AT SCALE: hash_agg + marginal joins
+    big = hash_agg(parts, ["w1", "w2"], [("p", "sum", "c2")]).materialize()
 
     lm = hash_agg(big.map_batches(
         lambda t: t.select(["w1", "c2"]).group_by("w1")
