@@ -1639,7 +1639,14 @@ def boilerplate_chunks(sf_dir: str, k: int = 20,
     count) combiner rows (chunk TEXT never shuffles — the chunk_dedup
     contract) into one hash_agg + an exact per-block top-k reduce; the
     k winning hashes broadcast (k-sized) and pass 2 recovers each one's
-    text from the streaming corpus scan — driver state is k rows."""
+    text from the streaming corpus scan — driver state is k rows.
+    Memoized per (corpus, k, chunk_tokens): docs_boilerplate,
+    strip_boilerplate and clean_text_corpus share one mine."""
+    key = _memo_key("boilerplate_chunks", sf_dir, k, chunk_tokens)
+    hit = _MEMO.get(key)
+    if hit is not None:
+        return hit
+
     def stats_rows(t: pa.Table) -> pa.Table:
         per: dict[str, list] = {}
         for did, s in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
@@ -1689,8 +1696,10 @@ def boilerplate_chunks(sf_dir: str, k: int = 20,
               .iter_batches(batch_format="pyarrow")):
         texts.update(zip(t["chunk_hash"].to_pylist(),
                          t["chunk"].to_pylist()))
-    return pa.table({
+    out = pa.table({
         "chunk_hash": top["chunk_hash"],
         "chunk": pa.array([texts[h] for h in top["chunk_hash"].to_pylist()],
                           pa.string()),
         "df": top["df"], "n_copies": top["n_copies"]})
+    _MEMO[key] = out
+    return out
